@@ -1,0 +1,432 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The judged query surface: every operator from SURVEY.md §2 plus the
+  * training-data pipeline operators, each as a (SparkSession, sfDir) =>
+  * DataFrame paired with a DuckDB oracle in `oracle`.
+  *
+  * Determinism rules (so the DuckDB hash-compare is exact):
+  *  - money math on DECIMAL (exact, associative) then CAST to DOUBLE;
+  *  - event timestamps kept as nanosecond longs (ns parquet type), floored
+  *    to epoch seconds with integer division;
+  *  - every query ORDER BYs its full key set; aggregates aliased identically
+  *    in Spark and SQL.
+  */
+object Queries {
+
+  // ---- shared constants (UTC) ----
+  val Now: Long = 1706659200L            // 2024-01-31 00:00:00, just past events range
+  val GapFrom: Long = 1704412800L        // 2024-01-05
+  val GapUntil: Long = 1705017600L       // 2024-01-12
+  val HotLo: Long = 1705708800L          // 2024-01-20 (hot view start)
+  val HistHi: Long = 1706140800L         // 2024-01-25 (history flushed through here)
+
+  /** Default cascade (mirrors the reference's default schema:
+    * conf/storage-schemas.conf.example:38-44): 10s:12h, 60s:2d, 300s:7d,
+    * 15m:25w.
+    */
+  val Cascade: Seq[graft.core.Archive] = Seq(
+    graft.core.Archive(10, 4320), graft.core.Archive(60, 2880),
+    graft.core.Archive(300, 2016), graft.core.Archive(900, 16800))
+
+  // ---- table readers ----
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as a raw
+    * long; we want that anyway — ns longs give exact last-write-wins
+    * ordering and exact second flooring (`ts DIV 1e9`).
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, dir, "events")
+  }
+
+  /** Long-format metric stream view of events: (metric, ns, sec, value). */
+  def metricStream(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_type").as("metric"),
+      col("ts").as("ns"),
+      expr("ts DIV 1000000000").as("sec"),
+      col("value"))
+
+  val MetricBaseSql: String =
+    "SELECT event_type AS metric, epoch_ns(ts) AS ns, epoch_ns(ts) // 1000000000 AS sec, value FROM events"
+
+  def alignSec(step: Long): Column = (col("sec") - pmod(col("sec"), lit(step))).as("ts")
+  def alignSecSql(step: Long): String = s"sec - sec % $step"
+
+  /** Exact mean: decimal sum cast to double, divided by count — identical
+    * IEEE ops in Spark and DuckDB.
+    */
+  def exactAvg(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1))
+  def exactAvgSql(c: String): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+
+  def exactSum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  def exactSumSql(c: String): String = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  // =====================================================================
+  // TSDB operators (SURVEY §2.2-§2.6) over the events metric stream
+  // =====================================================================
+
+  /** Align to the level-0 step and dedupe duplicate aligned slots,
+    * last-write-wins by raw ns arrival (reference: kenshin/storage.py:429-445).
+    */
+  def tsAlignDedup(s: SparkSession, dir: String): DataFrame =
+    metricStream(s, dir)
+      .groupBy(col("metric"), alignSec(10))
+      .agg(max_by(col("value"), col("ns")).as("value"))
+      .orderBy("metric", "ts")
+
+  val tsAlignDedupSql: String =
+    s"""SELECT metric, ${alignSecSql(10)} AS ts, arg_max(value, ns) AS value
+       |FROM ($MetricBaseSql) GROUP BY 1, 2 ORDER BY metric, ts""".stripMargin
+
+  /** The five downsample aggregation methods (reference: kenshin/agg.py:10-16)
+    * as tumbling-window rollups at various steps.
+    */
+  def tsRollupAvg(s: SparkSession, dir: String): DataFrame =
+    metricStream(s, dir)
+      .groupBy(col("metric"), alignSec(300))
+      .agg(exactAvg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+      .orderBy("metric", "ts")
+
+  val tsRollupAvgSql: String =
+    s"""SELECT metric, ${alignSecSql(300)} AS ts, ${exactAvgSql("value")} AS avg_value, COUNT(*) AS n
+       |FROM ($MetricBaseSql) GROUP BY 1, 2 ORDER BY metric, ts""".stripMargin
+
+  def tsRollupSum(s: SparkSession, dir: String): DataFrame =
+    metricStream(s, dir)
+      .groupBy(col("metric"), alignSec(300))
+      .agg(exactSum(col("value")).as("sum_value"), count(lit(1)).as("n"))
+      .orderBy("metric", "ts")
+
+  val tsRollupSumSql: String =
+    s"""SELECT metric, ${alignSecSql(300)} AS ts, ${exactSumSql("value")} AS sum_value, COUNT(*) AS n
+       |FROM ($MetricBaseSql) GROUP BY 1, 2 ORDER BY metric, ts""".stripMargin
+
+  def tsRollupLast(s: SparkSession, dir: String): DataFrame =
+    metricStream(s, dir)
+      .groupBy(col("metric"), alignSec(60))
+      .agg(max_by(col("value"), col("ns")).as("last_value"))
+      .orderBy("metric", "ts")
+
+  val tsRollupLastSql: String =
+    s"""SELECT metric, ${alignSecSql(60)} AS ts, arg_max(value, ns) AS last_value
+       |FROM ($MetricBaseSql) GROUP BY 1, 2 ORDER BY metric, ts""".stripMargin
+
+  def tsRollupMinMax(s: SparkSession, dir: String): DataFrame =
+    metricStream(s, dir)
+      .groupBy(col("metric"), alignSec(600))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"), count(lit(1)).as("n"))
+      .orderBy("metric", "ts")
+
+  val tsRollupMinMaxSql: String =
+    s"""SELECT metric, ${alignSecSql(600)} AS ts, MIN(value) AS vmin, MAX(value) AS vmax, COUNT(*) AS n
+       |FROM ($MetricBaseSql) GROUP BY 1, 2 ORDER BY metric, ts""".stripMargin
+
+  /** Range fetch with dense-spine gap filling: every (metric, slot) in the
+    * window materializes, absent slots as null (reference fetch:
+    * kenshin/storage.py:650-693).
+    */
+  def tsGapfill(s: SparkSession, dir: String): DataFrame = {
+    val ms = metricStream(s, dir)
+    val agg = ms.where(col("sec") >= GapFrom && col("sec") < GapUntil)
+      .groupBy(col("metric"), alignSec(600))
+      .agg(exactAvg(col("value")).as("avg_value"))
+    val spine = ms.select(col("metric")).distinct()
+      .select(col("metric"),
+        explode(sequence(lit(GapFrom), lit(GapUntil - 600), lit(600L))).as("ts"))
+    spine.join(agg, Seq("metric", "ts"), "left")
+      .select(col("metric"), col("ts"), col("avg_value"))
+      .orderBy("metric", "ts")
+  }
+
+  val tsGapfillSql: String =
+    s"""WITH base AS ($MetricBaseSql),
+       |agg AS (
+       |  SELECT metric, ${alignSecSql(600)} AS ts, ${exactAvgSql("value")} AS avg_value
+       |  FROM base WHERE sec >= $GapFrom AND sec < $GapUntil GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, g.ts FROM (SELECT DISTINCT metric FROM base) m,
+       |       generate_series($GapFrom, ${GapUntil - 600}, 600) g(ts))
+       |SELECT spine.metric AS metric, spine.ts AS ts, agg.avg_value AS avg_value
+       |FROM spine LEFT JOIN agg ON spine.metric = agg.metric AND spine.ts = agg.ts
+       |ORDER BY spine.metric, spine.ts""".stripMargin
+
+  /** Hot-view ∪ historical merge with hot-wins dedupe (reference cache/disk
+    * stitch: rurouni/cache.py:161-169). History is flushed through HistHi;
+    * the hot streaming state covers [HotLo, now) — overlap resolved in favor
+    * of hot.
+    */
+  def tsCacheMerge(s: SparkSession, dir: String): DataFrame = {
+    val ms = metricStream(s, dir)
+    def lww60(df: DataFrame): DataFrame =
+      df.groupBy(col("metric"), alignSec(60)).agg(max_by(col("value"), col("ns")).as("value"))
+    val hist = lww60(ms.where(col("sec") < HistHi))
+    val hot = lww60(ms.where(col("sec") >= HotLo))
+    graft.storage.TimeSeries.mergeHotHistorical(hot, hist).orderBy("metric", "ts")
+  }
+
+  val tsCacheMergeSql: String =
+    s"""WITH base AS ($MetricBaseSql),
+       |hist AS (SELECT metric, ${alignSecSql(60)} AS ts, arg_max(value, ns) AS value
+       |         FROM base WHERE sec < $HistHi GROUP BY 1, 2),
+       |hot AS (SELECT metric, ${alignSecSql(60)} AS ts, arg_max(value, ns) AS value
+       |        FROM base WHERE sec >= $HotLo GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT metric, ts, value FROM hist h
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.metric = h.metric AND hot.ts = h.ts)
+       |  UNION ALL SELECT metric, ts, value FROM hot)
+       |ORDER BY metric, ts""".stripMargin
+
+  /** Age-based cascade routing: each point lands in the finest archive whose
+    * retention covers its age; older than all -> level -1 / dropped
+    * (reference: kenshin/storage.py:397-419).
+    */
+  def tsAgeRoute(s: SparkSession, dir: String): DataFrame = {
+    val ms = metricStream(s, dir)
+    val routed = graft.storage.TimeSeries.ageRoute(
+      ms.select(col("metric"), col("sec").as("ts"), col("value")), Cascade, Now)
+    routed.groupBy(col("metric"), col("level"))
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+      .orderBy("metric", "level")
+  }
+
+  val tsAgeRouteSql: String = {
+    val cases = Cascade.zipWithIndex
+      .map { case (a, i) => s"WHEN $Now - sec <= ${a.retention} THEN $i" }
+      .mkString(" ")
+    s"""SELECT metric, CASE $cases ELSE -1 END AS level,
+       |COUNT(*) AS n, MIN(sec) AS min_ts, MAX(sec) AS max_ts
+       |FROM ($MetricBaseSql) GROUP BY 1, 2 ORDER BY metric, level""".stripMargin
+  }
+
+  /** Flagship fetch: window clamp + archive selection (coarser data answers
+    * older queries: kenshin/storage.py:639-642) + rollup at the selected
+    * step + gap-fill. from = now-6d selects the 300s:7d level.
+    */
+  val FetchFrom: Long = Now - 518400 // now - 6d
+  val FetchUntil: Long = Now - 86400 // now - 1d
+  val FetchLevel: Int = graft.storage.TimeSeries.selectArchive(Cascade, FetchFrom, Now)
+  val FetchStep: Int = Cascade(FetchLevel).secondsPerPoint
+  require(FetchLevel == 2 && FetchStep == 300, s"archive selection changed: $FetchLevel/$FetchStep")
+
+  def tsFetchArchive(s: SparkSession, dir: String): DataFrame = {
+    val (from, until) = graft.storage.TimeSeries
+      .clampWindow(FetchFrom, FetchUntil, Now, Cascade.map(_.retention).max).get
+    val f = graft.storage.TimeSeries.roundup(from, FetchStep)
+    val u = graft.storage.TimeSeries.roundup(until, FetchStep)
+    val ms = metricStream(s, dir)
+    val agg = ms.where(col("sec") >= f && col("sec") < u)
+      .groupBy(col("metric"), alignSec(FetchStep))
+      .agg(exactAvg(col("value")).as("value"))
+    val spine = ms.select(col("metric")).distinct()
+      .select(col("metric"),
+        explode(sequence(lit(f), lit(u - FetchStep), lit(FetchStep.toLong))).as("ts"))
+    spine.join(agg, Seq("metric", "ts"), "left")
+      .select(col("metric"), col("ts"), col("value"))
+      .orderBy("metric", "ts")
+  }
+
+  val tsFetchArchiveSql: String = {
+    val f = graft.storage.TimeSeries.roundup(FetchFrom, FetchStep)
+    val u = graft.storage.TimeSeries.roundup(FetchUntil, FetchStep)
+    s"""WITH base AS ($MetricBaseSql),
+       |agg AS (
+       |  SELECT metric, ${alignSecSql(FetchStep)} AS ts, ${exactAvgSql("value")} AS value
+       |  FROM base WHERE sec >= $f AND sec < $u GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT m.metric, g.ts FROM (SELECT DISTINCT metric FROM base) m,
+       |       generate_series($f, ${u - FetchStep}, $FetchStep) g(ts))
+       |SELECT spine.metric AS metric, spine.ts AS ts, agg.value AS value
+       |FROM spine LEFT JOIN agg ON spine.metric = agg.metric AND spine.ts = agg.ts
+       |ORDER BY spine.metric, spine.ts""".stripMargin
+  }
+
+  /** fnv1a32 shard routing (reference: rurouni/utils.py:107-108). Not
+    * expressible in DuckDB -> rows-only check; golden vectors pin it in
+    * the unit suite.
+    */
+  def fnv1aShard(s: SparkSession, dir: String): DataFrame =
+    metricStream(s, dir)
+      .groupBy(col("metric"),
+        pmod(graft.functions.Fnv1a.fnv1a32(col("metric")), lit(8)).as("shard"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("metric", "shard")
+
+  // =====================================================================
+  // Relational coverage (scans, joins, windows, set ops) on the star schema
+  // =====================================================================
+
+  private def decPrice(c: Column): Column = c.cast("decimal(12,2)")
+  private def decRate(c: Column): Column = c.cast("decimal(3,2)")
+
+  /** Pricing-summary aggregation (scan + filter + wide agg; decimal-exact). */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(decPrice(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(decPrice(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(decPrice(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - decRate(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(decPrice(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - decRate(col("l_discount")))
+          * (lit(1).cast("decimal(3,2)") + decRate(col("l_tax")))).cast("double").as("sum_charge"),
+        (sum(decPrice(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(decPrice(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(decRate(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Shipping-priority join: customer ⋈ orders ⋈ lineitem with broadcast
+    * dims, top-10 orders by revenue (decimal-exact, deterministic tiebreak).
+    */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val cust = table(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val ord = table(s, dir, "orders")
+      .where(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
+    val li = table(s, dir, "lineitem")
+      .where(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("o_orderdate_sec"), col("o_orderpriority"))
+      .agg(sum(decPrice(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - decRate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3ShippingSql: String =
+    """SELECT l_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_sec, o_orderpriority,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Local-supplier-volume: 6-way join with broadcast dimension tables,
+    * grouped revenue per nation.
+    */
+  def q5Region(s: SparkSession, dir: String): DataFrame = {
+    val region = table(s, dir, "region").where(col("r_name") === "ASIA")
+    val nation = table(s, dir, "nation")
+    val cust = table(s, dir, "customer")
+    val supp = table(s, dir, "supplier")
+    val ord = table(s, dir, "orders")
+      .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+    val li = table(s, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(decPrice(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - decRate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  val q5RegionSql: String =
+    """SELECT n_name,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Window top-k: top-3 orders per customer (rank over partition). */
+  def windowTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    table(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val windowTopkSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Semi/anti joins: per market segment, customers with and without orders. */
+  def semiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = table(s, dir, "customer")
+    val ord = table(s, dir, "orders").select(col("o_custkey"))
+    val withOrders = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_orders"))
+    val withoutOrders = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without_orders"))
+    withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  val semiAntiSql: String =
+    """WITH w AS (SELECT c_mktsegment, COUNT(*) AS n_with_orders FROM customer c
+      |           WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |           GROUP BY c_mktsegment),
+      |     wo AS (SELECT c_mktsegment, COUNT(*) AS n_without_orders FROM customer c
+      |            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |            GROUP BY c_mktsegment)
+      |SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+      |       COALESCE(n_with_orders, 0) AS n_with_orders,
+      |       COALESCE(n_without_orders, 0) AS n_without_orders
+      |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Set operations: big purchasers ∩ repeat signups, minus heavy-error
+    * users (thresholds on exact decimal sums so both engines agree).
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    def cohort(t: String, having: Column) = ev.where(col("event_type") === t)
+      .groupBy(col("user_id")).agg(
+        sum(col("value").cast("decimal(18,2)")).as("sv"), count(lit(1)).as("cnt"))
+      .where(having).select(col("user_id"))
+    val bigPurchasers = cohort("purchase", col("sv") > 300)
+    val repeatSignups = cohort("signup", col("cnt") >= 2)
+    val heavyErrors = cohort("error", col("sv") > 800)
+    bigPurchasers.intersect(repeatSignups).except(heavyErrors).orderBy("user_id")
+  }
+
+  val setOpsSql: String =
+    """SELECT * FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |    GROUP BY 1 HAVING SUM(CAST(value AS DECIMAL(18,2))) > 300
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'signup'
+      |    GROUP BY 1 HAVING COUNT(*) >= 2
+      |  EXCEPT
+      |  SELECT user_id FROM events WHERE event_type = 'error'
+      |    GROUP BY 1 HAVING SUM(CAST(value AS DECIMAL(18,2))) > 800)
+      |ORDER BY user_id""".stripMargin
+}

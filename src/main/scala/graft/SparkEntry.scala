@@ -1,13 +1,56 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Each `queries` entry is one operator from SURVEY.md §2 (or a pipeline
+  * extension operator); `oracleSql` holds the DuckDB-equivalent SQL the
+  * driver hash-compares against (omitted only for ops DuckDB cannot
+  * express, e.g. fnv1a sharding).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Full fetch path: clamp -> archive selection -> rollup -> gap-fill.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.tsFetchArchive(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TSDB core (SURVEY §2.2-§2.6)
+    "ts_align_dedup" -> (Queries.tsAlignDedup _),
+    "ts_rollup_avg" -> (Queries.tsRollupAvg _),
+    "ts_rollup_sum" -> (Queries.tsRollupSum _),
+    "ts_rollup_last" -> (Queries.tsRollupLast _),
+    "ts_rollup_minmax" -> (Queries.tsRollupMinMax _),
+    "ts_gapfill" -> (Queries.tsGapfill _),
+    "ts_cache_merge" -> (Queries.tsCacheMerge _),
+    "ts_age_route" -> (Queries.tsAgeRoute _),
+    "ts_fetch_archive" -> (Queries.tsFetchArchive _),
+    "fnv1a_shard" -> (Queries.fnv1aShard _),
+    // relational coverage
+    "q1_pricing" -> (Queries.q1Pricing _),
+    "q3_shipping" -> (Queries.q3Shipping _),
+    "q5_region" -> (Queries.q5Region _),
+    "window_topk" -> (Queries.windowTopk _),
+    "semi_anti" -> (Queries.semiAnti _),
+    "set_ops" -> (Queries.setOps _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ts_align_dedup" -> Queries.tsAlignDedupSql,
+    "ts_rollup_avg" -> Queries.tsRollupAvgSql,
+    "ts_rollup_sum" -> Queries.tsRollupSumSql,
+    "ts_rollup_last" -> Queries.tsRollupLastSql,
+    "ts_rollup_minmax" -> Queries.tsRollupMinMaxSql,
+    "ts_gapfill" -> Queries.tsGapfillSql,
+    "ts_cache_merge" -> Queries.tsCacheMergeSql,
+    "ts_age_route" -> Queries.tsAgeRouteSql,
+    "ts_fetch_archive" -> Queries.tsFetchArchiveSql,
+    // fnv1a_shard: no DuckDB equivalent (custom hash) -> rows-only check
+    "q1_pricing" -> Queries.q1PricingSql,
+    "q3_shipping" -> Queries.q3ShippingSql,
+    "q5_region" -> Queries.q5RegionSql,
+    "window_topk" -> Queries.windowTopkSql,
+    "semi_anti" -> Queries.semiAntiSql,
+    "set_ops" -> Queries.setOpsSql,
+  )
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines over
+  * `documents(doc_id, text, ...)`. Scale posture:
+  *  - exact dedup = one hash-groupBy shuffle on a 32-byte digest (never on
+  *    the raw text);
+  *  - near-dup methods (minhash-LSH, simhash, n-gram Jaccard) all follow the
+  *    candidate-generation pattern: explode to (signature-part, doc) rows,
+  *    self-join only within equal buckets, verify candidates. Pair blowup is
+  *    bounded by bucket sizes, not O(n^2); all hashing is md5-based so the
+  *    DuckDB oracles can reproduce it bit-for-bit.
+  */
+object Dedup {
+
+  /** Portable deterministic 32-bit hash: first 8 hex chars of md5 as a long
+    * (same expression exists in DuckDB: ('0x'||substr(md5(x),1,8))::bigint).
+    */
+  def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Seeded variant for minhash families. */
+  def h32(seed: Int, c: Column): Column = h32(concat(lit(s"s$seed:"), c))
+
+  /** Exact dedup: group by content digest, keep the smallest doc_id as
+    * canonical, count members. One shuffle on the digest.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Word w-shingles of the lowercased text, distinct per doc.
+    * Output: (doc_id, shingle).
+    */
+  def shingles(docs: DataFrame, w: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    docs.select(col("doc_id"),
+        explode(array_distinct(
+          transform(
+            sequence(lit(0), size(toks) - w),
+            i => concat_ws(" ", slice(toks, i + 1, lit(w)))))).as("shingle"))
+  }
+
+  /** MinHash signatures: for each of `numHashes` seeded hash functions, the
+    * min hash over the doc's shingle set. Output: (doc_id, sig array<long>).
+    * One groupBy(doc_id) shuffle over the exploded shingles.
+    */
+  def minhashSignatures(docs: DataFrame, w: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(docs, w)
+    val aggs = (0 until numHashes).map(s => min(h32(s, col("shingle"))).as(s"h$s"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH candidate pairs: band the signature into `bands` bands of
+    * `rowsPerBand` values; docs sharing any full band become a candidate pair.
+    * Output: distinct (a, b) with a < b. Join happens only within equal band
+    * buckets — the standard sub-quadratic near-dup path at 100 TB.
+    */
+  def minhashLshPairs(docs: DataFrame, w: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignatures(docs, w, bands * rowsPerBand)
+    val banded = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard similarity for candidate pairs that share at least one
+    * shingle: |A ∩ B| / |A ∪ B| over distinct shingles. `minJaccard` filters
+    * the output. The shared-shingle equi-join is the candidate generator;
+    * exact Jaccard verifies.
+    */
+  def ngramJaccardPairs(docs: DataFrame, w: Int, minJaccard: Double): DataFrame = {
+    val sh = shingles(docs, w).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("l").join(sh.as("r"),
+        col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash over unigram tokens: bit j of the result is 1 iff the
+    * sum over distinct tokens of (+1 if bit j of h32(token) else -1) is
+    * positive. Output: (doc_id, simhash long). One groupBy(doc_id) shuffle.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+    val h = tok.withColumn("h", h32(col("token")))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    h.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, using 8-bit
+    * band blocking (4 bands; any pair within distance 3 must agree on at
+    * least one band by pigeonhole when maxDist < 4). Avoids the O(n^2)
+    * cross join.
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist < 4, "4-band blocking guarantees recall only for maxDist <= 3")
+    val sh = simhash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 8).bitwiseAND(0xff)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val pairs = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        col("l.simhash").as("sa"), col("r.simhash").as("sb"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .where(col("hamming") <= maxDist)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, over the
+  * long `documents(doc_id, text, lang, source, n_chars)` table. All pure
+  * narrow projections (no shuffle) built from codegen'd built-ins, so they
+  * scale linearly with input splits; the only shuffles are the final
+  * aggregations callers add.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric-non-space chars (a cheap proxy for subword tokenizers;
+    * pattern kept to portable ASCII classes so oracles agree).
+    */
+  val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def bpeishCount(text: Column): Column =
+    size(expr(s"regexp_extract_all(lower(text), '$bpeishPattern', 0)"))
+
+  /** Per-language marker words for the n-gram/stopword language-ID heuristic.
+    * Tiny closed lists keep it SQL-expressible and deterministic.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "mit", "von", "zu"),
+  )
+
+  /** Stopword list used for the quality score's stopword ratio. */
+  val stopwords: Seq[String] = langMarkers.flatMap(_._2).distinct
+
+  /** Language-ID: score each language by marker-word hits over the token
+    * array; winner = highest score, ties broken by language order; zero hits
+    * -> "und" (undetermined). Pure projection.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langMarkers.map { case (lang, words) =>
+      val hits = size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
+      (lang, hits)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language in declared order that achieves the best (non-zero) score
+    scores.foldRight(lit("und"): Column) { case ((lang, hits), elseCol) =>
+      when(hits === best && best > 0, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Quality features + a composite score in [0,1]:
+    * word count, mean word length, stopword ratio, unique-token ratio,
+    * punctuation ratio. Deterministic and SQL-expressible.
+    */
+  def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    df.withColumn("n_words", size(toks))
+      .withColumn("n_uniq_words", size(array_distinct(toks)))
+      .withColumn("n_stopwords",
+        size(filter(toks, t => stopwords.map(w => t === lit(w)).reduce(_ || _))))
+      .withColumn("n_punct", size(expr("regexp_extract_all(text, '[^a-zA-Z0-9\\\\s]', 0)")))
+      .withColumn("text_len", length(text))
+  }
+
+  /** Composite quality score from the feature columns (all-double math in a
+    * fixed expression order so oracles agree bit-for-bit after rounding).
+    */
+  def qualityScore: Column = {
+    val words = col("n_words").cast("double")
+    val lenOk = when(col("text_len") >= 50 && col("text_len") <= 5000, lit(1.0)).otherwise(lit(0.2))
+    val stopRatio = when(words > 0, col("n_stopwords").cast("double") / words).otherwise(lit(0.0))
+    val uniqRatio = when(words > 0, col("n_uniq_words").cast("double") / words).otherwise(lit(0.0))
+    val punctRatio = when(col("text_len") > 0,
+      col("n_punct").cast("double") / col("text_len").cast("double")).otherwise(lit(0.0))
+    round(lenOk * lit(0.4) + least(stopRatio * lit(2.0), lit(1.0)) * lit(0.2)
+      + uniqRatio * lit(0.3) + (lit(1.0) - least(punctRatio * lit(5.0), lit(1.0))) * lit(0.1), 6)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text,
+    * plus a 32-bit numeric form (first 8 hex chars) for compact joins —
+    * the rolling-hash analog, portable between Spark and DuckDB.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  def fingerprint32(text: Column): Column =
+    conv(substring(fingerprint(text), 1, 8), 16, 10).cast("long")
+}

@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Dev-only harness mimicking the driver's DuckDB-oracle correctness gate:
+reads each query's parquet dump from Verify, runs the corresponding oracle
+SQL in DuckDB over the same testdata parquet tables, and compares
+(column names sorted, rows sorted, values hashed). Not part of the shipped
+library — the driver has its own copy of this logic."""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+outdir, sfdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracles.items()):
+    try:
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        got = pq.read_table(files[0]).to_pandas() if files else None
+        if got is None:
+            print(f"FAIL {name}: no spark output"); fails += 1; continue
+        exp = con.execute(sql).df()
+        g = got[sorted(got.columns)].sort_values(by=sorted(got.columns)).reset_index(drop=True)
+        e = exp[sorted(exp.columns)].sort_values(by=sorted(exp.columns)).reset_index(drop=True)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}"); fails += 1; continue
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); fails += 1; continue
+        # exact value compare (driver hashes values)
+        mismatch = None
+        for c in g.columns:
+            a, b = g[c], e[c]
+            an, bn = a.isna(), b.isna()
+            if not (an == bn).all():
+                mismatch = f"null pattern in {c}"; break
+            av, bv = a[~an], b[~bn]
+            try:
+                neq = (av.astype(object) != bv.astype(object))
+            except Exception as ex:
+                mismatch = f"compare error in {c}: {ex}"; break
+            if neq.any():
+                i = neq[neq].index[0]
+                mismatch = f"value in {c} @row{i}: {av[i]!r} vs {bv[i]!r} (dtypes {a.dtype}/{b.dtype})"
+                break
+        if mismatch:
+            print(f"FAIL {name}: {mismatch}"); fails += 1
+        else:
+            print(f"OK   {name}: {len(g)} rows")
+    except Exception as ex:
+        print(f"FAIL {name}: exception {str(ex)[:200]}"); fails += 1
+print("RESULT:", "ALL OK" if fails == 0 else f"{fails} FAILURES")
+sys.exit(1 if fails else 0)
