@@ -1,0 +1,299 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operator queries (dedup / similarity / text /
+  * multimodal) with DuckDB oracles. The gnarly oracle SQL is generated from
+  * the same Scala constants the Spark side uses (hash seeds, stopword lists,
+  * LSH planes), so the two sides cannot drift.
+  */
+object PipelineQueries {
+
+  // shared SQL fragments ------------------------------------------------
+  /** DuckDB equivalent of Dedup.h32. */
+  private def h32Sql(x: String): String = s"('0x'||substr(md5($x),1,8))::BIGINT"
+
+  private val toksSql =
+    """toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS t
+      |          FROM documents)""".stripMargin
+
+  /** w=3 word shingles, distinct per doc (mirrors Dedup.shingles). */
+  private val shinglesSql =
+    s"""$toksSql,
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+       |       FROM toks, unnest(generate_series(1, len(t) - 2)) g(i)
+       |       WHERE len(t) >= 3)""".stripMargin
+
+  // ---- exact dedup -----------------------------------------------------
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Queries.table(s, dir, "documents")).orderBy("digest")
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin
+
+  // ---- minhash + LSH ---------------------------------------------------
+  val MinhashBands = 4
+  val MinhashRows = 2
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Queries.table(s, dir, "documents"), 3, MinhashBands, MinhashRows)
+      .orderBy("a", "b")
+
+  val dedupMinhashLshSql: String = {
+    val n = MinhashBands * MinhashRows
+    val mins = (0 until n)
+      .map(i => s"MIN(${Dedup.minhashFamilySql("shingle", i)}) AS h$i").mkString(", ")
+    val bandRows = (0 until MinhashBands).map { b =>
+      val key = (0 until MinhashRows).map(r => s"h${b * MinhashRows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $key) AS band_key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $shinglesSql,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |banded AS ($bandRows)
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |FROM banded l JOIN banded r
+       |  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+       |ORDER BY a, b""".stripMargin
+  }
+
+  // ---- n-gram jaccard --------------------------------------------------
+  val JaccardMin = 0.6
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Queries.table(s, dir, "documents"), 3, JaccardMin)
+      .orderBy("a", "b")
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $shinglesSql,
+       |shh AS (SELECT DISTINCT doc_id, ${h32Sql("shingle")} AS shingle FROM sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
+       |inter AS (SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
+       |          FROM shh l JOIN shh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT a, b, round(CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) AS jaccard
+       |FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+       |WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) >= $JaccardMin
+       |ORDER BY a, b""".stripMargin
+
+  // ---- simhash ---------------------------------------------------------
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Queries.table(s, dir, "documents")).orderBy("doc_id")
+
+  val dedupSimhashSql: String = {
+    val bitSums = (0 until 32)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val recompose = (0 until 32)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH $toksSql,
+       |tok AS (SELECT doc_id, unnest(list_distinct(t)) AS token FROM toks),
+       |h AS (SELECT doc_id, ${h32Sql("token")} AS h FROM tok),
+       |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+       |SELECT doc_id, $recompose AS simhash FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(Queries.table(s, dir, "documents"), 3).orderBy("a", "b")
+
+  val dedupSimhashPairsSql: String = {
+    val bands = (0 until 4)
+      .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS band_key FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH sig AS ($dedupSimhashSqlInner),
+       |banded AS ($bands),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS sa, r.simhash AS sb
+       |         FROM banded l JOIN banded r
+       |           ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
+       |SELECT a, b, bit_count(xor(sa, sb)) AS hamming FROM cand
+       |WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin
+  }
+
+  private def dedupSimhashSqlInner: String = {
+    val bitSums = (0 until 32)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val recompose = (0 until 32)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH $toksSql,
+       |tok AS (SELECT doc_id, unnest(list_distinct(t)) AS token FROM toks),
+       |h AS (SELECT doc_id, ${h32Sql("token")} AS h FROM tok),
+       |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+       |SELECT doc_id, $recompose AS simhash FROM bits""".stripMargin
+  }
+
+  // ---- embedding near-dup + knn -----------------------------------------
+  val CosineThreshold = 0.44
+
+  def embedCosineNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(Queries.table(s, dir, "embeddings"), CosineThreshold)
+      .orderBy("a", "b")
+
+  val embedCosineNearDupSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT l.vec_id AS a, r.vec_id AS b, round(list_cosine_similarity(l.v, r.v), 6) AS cos
+       |FROM e l JOIN e r ON l.vec_id < r.vec_id
+       |WHERE round(list_cosine_similarity(l.v, r.v), 6) >= $CosineThreshold
+       |ORDER BY a, b""".stripMargin
+
+  val KnnK = 5
+  val NumQueryVecs = 10
+
+  def knnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = Queries.table(s, dir, "embeddings")
+    Similarity.bruteForceKnn(emb, emb.where(col("vec_id") < NumQueryVecs), KnnK)
+      .orderBy("query_id", "rank")
+  }
+
+  val knnBruteForceSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueryVecs),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS nbr_id, round(list_cosine_similarity(q.qv, e.v), 6) AS cos
+       |  FROM q JOIN e ON q.query_id <> e.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, nbr_id, cos, rank FROM ranked WHERE rank <= $KnnK
+       |ORDER BY query_id, rank""".stripMargin
+
+  val AnnPlanes: Seq[Seq[Double]] = Similarity.planes(8, 64)
+
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Queries.table(s, dir, "embeddings")
+    Similarity.lshAnn(emb, emb.where(col("vec_id") < NumQueryVecs), KnnK, AnnPlanes)
+      .orderBy("query_id", "rank")
+  }
+
+  val annLshSql: String = {
+    val bucketExpr = AnnPlanes.zipWithIndex.map { case (plane, p) =>
+      val lits = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+      s"CASE WHEN list_dot_product(v, [$lits]) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < $NumQueryVecs),
+       |scored AS (
+       |  SELECT q.query_id, b.vec_id AS nbr_id, round(list_cosine_similarity(q.qv, b.v), 6) AS cos
+       |  FROM q JOIN b ON q.bucket = b.bucket AND q.query_id <> b.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, nbr_id, cos, rank FROM ranked WHERE rank <= $KnnK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---- text analysis -----------------------------------------------------
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val scores = TextAnalysis.langMarkers.map { case (lang, _) => s"score_$lang" }
+    val docs = Queries.table(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+    val withScores = TextAnalysis.langMarkers.foldLeft(docs) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"score_$lang", TextAnalysis.markerScore(col("__toks"), words))
+    }
+    withScores
+      .withColumn("lang_pred", TextAnalysis.langIdFromTokens(col("__toks")))
+      .select((col("doc_id") +: col("lang_pred") +: scores.map(col)): _*)
+      .orderBy("doc_id")
+  }
+
+  val textLangidSql: String = {
+    val scoreExprs = TextAnalysis.langMarkers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(t, x -> list_contains([$list], x))) AS score_$lang"
+    }.mkString(",\n")
+    val best = TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }.mkString("GREATEST(", ", ", ")")
+    val pick = TextAnalysis.langMarkers.map { case (l, _) =>
+      s"WHEN score_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString(" ")
+    val scoreCols = TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }.mkString(", ")
+    s"""WITH $toksSql,
+       |scored AS (SELECT doc_id, $scoreExprs FROM toks)
+       |SELECT doc_id, CASE $pick ELSE 'und' END AS lang_pred, $scoreCols
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFeatures(
+        Queries.table(s, dir, "documents").select(col("doc_id"), col("text")), col("text"))
+      .withColumn("quality", TextAnalysis.qualityScore)
+      .drop("text")
+      .orderBy("doc_id")
+
+  val textQualitySql: String = {
+    val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH $toksSql,
+       |f AS (SELECT d.doc_id,
+       |  len(t) AS n_words,
+       |  len(list_distinct(t)) AS n_uniq_words,
+       |  len(list_filter(t, x -> list_contains([$stopList], x))) AS n_stopwords,
+       |  len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+       |  len(d.text) AS text_len
+       |FROM documents d JOIN toks ON d.doc_id = toks.doc_id)
+       |SELECT doc_id, n_words, n_uniq_words, n_stopwords, n_punct, text_len,
+       |  round(
+       |    (CASE WHEN text_len >= 50 AND text_len <= 5000 THEN 1.0 ELSE 0.2 END) * 0.4
+       |    + LEAST((CASE WHEN n_words > 0 THEN CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 2.0, 1.0) * 0.2
+       |    + (CASE WHEN n_words > 0 THEN CAST(n_uniq_words AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 0.3
+       |    + (1.0 - LEAST((CASE WHEN text_len > 0 THEN CAST(n_punct AS DOUBLE) / CAST(text_len AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)) * 0.1
+       |  , 6) AS quality
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    Queries.table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_ws_tokens"),
+        TextAnalysis.bpeishCount(col("text")).as("n_bpeish_tokens"))
+      .orderBy("doc_id")
+
+  val textTokensSql: String =
+    s"""SELECT doc_id,
+       |len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS n_ws_tokens,
+       |len(regexp_extract_all(lower(text), '${TextAnalysis.bpeishPattern}')) AS n_bpeish_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    Queries.table(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.fingerprint32(col("text")).as("fp32"))
+      .orderBy("doc_id")
+
+  val docFingerprintSql: String =
+    """SELECT doc_id,
+      |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |('0x'||substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),1,8))::BIGINT AS fp32
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- multimodal ---------------------------------------------------------
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.payloadMeta(Multimodal.asMediaTable(Queries.table(s, dir, "documents")))
+      .orderBy("media_id")
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id AS media_id, 'blob' AS kind,
+      |octet_length(text::BLOB) AS n_bytes,
+      |lower(hex(substr(text, 1, 4)::BLOB)) AS header_hex
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---- part/lineitem brand rollup (adds `part` coverage) -----------------
+  def partBrandRevenue(s: SparkSession, dir: String): DataFrame = {
+    val part = Queries.table(s, dir, "part").where(col("p_type") === "ECONOMY")
+    Queries.table(s, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  val partBrandRevenueSql: String =
+    """SELECT p_brand,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+      |COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_type = 'ECONOMY' GROUP BY p_brand ORDER BY p_brand""".stripMargin
+}

@@ -33,6 +33,21 @@ object SparkEntry {
     "window_topk" -> (Queries.windowTopk _),
     "semi_anti" -> (Queries.semiAnti _),
     "set_ops" -> (Queries.setOps _),
+    "part_brand_revenue" -> (PipelineQueries.partBrandRevenue _),
+    // training-data pipeline operators
+    "dedup_exact" -> (PipelineQueries.dedupExact _),
+    "dedup_minhash_lsh" -> (PipelineQueries.dedupMinhashLsh _),
+    "dedup_ngram_jaccard" -> (PipelineQueries.dedupNgramJaccard _),
+    "dedup_simhash" -> (PipelineQueries.dedupSimhash _),
+    "dedup_simhash_pairs" -> (PipelineQueries.dedupSimhashPairs _),
+    "embed_cosine_neardup" -> (PipelineQueries.embedCosineNearDup _),
+    "knn_bruteforce" -> (PipelineQueries.knnBruteForce _),
+    "ann_lsh" -> (PipelineQueries.annLsh _),
+    "text_langid" -> (PipelineQueries.textLangid _),
+    "text_quality" -> (PipelineQueries.textQuality _),
+    "text_tokens" -> (PipelineQueries.textTokens _),
+    "doc_fingerprint" -> (PipelineQueries.docFingerprint _),
+    "multimodal_meta" -> (PipelineQueries.multimodalMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -52,5 +67,19 @@ object SparkEntry {
     "window_topk" -> Queries.windowTopkSql,
     "semi_anti" -> Queries.semiAntiSql,
     "set_ops" -> Queries.setOpsSql,
+    "part_brand_revenue" -> PipelineQueries.partBrandRevenueSql,
+    "dedup_exact" -> PipelineQueries.dedupExactSql,
+    "dedup_minhash_lsh" -> PipelineQueries.dedupMinhashLshSql,
+    "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramJaccardSql,
+    "dedup_simhash" -> PipelineQueries.dedupSimhashSql,
+    "dedup_simhash_pairs" -> PipelineQueries.dedupSimhashPairsSql,
+    "embed_cosine_neardup" -> PipelineQueries.embedCosineNearDupSql,
+    "knn_bruteforce" -> PipelineQueries.knnBruteForceSql,
+    "ann_lsh" -> PipelineQueries.annLshSql,
+    "text_langid" -> PipelineQueries.textLangidSql,
+    "text_quality" -> PipelineQueries.textQualitySql,
+    "text_tokens" -> PipelineQueries.textTokensSql,
+    "doc_fingerprint" -> PipelineQueries.docFingerprintSql,
+    "multimodal_meta" -> PipelineQueries.multimodalMetaSql,
   )
 }

@@ -38,21 +38,45 @@ object Dedup {
     * Output: (doc_id, shingle).
     */
   def shingles(docs: DataFrame, w: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    docs.select(col("doc_id"),
+    // materialize the token array once — an inline tokens(text) expression
+    // would be re-evaluated inside every transform() lambda invocation
+    // (no CSE across higher-order-function lambdas)
+    val t = col("__toks")
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      // guard: a doc shorter than w tokens has no shingles (and Spark's
+      // sequence() would go descending on a negative upper bound)
+      .where(size(t) >= w)
+      .select(col("doc_id"),
         explode(array_distinct(
           transform(
-            sequence(lit(0), size(toks) - w),
-            i => concat_ws(" ", slice(toks, i + 1, lit(w)))))).as("shingle"))
+            sequence(lit(0), size(t) - w),
+            i => concat_ws(" ", slice(t, i + 1, lit(w)))))).as("shingle"))
   }
 
-  /** MinHash signatures: for each of `numHashes` seeded hash functions, the
-    * min hash over the doc's shingle set. Output: (doc_id, sig array<long>).
+  /** The minhash family: hash k of a shingle is the k-th 8-hex-char window
+    * of md5("s<k/4>:"+shingle) — one md5 digest yields four 32-bit hashes,
+    * so an H-hash family costs ceil(H/4) digests per shingle instead of H.
+    */
+  def minhashFamily(shingle: Column, numHashes: Int): Seq[Column] = {
+    val digests = (0 to (numHashes - 1) / 4)
+      .map(d => md5(concat(lit(s"s$d:"), shingle)))
+    (0 until numHashes).map { k =>
+      conv(substring(digests(k / 4), (k % 4) * 8 + 1, 8), 16, 10).cast("long")
+    }
+  }
+
+  /** DuckDB equivalent of minhashFamily(k) (for oracle generation). */
+  def minhashFamilySql(shingle: String, k: Int): String =
+    s"('0x'||substr(md5('s${k / 4}:' || $shingle), ${(k % 4) * 8 + 1}, 8))::BIGINT"
+
+  /** MinHash signatures: for each of `numHashes` hash functions, the min
+    * hash over the doc's shingle set. Output: (doc_id, sig array<long>).
     * One groupBy(doc_id) shuffle over the exploded shingles.
     */
   def minhashSignatures(docs: DataFrame, w: Int, numHashes: Int): DataFrame = {
     val sh = shingles(docs, w)
-    val aggs = (0 until numHashes).map(s => min(h32(s, col("shingle"))).as(s"h$s"))
+    val family = minhashFamily(col("shingle"), numHashes)
+    val aggs = family.zipWithIndex.map { case (h, k) => min(h).as(s"h$k") }
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
   }
@@ -63,7 +87,9 @@ object Dedup {
     * buckets — the standard sub-quadratic near-dup path at 100 TB.
     */
   def minhashLshPairs(docs: DataFrame, w: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minhashSignatures(docs, w, bands * rowsPerBand)
+    // signatures are tiny (one row per doc); cache so the band self-join
+    // doesn't recompute the shingle+hash pipeline for each side
+    val sig = minhashSignatures(docs, w, bands * rowsPerBand).cache()
     val banded = sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
@@ -84,7 +110,14 @@ object Dedup {
     * exact Jaccard verifies.
     */
   def ngramJaccardPairs(docs: DataFrame, w: Int, minJaccard: Double): DataFrame = {
-    val sh = shingles(docs, w).cache()
+    // join on a 32-bit shingle hash instead of the shingle string: the
+    // equi-join shuffles 8-byte keys, and hash collisions affect both the
+    // intersection and the sizes identically (standard hashed-shingle
+    // Jaccard). Distinct AFTER hashing keeps multiplicities exact.
+    val sh = shingles(docs, w)
+      .select(col("doc_id"), h32(col("shingle")).as("shingle"))
+      .distinct()
+      .cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("l").join(sh.as("r"),
         col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id"))
@@ -124,7 +157,7 @@ object Dedup {
     */
   def simhashNearDupPairs(docs: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist < 4, "4-band blocking guarantees recall only for maxDist <= 3")
-    val sh = simhash(docs)
+    val sh = simhash(docs).cache() // one row per doc; see minhashLshPairs
     val banded = sh.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 8).bitwiseAND(0xff)): _*)))

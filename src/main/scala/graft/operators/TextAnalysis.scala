@@ -22,7 +22,7 @@ object TextAnalysis {
   val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
   def bpeishCount(text: Column): Column =
-    size(expr(s"regexp_extract_all(lower(text), '$bpeishPattern', 0)"))
+    size(regexp_extract_all(lower(text), lit(bpeishPattern), lit(0)))
 
   /** Per-language marker words for the n-gram/stopword language-ID heuristic.
     * Tiny closed lists keep it SQL-expressible and deterministic.
@@ -41,11 +41,14 @@ object TextAnalysis {
     * array; winner = highest score, ties broken by language order; zero hits
     * -> "und" (undetermined). Pure projection.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  def markerScore(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
+
+  def langIdFromTokens(toks: Column): Column = {
     val scores = langMarkers.map { case (lang, words) =>
-      val hits = size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
-      (lang, hits)
+      (lang, markerScore(toks, words))
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // first language in declared order that achieves the best (non-zero) score
@@ -59,13 +62,16 @@ object TextAnalysis {
     * punctuation ratio. Deterministic and SQL-expressible.
     */
   def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
-    val toks = tokens(text)
-    df.withColumn("n_words", size(toks))
+    val toks = col("__toks") // materialized once; HOF lambdas get no CSE
+    df.withColumn("__toks", tokens(text))
+      .withColumn("n_words", size(toks))
       .withColumn("n_uniq_words", size(array_distinct(toks)))
       .withColumn("n_stopwords",
         size(filter(toks, t => stopwords.map(w => t === lit(w)).reduce(_ || _))))
-      .withColumn("n_punct", size(expr("regexp_extract_all(text, '[^a-zA-Z0-9\\\\s]', 0)")))
+      .withColumn("n_punct",
+        size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))))
       .withColumn("text_len", length(text))
+      .drop("__toks")
   }
 
   /** Composite quality score from the feature columns (all-double math in a
