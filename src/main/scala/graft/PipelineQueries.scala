@@ -37,9 +37,11 @@ object PipelineQueries {
   // ---- minhash + LSH ---------------------------------------------------
   val MinhashBands = 4
   val MinhashRows = 2
+  val MinhashBucketCap = 100
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(Queries.table(s, dir, "documents"), 3, MinhashBands, MinhashRows)
+    Dedup.minhashLshPairs(Queries.table(s, dir, "documents"), 3, MinhashBands, MinhashRows,
+        MinhashBucketCap)
       .orderBy("a", "b")
 
   val dedupMinhashLshSql: String = {
@@ -52,23 +54,31 @@ object PipelineQueries {
     }.mkString(" UNION ALL ")
     s"""WITH $shinglesSql,
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-       |banded AS ($bandRows)
+       |banded AS ($bandRows),
+       |kept AS (SELECT banded.doc_id, banded.band, banded.band_key FROM banded
+       |         JOIN (SELECT band, band_key, COUNT(*) AS c FROM banded GROUP BY 1, 2) bc
+       |           ON banded.band = bc.band AND banded.band_key = bc.band_key
+       |         WHERE bc.c <= $MinhashBucketCap)
        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |FROM banded l JOIN banded r
+       |FROM kept l JOIN kept r
        |  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
        |ORDER BY a, b""".stripMargin
   }
 
   // ---- n-gram jaccard --------------------------------------------------
   val JaccardMin = 0.6
+  val JaccardDfCap = 100
 
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Queries.table(s, dir, "documents"), 3, JaccardMin)
+    Dedup.ngramJaccardPairs(Queries.table(s, dir, "documents"), 3, JaccardMin, JaccardDfCap)
       .orderBy("a", "b")
 
   val dedupNgramJaccardSql: String =
     s"""WITH $shinglesSql,
-       |shh AS (SELECT DISTINCT doc_id, ${h32Sql("shingle")} AS shingle FROM sh),
+       |shAll AS (SELECT DISTINCT doc_id, ${h32Sql("shingle")} AS shingle FROM sh),
+       |shh AS (SELECT shAll.doc_id, shAll.shingle FROM shAll
+       |        JOIN (SELECT shingle, COUNT(*) AS df FROM shAll GROUP BY 1) d
+       |          ON shAll.shingle = d.shingle WHERE d.df <= $JaccardDfCap),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
        |inter AS (SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
        |          FROM shh l JOIN shh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
@@ -125,15 +135,43 @@ object PipelineQueries {
   // ---- embedding near-dup + knn -----------------------------------------
   val CosineThreshold = 0.44
 
+  /** Multi-table LSH blocking config shared by near-dup and ANN: T=16 tables
+    * of b=4 planes. At the working threshold (cos 0.44, per-plane agreement
+    * p = 1 - θ/π ≈ 0.645) expected recall ≈ 1-(1-p^4)^16 ≈ 0.95, pinned by
+    * SimilaritySpec's recall gate. At production near-dup thresholds
+    * (cos ≥ 0.9) the same recall needs far fewer tables; T and b are
+    * operator parameters, not constants.
+    */
+  val LshTables = 16
+  val LshPlanesPerTable = 4
+  val AnnTables: Seq[Seq[Seq[Double]]] =
+    Similarity.multiTablePlanes(LshTables, LshPlanesPerTable, 64)
+
+  /** DuckDB cells CTE: one (vec_id, tbl, bucket) row per table per vector —
+    * mirrors Similarity.withCells over the same plane literals.
+    */
+  private def cellsSql(src: String): String =
+    AnnTables.zipWithIndex.map { case (planes, t) =>
+      val bucket = planes.zipWithIndex.map { case (plane, p) =>
+        val lits = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+        s"CASE WHEN list_dot_product(v, [$lits]) > 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM $src"
+    }.mkString(" UNION ALL ")
+
   def embedCosineNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(Queries.table(s, dir, "embeddings"), CosineThreshold)
+    Similarity.cosineNearDupPairs(Queries.table(s, dir, "embeddings"), CosineThreshold, AnnTables)
       .orderBy("a", "b")
 
   val embedCosineNearDupSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-       |SELECT l.vec_id AS a, r.vec_id AS b, round(list_cosine_similarity(l.v, r.v), 6) AS cos
-       |FROM e l JOIN e r ON l.vec_id < r.vec_id
-       |WHERE round(list_cosine_similarity(l.v, r.v), 6) >= $CosineThreshold
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cells AS (${cellsSql("e")}),
+       |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |         FROM cells l JOIN cells r
+       |           ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+       |SELECT a, b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+       |FROM cand JOIN e ea ON cand.a = ea.vec_id JOIN e eb ON cand.b = eb.vec_id
+       |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= $CosineThreshold
        |ORDER BY a, b""".stripMargin
 
   val KnnK = 5
@@ -156,30 +194,28 @@ object PipelineQueries {
        |SELECT query_id, nbr_id, cos, rank FROM ranked WHERE rank <= $KnnK
        |ORDER BY query_id, rank""".stripMargin
 
-  val AnnPlanes: Seq[Seq[Double]] = Similarity.planes(8, 64)
-
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Queries.table(s, dir, "embeddings")
-    Similarity.lshAnn(emb, emb.where(col("vec_id") < NumQueryVecs), KnnK, AnnPlanes)
+    Similarity.lshAnn(emb, emb.where(col("vec_id") < NumQueryVecs), KnnK, AnnTables)
       .orderBy("query_id", "rank")
   }
 
-  val annLshSql: String = {
-    val bucketExpr = AnnPlanes.zipWithIndex.map { case (plane, p) =>
-      val lits = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
-      s"CASE WHEN list_dot_product(v, [$lits]) > 0 THEN ${1L << p} ELSE 0 END"
-    }.mkString(" + ")
+  val annLshSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
-       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < $NumQueryVecs),
+       |cells AS (${cellsSql("e")}),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+       |         FROM cells q JOIN cells c
+       |           ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |          AND q.vec_id < $NumQueryVecs AND q.vec_id <> c.vec_id),
        |scored AS (
-       |  SELECT q.query_id, b.vec_id AS nbr_id, round(list_cosine_similarity(q.qv, b.v), 6) AS cos
-       |  FROM q JOIN b ON q.bucket = b.bucket AND q.query_id <> b.vec_id),
+       |  SELECT cand.query_id, cand.nbr_id,
+       |         round(list_cosine_similarity(eq.v, ec.v), 6) AS cos
+       |  FROM cand JOIN e eq ON cand.query_id = eq.vec_id
+       |            JOIN e ec ON cand.nbr_id = ec.vec_id),
        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank
        |           FROM scored)
        |SELECT query_id, nbr_id, cos, rank FROM ranked WHERE rank <= $KnnK
        |ORDER BY query_id, rank""".stripMargin
-  }
 
   // ---- text analysis -----------------------------------------------------
   def textLangid(s: SparkSession, dir: String): DataFrame = {

@@ -38,12 +38,12 @@ object Queries {
 
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as a raw
     * long; we want that anyway — ns longs give exact last-write-wins
-    * ordering and exact second flooring (`ts DIV 1e9`).
+    * ordering and exact second flooring (`ts DIV 1e9`). Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at session build (set by
+    * Verify/Bench/SparkTestBase) — query builders never mutate session conf.
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
-  }
 
   /** Long-format metric stream view of events: (metric, ns, sec, value). */
   def metricStream(s: SparkSession, dir: String): DataFrame =
@@ -298,8 +298,10 @@ object Queries {
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** Shipping-priority join: customer ⋈ orders ⋈ lineitem with broadcast
-    * dims, top-10 orders by revenue (decimal-exact, deterministic tiebreak).
+  /** Shipping-priority join: customer ⋈ orders ⋈ lineitem, top-10 orders by
+    * revenue (decimal-exact, deterministic tiebreak). No broadcast hint on
+    * customer — it grows with scale factor (a fact-sized side at 100×); AQE
+    * picks broadcast at runtime when the filtered side is actually small.
     */
   def q3Shipping(s: SparkSession, dir: String): DataFrame = {
     val cust = table(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
@@ -308,7 +310,7 @@ object Queries {
     val li = table(s, dir, "lineitem")
       .where(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("o_orderdate_sec"), col("o_orderpriority"))
       .agg(sum(decPrice(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - decRate(col("l_discount"))))
         .cast("double").as("revenue"))
@@ -324,8 +326,10 @@ object Queries {
       |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
       |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
-  /** Local-supplier-volume: 6-way join with broadcast dimension tables,
-    * grouped revenue per nation.
+  /** Local-supplier-volume: 6-way join. Broadcast hints only on the true
+    * dimension tables (nation: 25 rows, region: 5 rows — fixed size at any
+    * sf); customer/supplier grow with sf, so they shuffle-join and AQE may
+    * still broadcast them at runtime when small enough.
     */
   def q5Region(s: SparkSession, dir: String): DataFrame = {
     val region = table(s, dir, "region").where(col("r_name") === "ASIA")
@@ -337,8 +341,8 @@ object Queries {
         col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
     val li = table(s, dir, "lineitem")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))

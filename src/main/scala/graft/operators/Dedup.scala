@@ -86,7 +86,8 @@ object Dedup {
     * Output: distinct (a, b) with a < b. Join happens only within equal band
     * buckets — the standard sub-quadratic near-dup path at 100 TB.
     */
-  def minhashLshPairs(docs: DataFrame, w: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+  def minhashLshPairs(docs: DataFrame, w: Int, bands: Int, rowsPerBand: Int,
+                      bucketCap: Int = 100): DataFrame = {
     // signatures are tiny (one row per doc); cache so the band self-join
     // doesn't recompute the shingle+hash pipeline for each side
     val sig = minhashSignatures(docs, w, bands * rowsPerBand).cache()
@@ -95,8 +96,18 @@ object Dedup {
           b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
-    val l = banded.as("l")
-    val r = banded.as("r")
+    // bucket-size cap: a band bucket holding k docs emits k^2/2 pairs; on
+    // boilerplate-heavy corpora one mega-bucket reintroduces the quadratic
+    // blowup LSH exists to avoid. Buckets above the cap are dropped — their
+    // members are (near-)identical boilerplate better handled by exact
+    // dedup, and any pair inside one still collides in its other bands
+    // unless the docs agree on nothing else.
+    val kept = banded.join(
+        banded.groupBy(col("band"), col("band_key")).count()
+          .where(col("count") <= bucketCap).drop("count"),
+        Seq("band", "band_key"))
+    val l = kept.as("l")
+    val r = kept.as("r")
     l.join(r,
         col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
           col("l.doc_id") < col("r.doc_id"))
@@ -109,14 +120,24 @@ object Dedup {
     * the output. The shared-shingle equi-join is the candidate generator;
     * exact Jaccard verifies.
     */
-  def ngramJaccardPairs(docs: DataFrame, w: Int, minJaccard: Double): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, w: Int, minJaccard: Double,
+                        dfCap: Int = 100): DataFrame = {
     // join on a 32-bit shingle hash instead of the shingle string: the
     // equi-join shuffles 8-byte keys, and hash collisions affect both the
     // intersection and the sizes identically (standard hashed-shingle
     // Jaccard). Distinct AFTER hashing keeps multiplicities exact.
-    val sh = shingles(docs, w)
+    val shAll = shingles(docs, w)
       .select(col("doc_id"), h32(col("shingle")).as("shingle"))
       .distinct()
+    // document-frequency cap: a shingle present in k docs contributes k^2
+    // candidate rows to the self-join — common phrases ("all rights
+    // reserved") become unbounded-skew mega-keys at corpus scale. Shingles
+    // with df > dfCap are boilerplate, not signal: drop them from the
+    // shingle sets entirely (Jaccard is then over the informative shingles).
+    val sh = shAll.join(
+        shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= dfCap).drop("df"),
+        Seq("shingle"))
       .cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("l").join(sh.as("r"),

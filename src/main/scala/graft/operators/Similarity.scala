@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * (`array<float>`), for `embeddings(vec_id, embedding, label)`.
   *
   * Baseline = brute-force cosine top-k (exact, O(Q*N) — fine when the query
-  * set is small and broadcast). Scale path = LSH sign-projection bucketing:
-  * candidates only join within equal buckets, so the pair count is bounded
-  * by bucket occupancy instead of N^2. All vector math uses codegen'd
-  * higher-order functions (zip_with/aggregate) on doubles — no UDFs.
+  * set is small and broadcast). Scale path = multi-table sign-projection LSH:
+  * candidates only join within equal (table, bucket) cells, so the pair count
+  * is bounded by cell occupancy instead of N^2, and recall is tuned by the
+  * number of tables T (recall ≈ 1 - (1 - p^b)^T for per-plane agreement
+  * probability p = 1 - θ/π). All vector math uses codegen'd Catalyst
+  * expressions (graft.functions.VecOps) — no UDFs.
   */
 object Similarity {
 
@@ -26,39 +28,35 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
-    * vectors by cosine (self-matches excluded). The query side is broadcast
-    * — at scale Q << N, so this is one broadcast-nested-loop + a top-k
-    * window, no shuffle of the corpus.
+  /** Murmur3 finalizer (fmix32): full-avalanche integer mix, so sign bits of
+    * distinct (table, plane, component) indices are effectively independent.
+    * (The round-1 linear-congruence mixer was parity-degenerate: every
+    * component came out +1, collapsing all buckets to {0, 2^b-1}.)
     */
-  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // norms computed once per vector, not once per pair
-    val c = corpus.select(col("vec_id").as("nbr_id"), asDouble(col("embedding")).as("cvec"))
-      .withColumn("cn", norm(col("cvec")))
-    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
-      .withColumn("qn", norm(col("qvec")))
-    // a small input often arrives as one parquet split; spread the O(Q*N)
-    // scoring across the cluster before the broadcast nested-loop join
-    val scored = c.repartition().join(broadcast(q), col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
+  private def fmix32(x: Int): Int = {
+    var h = x
+    h ^= h >>> 16; h *= 0x85ebca6b
+    h ^= h >>> 13; h *= 0xc2b2ae35
+    h ^= h >>> 16
+    h
   }
 
-  /** Deterministic pseudo-random hyperplanes: component i of plane p is
-    * +1/-1 from a tiny integer mixer — stable across runs (no RNG on the
-    * data path) and emitted as literal arrays so SQL oracles share them.
+  /** Deterministic pseudo-random ±1 hyperplanes: component i of plane p in
+    * table t takes the low bit of fmix32 over a distinct index — stable
+    * across runs (no RNG on the data path) and emitted as literal arrays so
+    * SQL oracles share them bit-for-bit.
     */
-  def planes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+  def planes(numPlanes: Int, dim: Int, table: Int = 0): Seq[Seq[Double]] =
     (0 until numPlanes).map { p =>
       (0 until dim).map { i =>
-        val m = (i.toLong * 2654435761L + p.toLong * 40503L + (i + p).toLong * (i + p) * 97L) % 2
-        if (m == 0) 1.0 else -1.0
+        val h = fmix32(table * 0x9e3779b9 + p * dim + i)
+        if ((h & 1) == 0) 1.0 else -1.0
       }
     }
+
+  /** T independent LSH tables of b planes each. */
+  def multiTablePlanes(tables: Int, planesPerTable: Int, dim: Int): Seq[Seq[Seq[Double]]] =
+    (0 until tables).map(t => planes(planesPerTable, dim, t))
 
   /** Sign-projection LSH bucket id: bit p = sign(dot(v, plane_p)) for
     * `numPlanes` planes -> an int bucket in [0, 2^numPlanes). The plane
@@ -73,20 +71,32 @@ object Similarity {
     proj.reduce(_ + _)
   }
 
-  /** LSH-bucketed ANN: cosine top-k but candidates restricted to vectors
-    * sharing the query's bucket. Trades recall for a bounded candidate set —
-    * the scale path when Q*N is too big to broadcast-scan.
+  /** Explode a vector into its (tbl, bucket) cells across all LSH tables:
+    * posexplode of the per-table bucket array. One row per table — the
+    * standard multi-table candidate generator.
     */
-  def lshAnn(corpus: DataFrame, queries: DataFrame, k: Int, ps: Seq[Seq[Double]]): DataFrame = {
+  private def withCells(df: DataFrame, vec: Column, tables: Seq[Seq[Seq[Double]]]): DataFrame =
+    df.select(df.columns.map(col) :+
+        posexplode(array(tables.map(t => lshBucket(vec, t)): _*)).as(Seq("tbl", "bucket")): _*)
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors by cosine (self-matches excluded). The query side is broadcast
+    * — at scale Q << N, so this is one broadcast-nested-loop + a top-k
+    * window; the corpus streams through without shuffling.
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col("vec_id").as("nbr_id"), asDouble(col("embedding")).as("cvec"))
-      .withColumn("bucket", lshBucket(col("cvec"), ps))
+    // norms computed once per vector, not once per pair
+    val c0 = corpus.select(col("vec_id").as("nbr_id"), asDouble(col("embedding")).as("cvec"))
       .withColumn("cn", norm(col("cvec")))
+    // a small input often arrives as one parquet split, serializing the
+    // O(Q*N) scoring; spread it only when under-split — at scale the scan
+    // already yields enough splits and no shuffle happens
+    val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = if (c0.rdd.getNumPartitions < parallelism) c0.repartition(parallelism) else c0
     val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
-      .withColumn("bucket", lshBucket(col("qvec"), ps))
       .withColumn("qn", norm(col("qvec")))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .where(col("query_id") =!= col("nbr_id"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .withColumn("cos", round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -94,24 +104,75 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
   }
 
-  /** Embedding near-duplicate pairs: all (a < b) with cosine >= threshold.
-    * Blocked by LSH bucket at scale; `exhaustive = true` does the full
-    * pairwise scan (correctness oracle / small N).
+  /** Multi-table LSH ANN: cosine top-k with candidates restricted to corpus
+    * vectors sharing the query's bucket in at least one of T tables. Trades
+    * bounded recall loss for per-query candidate sets bounded by cell
+    * occupancy — the scale path when Q*N is too big to broadcast-scan.
+    * Recall is pinned by SimilaritySpec's recall@k gate against
+    * bruteForceKnn.
     */
-  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double, exhaustive: Boolean = true): DataFrame = {
+  def lshAnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             tables: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = withCells(
+      corpus.select(col("vec_id").as("nbr_id"), asDouble(col("embedding")).as("cvec"))
+        .withColumn("cn", norm(col("cvec"))),
+      col("cvec"), tables)
+    val q = withCells(
+      queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
+        .withColumn("qn", norm(col("qvec"))),
+      col("qvec"), tables)
+    // candidate = same (tbl, bucket) in any table; distinct before scoring
+    // so each surviving pair is scored exactly once
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"), col("qvec"), col("qn"), col("cvec"), col("cn"))
+      .dropDuplicates("query_id", "nbr_id")
+    val scored = cand
+      .withColumn("cos", round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs, LSH-blocked (the scale path, and the
+    * oracle-checked one): all (a < b) sharing an LSH cell in at least one of
+    * T tables with cosine >= threshold. Candidates are generated slim
+    * ((a, b) ids only), deduped, then re-joined to the vectors for exact
+    * verification — the candidate shuffle carries 16 bytes per pair, not
+    * two embeddings.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+                         tables: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .cache()
+    val cells = withCells(e.select(col("vec_id"), col("v")), col("v"), tables)
+      .select(col("vec_id"), col("tbl"), col("bucket"))
+    val cand = cells.as("l").join(cells.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
+      .join(e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
+  /** Exhaustive O(N^2) near-dup pairs — recall oracle for tests only, never
+    * the checked/production path.
+    */
+  def cosineNearDupPairsExhaustive(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val l = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val r = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
-    val pairs =
-      if (exhaustive) l.repartition().join(broadcast(r), col("a") < col("b"))
-      else {
-        val ps = planes(8, 64)
-        val lb = l.withColumn("bucket", lshBucket(col("va"), ps))
-        val rb = r.withColumn("bucket", lshBucket(col("vb"), ps))
-        lb.join(rb, Seq("bucket")).where(col("a") < col("b"))
-      }
-    pairs.withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+    l.join(r, col("a") < col("b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }

@@ -3,6 +3,7 @@ package graft.storage
 import graft.core.{Archive, StorageSchema}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
 
 /** A multi-resolution metric store: one partitioned Parquet table per cascade
   * level (`level_0` = finest), replacing the reference's N-metrics-per-file
@@ -10,101 +11,227 @@ import org.apache.spark.sql.functions._
   * becomes partition TTL; the ring's O(1) offset math becomes partition
   * pruning on a day-bucket column plus parquet min/max stats.
   *
+  * Storage model: level rows are `(metric, ts, value, arrival, pday)` where
+  * `arrival` is the source-side write order (raw event time / source offset).
+  * Writes append; reads resolve duplicates last-write-wins by `arrival` —
+  * the slot-overwrite semantics of the reference ring buffer
+  * (kenshin/storage.py:429-445) expressed as an LSM-style merge-on-read,
+  * with propagation compacting the partitions it rewrites.
+  *
   * Scale posture: every path is a partition-prunable scan + a single shuffle
-  * aggregation; nothing collects to the driver. Level tables are partitioned
-  * by `pday = floor(ts / 86400)` so a fetch touches only the days it asks
-  * for, and the cascade's dirty-range propagation rewrites only affected
-  * partitions (dynamic partition overwrite).
+  * aggregation; nothing collects to the driver beyond per-level counters.
+  * The cascade rewrites only the pday partitions intersecting the dirty
+  * window — never the whole table — and the dirty window itself is tracked
+  * automatically per level (the reference's mtime analog,
+  * kenshin/storage.py:384-425,487-491).
   */
 final class MetricStore(val root: String, val schema: StorageSchema)(implicit spark: SparkSession) {
 
   val archives: Seq[Archive] = schema.archives
   private def levelPath(i: Int): String = s"$root/${schema.name}/level_$i"
 
+  private def hadoopFs(path: String): org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
   private def withPday(df: DataFrame): DataFrame =
     df.withColumn("pday", floor(col("ts") / 86400L))
 
-  /** Ingest a batch of raw points `(metric, ts, value)` with an `arrival`
-    * ordering column: align + last-write-wins to the level-0 step, route
-    * by age (late points older than level-k retention land directly in
-    * level k+1 — reference: kenshin/storage.py:397-419), drop points older
-    * than everything, and append each slice to its level table.
-    * Returns the number of dropped too-old points.
+  // ---- dirty-range tracking (mtime analog) -----------------------------
+
+  private def dirtyPath(i: Int): Path = new Path(s"$root/${schema.name}/_dirty/level_$i")
+
+  /** The recorded un-propagated write window `[from, until)` for a level. */
+  def dirtyRange(i: Int): Option[(Long, Long)] = {
+    val fs = hadoopFs(root)
+    val p = dirtyPath(i)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val parts = s.trim.split("\\s+")
+      Some((parts(0).toLong, parts(1).toLong))
+    }
+  }
+
+  /** Widen a level's recorded dirty window (driver-side, between jobs). */
+  def mergeDirty(i: Int, from: Long, until: Long): Unit = {
+    val merged = dirtyRange(i).fold((from, until)) { case (f, u) =>
+      (math.min(f, from), math.max(u, until))
+    }
+    setDirty(i, merged._1, merged._2)
+  }
+
+  private def setDirty(i: Int, from: Long, until: Long): Unit = {
+    val fs = hadoopFs(root)
+    val out = fs.create(dirtyPath(i), true)
+    try out.write(s"$from $until".getBytes("UTF-8")) finally out.close()
+  }
+
+  def clearDirty(i: Int): Unit = {
+    hadoopFs(root).delete(dirtyPath(i), false)
+    ()
+  }
+
+  // ---- write path ------------------------------------------------------
+
+  /** Ingest a batch of raw points `(metric, ts, value, arrival)`: align +
+    * last-write-wins to each level's step, route by age (late points older
+    * than level-k retention land directly in level k+1 — reference:
+    * kenshin/storage.py:397-419), drop points older than everything, append
+    * each slice to its level table, and record the written window in the
+    * level's dirty state for the cascade. Returns the number of dropped
+    * too-old points.
     */
   def writeBatch(points: DataFrame, now: Long): Long = {
     val routed = TimeSeries.ageRoute(points, archives, now).cache()
     try {
-      // one pass to learn which levels have data (avoids empty parquet dirs)
-      val counts = routed.groupBy(col("level")).count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      archives.indices.filter(counts.getOrElse(_, 0L) > 0).foreach { i =>
+      // one small pass for per-level counts + written ts window (the dirty
+      // range the reference derives from mtime + oldest/newest new point)
+      val stats = routed.groupBy(col("level"))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      archives.indices.filter(i => stats.get(i).exists(_._1 > 0)).foreach { i =>
+        val step = archives(i).secondsPerPoint
         val slice = routed.where(col("level") === i).drop("level")
-        val deduped = TimeSeries.alignDedup(slice, archives(i).secondsPerPoint, col("arrival"))
+        val deduped = TimeSeries.alignDedup(slice, step, col("arrival"))
         withPday(deduped).write
           .mode(SaveMode.Append)
           .partitionBy("pday")
           .parquet(levelPath(i))
+        val (_, lo, hi) = stats(i)
+        val alignedLo = lo - java.lang.Math.floorMod(lo, step.toLong)
+        val alignedHi = hi - java.lang.Math.floorMod(hi, step.toLong)
+        if (i < archives.length - 1) mergeDirty(i, alignedLo, alignedHi + 1)
       }
-      counts.getOrElse(-1, 0L)
-    } finally routed.unpersist()
+      stats.get(-1).map(_._1).getOrElse(0L)
+    } finally {
+      routed.unpersist()
+      ()
+    }
   }
 
   private val levelSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("metric", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("arrival", org.apache.spark.sql.types.LongType)))
 
-  /** Read one level, pruned to a time range (partition pruning on pday +
-    * row-group pruning on ts).
+  /** Last-write-wins merge of duplicate `(metric, ts)` rows by `arrival`
+    * (ties broken by larger value — deterministic under replay). This is the
+    * read-side half of the reference's idempotent slot overwrite
+    * (kenshin/storage.py:429-445). Map-side partial agg, one shuffle.
     */
-  def readLevel(i: Int, fromTime: Long, untilTime: Long): DataFrame =
+  private def lww(df: DataFrame): DataFrame =
+    df.groupBy(col("metric"), col("ts"))
+      .agg(
+        max_by(col("value"), struct(col("arrival"), col("value"))).as("value"),
+        max(col("arrival")).as("arrival"))
+
+  /** Raw level rows (may contain superseded duplicates), pruned to a time
+    * range (partition pruning on pday + row-group pruning on ts).
+    */
+  private def readLevelRaw(i: Int, fromTime: Long, untilTime: Long): DataFrame =
     if (!hasData(levelPath(i)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], levelSchema)
     else
       spark.read.parquet(levelPath(i))
         .where(col("pday").between(fromTime / 86400L, untilTime / 86400L))
         .where(col("ts") >= fromTime && col("ts") < untilTime)
-        .select(col("metric"), col("ts"), col("value"))
+        .select(col("metric"), col("ts"), col("value"), col("arrival"))
 
-  /** Propagate a dirty time range from level i to level i+1 — the
-    * downsample cascade (reference: kenshin/storage.py:510-586). Only the
-    * affected pday partitions of level i+1 are rewritten. The dirty window
-    * is widened to whole lower-step boundaries so partially-covered windows
-    * are recomputed from source, never double-aggregated.
+  /** Read one level with duplicates resolved (last-write-wins). */
+  def readLevel(i: Int, fromTime: Long, untilTime: Long): DataFrame =
+    lww(readLevelRaw(i, fromTime, untilTime))
+      .select(col("metric"), col("ts"), col("value"))
+
+  // ---- downsample cascade ----------------------------------------------
+
+  /** The exact lower-archive window a dirty range propagates into
+    * (reference: kenshin/storage.py:542-549). In the common case
+    * (lower_spp <= timeunit) the window snaps to whole xff timeunits and
+    * TRUNCATES at the last completed unit boundary — the trailing
+    * incomplete unit stays un-propagated until a later write crosses the
+    * next boundary (that is what makes xff a write-batching factor). The
+    * truncated tail is retained in the level's dirty state by cascadeAuto,
+    * playing the role of the reference's mtime. `force` (shutdown flush)
+    * covers the full step-aligned range instead.
     */
-  def propagate(i: Int, dirtyFrom: Long, dirtyUntil: Long): Unit = {
+  def propagationWindow(i: Int, from: Long, until: Long, force: Boolean): (Long, Long) = {
+    val lowerStep = archives(i + 1).secondsPerPoint.toLong
+    val unit = propagateTimeunit(i)
+    if (!force && lowerStep <= unit) {
+      val end = (until / unit) * unit
+      (math.min(end - unit, (from / unit) * unit), end)
+    } else
+      (from - java.lang.Math.floorMod(from, lowerStep), TimeSeries.roundup(until, lowerStep.toInt))
+  }
+
+  /** Propagate an exact (step-aligned) window from level i to level i+1 —
+    * the downsample cascade (reference: kenshin/storage.py:510-586). ONLY
+    * the pday partitions intersecting the window are rewritten; partitions
+    * outside it (earlier cascades, age-routed late writes) are untouched.
+    * Windows are recomputed from source, never double-aggregated, so
+    * propagation is idempotent. Rewritten partitions come out compacted
+    * (LWW resolved), with `arrival` carried as max over contributing points.
+    */
+  def propagate(i: Int, from: Long, until: Long): Unit = {
     require(i >= 0 && i < archives.length - 1, s"no coarser level below $i")
     val lowerStep = archives(i + 1).secondsPerPoint
-    val from = dirtyFrom - java.lang.Math.floorMod(dirtyFrom, lowerStep.toLong)
-    val until = TimeSeries.roundup(dirtyUntil, lowerStep)
-    val fresh = TimeSeries.rollup(readLevel(i, from, until), lowerStep, schema.aggregationMethod)
+    val src = lww(readLevelRaw(i, from, until))
+    val fresh = src
+      .groupBy(col("metric"), TimeSeries.alignTs(col("ts"), lowerStep).as("ts"))
+      .agg(
+        schema.aggregationMethod.expr(col("value"), col("ts")).as("value"),
+        max(col("arrival")).as("arrival"))
 
+    val loDay = from / 86400L
+    val hiDay = until / 86400L
     val target = levelPath(i + 1)
     val existing =
       if (hasData(target))
-        spark.read.parquet(target)
-          .where(col("pday").between(from / 86400L, until / 86400L))
+        lww(spark.read.parquet(target)
+          .where(col("pday").between(loDay, hiDay))
           .where(!(col("ts") >= from && col("ts") < until))
-          .select(col("metric"), col("ts"), col("value"))
-      else spark.emptyDataFrame
+          .select(col("metric"), col("ts"), col("value"), col("arrival")))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], levelSchema)
+    val merged = existing.unionByName(fresh)
 
-    val merged = if (existing.isEmpty) fresh else existing.unionByName(fresh)
-    if (merged.isEmpty) return // nothing in the dirty range at either level
-    // Two-phase write: dynamic partition overwrite via a staging dir would
-    // avoid read-own-write; local FS parquet cannot overwrite a table it is
-    // reading, so stage then swap.
+    // Stage the rewritten partitions, then swap ONLY the dirty pday dirs —
+    // a table-level delete+rename here would lose every partition outside
+    // the dirty window. (At cluster scale the same move is a transactional
+    // dynamic-partition overwrite; local-FS parquet cannot overwrite a path
+    // it is reading, hence stage-then-swap.)
     val staging = s"$target.__staging"
     withPday(merged).write.mode(SaveMode.Overwrite).partitionBy("pday").parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
-    val tgt = new org.apache.hadoop.fs.Path(target)
-    fs.delete(tgt, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), tgt)
+    val fs = hadoopFs(target)
+    if (hasData(staging)) {
+      fs.mkdirs(new Path(target))
+      (loDay to hiDay).foreach { day =>
+        fs.delete(new Path(s"$target/pday=$day"), true)
+      }
+      fs.listStatus(new Path(staging)).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("pday=")) {
+          fs.rename(st.getPath, new Path(s"$target/$name"))
+          ()
+        }
+      }
+    }
+    fs.delete(new Path(staging), true)
+    ()
   }
 
-  /** Run the full cascade for a dirty range, gated per level by the xff
-    * batching rule: level i+1 is refreshed only when the dirty range crosses
-    * an xff-sized time unit (reference: kenshin/storage.py:505-528 — xff is
+  /** Reference propagation gate (kenshin/storage.py:520-521): skip ONLY when
+    * the dirty range stays inside one xff timeunit AND does not start on a
+    * unit boundary — a boundary-aligned range still propagates.
+    */
+  private def crossesUnit(from: Long, until: Long, unit: Long): Boolean =
+    (from / unit) != (until / unit) || from % unit == 0
+
+  /** Run the full cascade for an explicit dirty range, gated per level by
+    * the xff batching rule (reference: kenshin/storage.py:505-528 — xff is
     * a propagation batching/delay factor, NOT a min-known fraction; no data
     * is ever discarded by it). `force` bypasses the gate (shutdown flush).
     */
@@ -112,14 +239,34 @@ final class MetricStore(val root: String, val schema: StorageSchema)(implicit sp
     var from = dirtyFrom
     var until = dirtyUntil
     (0 until archives.length - 1).foreach { i =>
-      val unit = propagateTimeunit(i)
-      val crossesUnit = (from / unit) != (until / unit) || (until - from) >= unit
-      if (force || crossesUnit) propagate(i, from, until)
-      else return
-      // the next level's dirty range is the widened window just rewritten
-      val lowerStep = archives(i + 1).secondsPerPoint
-      from = from - java.lang.Math.floorMod(from, lowerStep.toLong)
-      until = TimeSeries.roundup(until, lowerStep)
+      if (!(force || crossesUnit(from, until, propagateTimeunit(i)))) return
+      val (wf, wu) = propagationWindow(i, from, until, force)
+      propagate(i, wf, wu)
+      // the next level's dirty range flows down un-truncated
+      // (kenshin/storage.py:584: (lower_interval_start, max(end, until)))
+      from = wf
+      until = math.max(wu, until)
+    }
+  }
+
+  /** Run the cascade from the automatically recorded dirty state: consume
+    * each level's window, retain any un-propagated tail past the truncated
+    * window (the reference's mtime analog), and mark the next level dirty
+    * with the range just rewritten. A level that fails the xff gate keeps
+    * its dirty state for a later run — exactly the reference's
+    * mtime-driven propagation cadence.
+    */
+  def cascadeAuto(force: Boolean = false): Unit = {
+    (0 until archives.length - 1).foreach { i =>
+      val d = dirtyRange(i)
+      if (d.isEmpty) return
+      val (from, until) = d.get
+      if (!(force || crossesUnit(from, until, propagateTimeunit(i)))) return
+      val (wf, wu) = propagationWindow(i, from, until, force)
+      propagate(i, wf, wu)
+      if (!force && wu < until) setDirty(i, wu, until) else clearDirty(i)
+      if (i + 1 < archives.length - 1)
+        mergeDirty(i + 1, wf, math.max(wu, until))
     }
   }
 
@@ -131,6 +278,8 @@ final class MetricStore(val root: String, val schema: StorageSchema)(implicit sp
     val lower = archives(i + 1).secondsPerPoint.toLong
     math.ceil(lower.toDouble / higher * schema.xFilesFactor).toLong * higher
   }
+
+  // ---- fetch -----------------------------------------------------------
 
   /** Range fetch: clamp the window to retention, pick the finest archive
     * covering `now - from` (coarser data answers older queries, bounding
@@ -148,6 +297,8 @@ final class MetricStore(val root: String, val schema: StorageSchema)(implicit sp
       (level, TimeSeries.gapFill(filtered, from, until, step).orderBy("metric", "ts"))
     }
 
+  // ---- retention / maintenance -----------------------------------------
+
   /** Retention TTL: drop whole pday partitions entirely older than each
     * level's retention (replaces the ring buffer's silent overwrite;
     * fetch never returns data older than retention either way, matching
@@ -158,10 +309,8 @@ final class MetricStore(val root: String, val schema: StorageSchema)(implicit sp
       val path = levelPath(i)
       if (tableExists(path)) {
         val cutoffDay = (now - archives(i).retention) / 86400L - 1
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-        val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-        dirs.foreach { st =>
+        val fs = hadoopFs(path)
+        fs.listStatus(new Path(path)).foreach { st =>
           val name = st.getPath.getName
           if (name.startsWith("pday=")) {
             val day = name.stripPrefix("pday=").toLong
@@ -171,20 +320,15 @@ final class MetricStore(val root: String, val schema: StorageSchema)(implicit sp
       }
     }
 
-  def tableExists(path: String): Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    fs.exists(new org.apache.hadoop.fs.Path(path))
-  }
+  def tableExists(path: String): Boolean =
+    hadoopFs(path).exists(new Path(path))
 
   /** True when the table dir holds at least one data file (a dir with only
     * _SUCCESS — e.g. after a TTL wiped every partition — counts as empty).
     */
   def hasData(path: String): Boolean = {
     if (!tableExists(path)) return false
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    val it = hadoopFs(path).listFiles(new Path(path), true)
     while (it.hasNext) {
       val f = it.next().getPath.getName
       if (!f.startsWith("_") && !f.startsWith(".")) return true

@@ -24,15 +24,18 @@ object TimeSeries {
   /** Align a batch to `step` and keep the last write per (metric, aligned ts).
     * The reference dedupes duplicate aligned timestamps by taking the last
     * (kenshin/storage.py:441-445); we standardize on last-write-wins ordered
-    * by `arrival` (a monotonically increasing ingest sequence / raw event ts).
-    * One shuffle on (metric, aligned_ts); map-side safe for skew via AQE.
+    * by `arrival` (the raw pre-floor event time or an explicit source
+    * offset — NOT a partition-dependent id, so replay is deterministic),
+    * ties broken by the larger value. The winning row's arrival is kept for
+    * downstream cross-batch LWW. One shuffle on (metric, aligned_ts).
     */
   def alignDedup(df: DataFrame, stepSeconds: Int, arrival: Column): DataFrame = {
-    val w = Window.partitionBy(col("metric"), col("aligned_ts")).orderBy(arrival.desc)
+    val w = Window.partitionBy(col("metric"), col("aligned_ts"))
+      .orderBy(arrival.desc, col("value").desc)
     df.withColumn("aligned_ts", alignTs(col("ts"), stepSeconds))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
-      .select(col("metric"), col("aligned_ts").as("ts"), col("value"))
+      .select(col("metric"), col("aligned_ts").as("ts"), col("value"), arrival.as("arrival"))
   }
 
   /** Downsample one level into the next coarser level: tumbling window of

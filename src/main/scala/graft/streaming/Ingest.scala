@@ -18,6 +18,13 @@ object Ingest {
     * non-numeric value/ts) become nulls and are filtered out — the stream
     * never dies on malformed input, matching the reference's drop+log.
     * Output: (metric, ts epoch-seconds long, value double, arrival long).
+    *
+    * `arrival` (the LWW tiebreaker) is the raw event timestamp at nanosecond
+    * scale — stable across retries and repartitions, unlike a generated id
+    * whose high bits encode partition layout. Duplicates with identical raw
+    * timestamps tie; the store then deterministically keeps the larger
+    * value (TimeSeries.alignDedup). A Kafka source should pass its offset
+    * here instead for true write-order LWW.
     */
   def parseLines(lines: DataFrame): DataFrame = {
     val parts = split(trim(col("line")), "\\s+")
@@ -26,10 +33,14 @@ object Ingest {
       .where(size(col("p")) === 3)
       .select(
         col("p").getItem(0).as("metric"),
-        col("p").getItem(2).cast("double").cast("long").as("ts"),
+        col("p").getItem(2).cast("double").as("raw_ts"),
         col("p").getItem(1).cast("double").as("value"))
-      .where(col("metric").isNotNull && col("ts").isNotNull && col("value").isNotNull)
-      .withColumn("arrival", monotonically_increasing_id())
+      .where(col("metric").isNotNull && col("raw_ts").isNotNull && col("value").isNotNull)
+      .select(
+        col("metric"),
+        col("raw_ts").cast("long").as("ts"),
+        col("value"),
+        (col("raw_ts") * 1e9).cast("long").as("arrival"))
   }
 
   /** Count of malformed lines in a batch (the reference logs+counts them;

@@ -91,12 +91,128 @@ class MetricStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       schema("s5", Seq(Archive(1, 60), Archive(3, 60)), AggMethod.Min, xff = 5.0))
     assert(store.propagateTimeunit(0) == 15) // ceil(3/1 * 5) * 1
     store.writeBatch(points(1 to 5), nowTs)
-    // dirty range of 5s does not cross a 15s boundary from a unit start
-    val from = (nowTs / 15) * 15
-    store.cascade(from, from + 5)
+    val unitStart = (nowTs / 15) * 15
+    // misaligned range inside one unit -> gate skips
+    store.cascade(unitStart + 1, unitStart + 6)
     assert(!store.tableExists(s"$root/s5/s5/level_1"))
-    store.cascade(from, from + 20) // crosses -> propagates
+    // a range starting exactly on a unit boundary propagates even without
+    // crossing one (kenshin/storage.py:520-521)
+    store.cascade(unitStart, unitStart + 5)
     assert(store.tableExists(s"$root/s5/s5/level_1"))
+  }
+
+  test("propagation window truncates at the last completed xff unit (kenshin/storage.py:542-549)") {
+    val store = new MetricStore(s"$root/s5w",
+      schema("s5w", Seq(Archive(1, 60), Archive(3, 60)), AggMethod.Min, xff = 5.0))
+    // unit = 15, lowerStep = 3 <= unit: end snaps down, start covers >= 1 unit
+    assert(store.propagationWindow(0, 100, 131, force = false) == ((90L, 120L)))
+    // boundary-aligned single-unit range covers the PREVIOUS unit
+    assert(store.propagationWindow(0, 105, 110, force = false) == ((90L, 105L)))
+    // force covers the full step-aligned range (shutdown flush)
+    assert(store.propagationWindow(0, 100, 131, force = true) == ((99L, 132L)))
+  }
+
+  test("propagate preserves level-1 partitions outside the dirty day range") {
+    val store = new MetricStore(s"$root/s7",
+      schema("s7", Seq(Archive(1, 86400), Archive(60, 43200))))
+    // age 15d: too old for level 0 (1d) but fits level 1 (30d) -> direct write
+    val old = Seq(("m", nowTs - 86400L * 15, 7.0, 1L)).toDF("metric", "ts", "value", "arrival")
+    assert(store.writeBatch(old, nowTs) == 0)
+    val fresh = Seq(("m", nowTs - 10, 2.0, 2L)).toDF("metric", "ts", "value", "arrival")
+    store.writeBatch(fresh, nowTs)
+    store.cascade(nowTs - 10, nowTs, force = true)
+    val l1 = store.readLevel(1, 0, nowTs + 86400).as[(String, Long, Double)].collect()
+    assert(l1.exists(_._3 == 7.0), "directly-written old point lost by the cascade rewrite")
+    assert(l1.exists(_._3 == 2.0), "fresh rollup missing")
+  }
+
+  test("rewritten slot is last-write-wins across batches (kenshin/storage.py:429-445)") {
+    val store = new MetricStore(s"$root/s8", schema("s8", Seq(Archive(1, 60), Archive(3, 60))))
+    val t = nowTs - 5
+    store.writeBatch(Seq(("m", t, 1.0, 100L)).toDF("metric", "ts", "value", "arrival"), nowTs)
+    store.writeBatch(Seq(("m", t, 9.0, 200L)).toDF("metric", "ts", "value", "arrival"), nowTs)
+    // raw storage appends both; merge-on-read resolves to the later write
+    assert(spark.read.parquet(s"$root/s8/s8/level_0").count() == 2)
+    val rows = store.readLevel(0, t, t + 1).as[(String, Long, Double)].collect()
+    assert(rows.toSeq == Seq(("m", t, 9.0)))
+    val Some((_, df)) = store.fetch(Some("m"), t, t + 1, nowTs)
+    assert(df.as[(String, Long, Option[Double])].collect().toSeq == Seq(("m", t, Some(9.0))))
+  }
+
+  test("writeBatch records the dirty window; cascadeAuto consumes it (mtime analog)") {
+    val store = new MetricStore(s"$root/s9",
+      schema("s9", Seq(Archive(1, 60), Archive(3, 60)), AggMethod.Min))
+    store.writeBatch(points(1 to 6), nowTs)
+    assert(store.dirtyRange(0).contains((nowTs - 6, nowTs)))
+    store.cascadeAuto(force = true)
+    assert(store.dirtyRange(0).isEmpty)
+    assert(store.readLevel(1, 0, nowTs + 86400).count() > 0)
+  }
+
+  /** Port of the reference's 21-slot lost-point golden vector
+    * (tests/test_storage.py:150-186): two updates with mtime-style dirty
+    * tracking; the trailing incomplete xff unit must NOT be propagated.
+    */
+  test("lost-point propagation golden vector (tests/test_storage.py:150-186)") {
+    val store = new MetricStore(s"$root/s10",
+      schema("s10", Seq(Archive(1, 60), Archive(3, 60)), AggMethod.Min, xff = 5.0))
+    def batch(seeds: Range) = seeds.flatMap { i =>
+      Seq(("cpu0", nowTs - i, 0.0 + i, (nowTs - i) * 1000L),
+          ("cpu1", nowTs - i, 10.0 + i, (nowTs - i) * 1000L))
+    }.toDF("metric", "ts", "value", "arrival")
+    store.writeBatch(batch(30 to 44), nowTs)
+    store.cascadeAuto()
+    store.writeBatch(batch(0 to 14), nowTs)
+    store.cascadeAuto()
+    val fromTs = nowTs - 61
+    val Some((level, df)) = store.fetch(Some("cpu0"), fromTs, nowTs, nowTs)
+    assert(level == 1)
+    val got = df.as[(String, Long, Option[Double])].collect().map(_._3).toSeq
+    val n = None
+    val expected = Seq(n, n, n, n, n, Some(44.0), Some(41.0), Some(38.0), Some(35.0),
+      Some(32.0), Some(30.0), n, n, n, n, Some(14.0), Some(11.0), Some(8.0),
+      Some(5.0), n, n)
+    assert(got == expected, s"got $got")
+  }
+
+  /** Port of the boundary-aligned start-time golden vector
+    * (tests/test_storage.py:188-205): a dirty range starting exactly on a
+    * timeunit boundary still propagates.
+    */
+  test("boundary-aligned propagation golden vector (tests/test_storage.py:188-205)") {
+    val store = new MetricStore(s"$root/s11",
+      schema("s11", Seq(Archive(1, 60), Archive(3, 60)), AggMethod.Min, xff = 5.0))
+    def batch(seeds: Range) = seeds.flatMap { i =>
+      Seq(("cpu0", nowTs - i, 0.0 + i, (nowTs - i) * 1000L),
+          ("cpu1", nowTs - i, 10.0 + i, (nowTs - i) * 1000L))
+    }.toDF("metric", "ts", "value", "arrival")
+    store.writeBatch(batch(10 to 19), nowTs)
+    store.cascadeAuto()
+    store.writeBatch(batch(1 to 6), nowTs)
+    store.cascadeAuto()
+    val fromTs = 1411628760L
+    val untilTs = fromTs + 15
+    val Some((level, df)) = store.fetch(Some("cpu0"), fromTs, untilTs, fromTs + 61)
+    assert(level == 1)
+    val got = df.as[(String, Long, Option[Double])].collect().map(_._3).toSeq
+    assert(got == Seq(Some(17.0), Some(14.0), Some(11.0), Some(10.0), Some(5.0)), s"got $got")
+  }
+
+  /** Sparse-update vector (tests/test_storage.py:207-218): missing finest
+    * slots fetch as nulls.
+    */
+  test("sparse update golden vector (tests/test_storage.py:207-218)") {
+    val store = new MetricStore(s"$root/s12",
+      schema("s12", Seq(Archive(1, 60), Archive(3, 60)), AggMethod.Min))
+    val pts = Seq(1, 2, 4, 5).flatMap { i =>
+      Seq(("cpu0", nowTs - i, 0.0 + i, (nowTs - i) * 1000L),
+          ("cpu1", nowTs - i, 10.0 + i, (nowTs - i) * 1000L))
+    }.toDF("metric", "ts", "value", "arrival")
+    store.writeBatch(pts, nowTs)
+    val Some((level, df)) = store.fetch(Some("cpu0"), nowTs - 5, nowTs, nowTs)
+    assert(level == 0)
+    val got = df.as[(String, Long, Option[Double])].collect().map(_._3).toSeq
+    assert(got == Seq(Some(5.0), Some(4.0), None, Some(2.0), Some(1.0)), s"got $got")
   }
 
   test("retention TTL drops too-old partitions (ring overwrite analog)") {

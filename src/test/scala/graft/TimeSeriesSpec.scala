@@ -36,8 +36,13 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("m", 100L, 1.0, 1L), ("m", 101L, 2.0, 2L), ("m", 102L, 3.0, 3L), // same 3s slot [99,102) for 100,101
       ("m", 100L, 9.0, 4L)) // late rewrite of ts=100, arrives last -> wins its slot
     val out = TimeSeries.alignDedup(df(pts), 3, col("arrival"))
+      .select("metric", "ts", "value")
       .orderBy("ts").as[(String, Long, Double)].collect()
     assert(out.toSeq == Seq(("m", 99L, 9.0), ("m", 102L, 3.0)))
+    // the winning row's arrival is carried for cross-batch LWW
+    val arr = TimeSeries.alignDedup(df(pts), 3, col("arrival"))
+      .orderBy("ts").select("arrival").as[Long].collect()
+    assert(arr.toSeq == Seq(4L, 3L))
   }
 
   test("basic update+fetch identity at finest archive (tests/test_storage.py:73-85)") {
