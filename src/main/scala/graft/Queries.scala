@@ -185,6 +185,24 @@ object Queries {
        |  UNION ALL SELECT metric, ts, value FROM hot)
        |ORDER BY metric, ts""".stripMargin
 
+  /** The hot-cache serving view (the reference's cache query,
+    * rurouni/protocols.py:79-84): LWW-aligned slots at the level-0 step for
+    * everything past the flush watermark. IngestSpec pins this query to the
+    * actual HotCache machinery: feeding the same events through
+    * HotCache.processBatch with the boundary at HotLo yields exactly this
+    * result.
+    */
+  def tsHotView(s: SparkSession, dir: String): DataFrame =
+    metricStream(s, dir)
+      .where(col("sec") >= HotLo)
+      .groupBy(col("metric"), alignSec(10))
+      .agg(max_by(col("value"), col("ns")).as("value"))
+      .orderBy("metric", "ts")
+
+  val tsHotViewSql: String =
+    s"""SELECT metric, ${alignSecSql(10)} AS ts, arg_max(value, ns) AS value
+       |FROM ($MetricBaseSql) WHERE sec >= $HotLo GROUP BY 1, 2 ORDER BY metric, ts""".stripMargin
+
   /** Age-based cascade routing: each point lands in the finest archive whose
     * retention covers its age; older than all -> level -1 / dropped
     * (reference: kenshin/storage.py:397-419).

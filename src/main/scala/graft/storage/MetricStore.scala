@@ -83,7 +83,7 @@ final class MetricStore(val root: String, val schema: StorageSchema)(implicit sp
     * level's dirty state for the cascade. Returns the number of dropped
     * too-old points.
     */
-  def writeBatch(points: DataFrame, now: Long): Long = {
+  def writeBatch(points: DataFrame, now: Long, upsert: Boolean = false): Long = {
     val routed = TimeSeries.ageRoute(points, archives, now).cache()
     try {
       // one small pass for per-level counts + written ts window (the dirty
@@ -95,14 +95,17 @@ final class MetricStore(val root: String, val schema: StorageSchema)(implicit sp
         val step = archives(i).secondsPerPoint
         val slice = routed.where(col("level") === i).drop("level")
         val deduped = TimeSeries.alignDedup(slice, step, col("arrival"))
-        withPday(deduped).write
-          .mode(SaveMode.Append)
-          .partitionBy("pday")
-          .parquet(levelPath(i))
-        val (_, lo, hi) = stats(i)
-        val alignedLo = lo - java.lang.Math.floorMod(lo, step.toLong)
-        val alignedHi = hi - java.lang.Math.floorMod(hi, step.toLong)
-        if (i < archives.length - 1) mergeDirty(i, alignedLo, alignedHi + 1)
+        if (upsert) upsertSlots(i, deduped)
+        else {
+          withPday(deduped).write
+            .mode(SaveMode.Append)
+            .partitionBy("pday")
+            .parquet(levelPath(i))
+          val (_, lo, hi) = stats(i)
+          val alignedLo = lo - java.lang.Math.floorMod(lo, step.toLong)
+          val alignedHi = hi - java.lang.Math.floorMod(hi, step.toLong)
+          if (i < archives.length - 1) mergeDirty(i, alignedLo, alignedHi + 1)
+        }
       }
       stats.get(-1).map(_._1).getOrElse(0L)
     } finally {
@@ -111,22 +114,74 @@ final class MetricStore(val root: String, val schema: StorageSchema)(implicit sp
     }
   }
 
+  /** Idempotent MERGE-style slot upsert: resolve the batch against the pday
+    * partitions it touches (last-write-wins) and swap ONLY those partitions.
+    * Replaying the same batch converges to the same table state — the
+    * exactly-once flush primitive for streaming (reference idempotent slot
+    * overwrite: kenshin/storage.py:429-445). `points` must already be
+    * aligned to level i's step and carry `arrival`.
+    */
+  def upsertSlots(i: Int, points: DataFrame): Unit = {
+    val cached = points.cache()
+    try {
+      val head = cached.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+      if (head.isNullAt(0)) return
+      val (lo, hi) = (head.getLong(0), head.getLong(1))
+      val loDay = lo / 86400L
+      val hiDay = hi / 86400L
+      val target = levelPath(i)
+      val existing =
+        if (hasData(target))
+          spark.read.parquet(target)
+            .where(col("pday").between(loDay, hiDay))
+            .select(col("metric"), col("ts"), col("value"), col("arrival"))
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], levelSchema)
+      swapPartitions(target, loDay, hiDay, lww(existing.unionByName(cached)))
+      if (i < archives.length - 1) {
+        val step = archives(i).secondsPerPoint.toLong
+        mergeDirty(i, lo - java.lang.Math.floorMod(lo, step), hi + 1)
+      }
+    } finally {
+      cached.unpersist()
+      ()
+    }
+  }
+
+  /** Stage `merged` and swap it in for pday partitions [loDay, hiDay] of
+    * `target` — partitions outside the range are untouched. (At cluster
+    * scale the same move is a transactional dynamic-partition overwrite;
+    * local-FS parquet cannot overwrite a path it is reading, hence
+    * stage-then-swap.)
+    */
+  private def swapPartitions(target: String, loDay: Long, hiDay: Long, merged: DataFrame): Unit = {
+    val staging = s"$target.__staging"
+    withPday(merged).write.mode(SaveMode.Overwrite).partitionBy("pday").parquet(staging)
+    val fs = hadoopFs(target)
+    if (hasData(staging)) {
+      fs.mkdirs(new Path(target))
+      (loDay to hiDay).foreach { day =>
+        fs.delete(new Path(s"$target/pday=$day"), true)
+      }
+      fs.listStatus(new Path(staging)).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("pday=")) {
+          fs.rename(st.getPath, new Path(s"$target/$name"))
+          ()
+        }
+      }
+    }
+    fs.delete(new Path(staging), true)
+    ()
+  }
+
   private val levelSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("metric", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
     org.apache.spark.sql.types.StructField("arrival", org.apache.spark.sql.types.LongType)))
 
-  /** Last-write-wins merge of duplicate `(metric, ts)` rows by `arrival`
-    * (ties broken by larger value — deterministic under replay). This is the
-    * read-side half of the reference's idempotent slot overwrite
-    * (kenshin/storage.py:429-445). Map-side partial agg, one shuffle.
-    */
-  private def lww(df: DataFrame): DataFrame =
-    df.groupBy(col("metric"), col("ts"))
-      .agg(
-        max_by(col("value"), struct(col("arrival"), col("value"))).as("value"),
-        max(col("arrival")).as("arrival"))
+  private def lww(df: DataFrame): DataFrame = TimeSeries.lwwMerge(df)
 
   /** Raw level rows (may contain superseded duplicates), pruned to a time
     * range (partition pruning on pday + row-group pruning on ts).
@@ -196,31 +251,7 @@ final class MetricStore(val root: String, val schema: StorageSchema)(implicit sp
           .select(col("metric"), col("ts"), col("value"), col("arrival")))
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], levelSchema)
-    val merged = existing.unionByName(fresh)
-
-    // Stage the rewritten partitions, then swap ONLY the dirty pday dirs —
-    // a table-level delete+rename here would lose every partition outside
-    // the dirty window. (At cluster scale the same move is a transactional
-    // dynamic-partition overwrite; local-FS parquet cannot overwrite a path
-    // it is reading, hence stage-then-swap.)
-    val staging = s"$target.__staging"
-    withPday(merged).write.mode(SaveMode.Overwrite).partitionBy("pday").parquet(staging)
-    val fs = hadoopFs(target)
-    if (hasData(staging)) {
-      fs.mkdirs(new Path(target))
-      (loDay to hiDay).foreach { day =>
-        fs.delete(new Path(s"$target/pday=$day"), true)
-      }
-      fs.listStatus(new Path(staging)).foreach { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("pday=")) {
-          fs.rename(st.getPath, new Path(s"$target/$name"))
-          ()
-        }
-      }
-    }
-    fs.delete(new Path(staging), true)
-    ()
+    swapPartitions(target, loDay, hiDay, existing.unionByName(fresh))
   }
 
   /** Reference propagation gate (kenshin/storage.py:520-521): skip ONLY when

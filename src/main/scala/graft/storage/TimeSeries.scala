@@ -109,6 +109,17 @@ object TimeSeries {
     if (r == 0) x else x + (base - r)
   }
 
+  /** Last-write-wins merge of duplicate `(metric, ts)` rows by `arrival`
+    * (ties broken by larger value — deterministic under replay). The
+    * read-side half of the reference's idempotent slot overwrite
+    * (kenshin/storage.py:429-445). Map-side partial agg, one shuffle.
+    */
+  def lwwMerge(df: DataFrame): DataFrame =
+    df.groupBy(col("metric"), col("ts"))
+      .agg(
+        max_by(col("value"), struct(col("arrival"), col("value"))).as("value"),
+        max(col("arrival")).as("arrival"))
+
   /** Merge the hot (pre-flush, streaming-state) view with historical storage,
     * hot-wins on overlap — the reference stitches its in-memory cache with
     * on-disk archives (rurouni/cache.py:161-169 + web-side merge). Implemented

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.storage.MetricStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -28,19 +27,23 @@ object Ingest {
     */
   def parseLines(lines: DataFrame): DataFrame = {
     val parts = split(trim(col("line")), "\\s+")
+    // try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
+    // would kill the stream on the first malformed number
     lines
       .withColumn("p", parts)
       .where(size(col("p")) === 3)
       .select(
         col("p").getItem(0).as("metric"),
-        col("p").getItem(2).cast("double").as("raw_ts"),
-        col("p").getItem(1).cast("double").as("value"))
+        col("p").getItem(2).try_cast("double").as("raw_ts"),
+        col("p").getItem(1).try_cast("double").as("value"))
       .where(col("metric").isNotNull && col("raw_ts").isNotNull && col("value").isNotNull)
       .select(
         col("metric"),
         col("raw_ts").cast("long").as("ts"),
         col("value"),
-        (col("raw_ts") * 1e9).cast("long").as("arrival"))
+        // decimal, not double, math: ts*1e9 exceeds the 52-bit double
+        // mantissa and would round the arrival tiebreaker
+        (col("raw_ts").cast("decimal(21,9)") * lit(1000000000L)).cast("long").as("arrival"))
   }
 
   /** Count of malformed lines in a batch (the reference logs+counts them;
@@ -50,27 +53,27 @@ object Ingest {
     val parts = split(trim(col("line")), "\\s+")
     lines.withColumn("p", parts)
       .where(size(col("p")) =!= 3 ||
-        col("p").getItem(1).cast("double").isNull ||
-        col("p").getItem(2).cast("double").isNull)
+        col("p").getItem(1).try_cast("double").isNull ||
+        col("p").getItem(2).try_cast("double").isNull)
       .count()
   }
 
   /** Start a streaming ingest from a line DataFrame (socket source in dev,
-    * Kafka in prod — both yield a string column we alias to `line`).
-    * Each micro-batch goes through the same align/dedupe/age-route write
-    * path as batch ingest (exactly-once per batch via idempotent overwrite
-    * of the batch's slots is future work; append is at-least-once like the
-    * reference's last-write-wins slots).
+    * Kafka in prod — both yield a string column we alias to `line`) into the
+    * hot cache: parse -> hot-cache merge -> watermark-gated idempotent
+    * flush to level 0 (HotCache.processBatch). Replayed micro-batches
+    * converge to the same state — effectively-once, the reference's
+    * write-after-delay + idempotent slot overwrite
+    * (rurouni/writer.py:33-45 + kenshin/storage.py:429-445).
     */
-  def start(lines: DataFrame, store: MetricStore, checkpoint: String,
+  def start(lines: DataFrame, hot: HotCache, checkpoint: String,
             nowFn: () => Long = () => System.currentTimeMillis() / 1000)(implicit spark: SparkSession): StreamingQuery = {
     lines.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("5 seconds"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val points = parseLines(batch)
-        store.writeBatch(points, nowFn())
+        hot.processBatch(parseLines(batch), nowFn())
         ()
       }
       .start()
