@@ -203,6 +203,21 @@ object Queries {
     s"""SELECT metric, ${alignSecSql(10)} AS ts, arg_max(value, ns) AS value
        |FROM ($MetricBaseSql) WHERE sec >= $HotLo GROUP BY 1, 2 ORDER BY metric, ts""".stripMargin
 
+  /** The metrics catalog derived from first sight — metric registration
+    * order and volume (reference metric index: rurouni/cache.py:69-97,
+    * registration rurouni/cache.py:112-151). This is the table fetch
+    * spines read instead of scanning raw data for metric names.
+    */
+  def catalogSpine(s: SparkSession, dir: String): DataFrame =
+    metricStream(s, dir)
+      .groupBy(col("metric"))
+      .agg(min(col("sec")).as("created_ts"), count(lit(1)).as("n_points"))
+      .orderBy("metric")
+
+  val catalogSpineSql: String =
+    s"""SELECT metric, MIN(sec) AS created_ts, COUNT(*) AS n_points
+       |FROM ($MetricBaseSql) GROUP BY 1 ORDER BY metric""".stripMargin
+
   /** Age-based cascade routing: each point lands in the finest archive whose
     * retention covers its age; older than all -> level -1 / dropped
     * (reference: kenshin/storage.py:397-419).

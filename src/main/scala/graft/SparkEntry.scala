@@ -24,6 +24,7 @@ object SparkEntry {
     "ts_gapfill" -> (Queries.tsGapfill _),
     "ts_cache_merge" -> (Queries.tsCacheMerge _),
     "ts_hot_view" -> (Queries.tsHotView _),
+    "catalog_spine" -> (Queries.catalogSpine _),
     "ts_age_route" -> (Queries.tsAgeRoute _),
     "ts_fetch_archive" -> (Queries.tsFetchArchive _),
     "fnv1a_shard" -> (Queries.fnv1aShard _),
@@ -60,6 +61,7 @@ object SparkEntry {
     "ts_gapfill" -> Queries.tsGapfillSql,
     "ts_cache_merge" -> Queries.tsCacheMergeSql,
     "ts_hot_view" -> Queries.tsHotViewSql,
+    "catalog_spine" -> Queries.catalogSpineSql,
     "ts_age_route" -> Queries.tsAgeRouteSql,
     "ts_fetch_archive" -> Queries.tsFetchArchiveSql,
     // fnv1a_shard: no DuckDB equivalent (custom hash) -> rows-only check

@@ -25,7 +25,8 @@ import org.apache.hadoop.fs.Path
   * automatically per level (the reference's mtime analog,
   * kenshin/storage.py:384-425,487-491).
   */
-final class MetricStore(val root: String, val schema: StorageSchema)(implicit spark: SparkSession) {
+final class MetricStore(val root: String, val schema: StorageSchema,
+                        val catalog: Option[Catalog] = None)(implicit spark: SparkSession) {
 
   val archives: Seq[Archive] = schema.archives
   private def levelPath(i: Int): String = s"$root/${schema.name}/level_$i"
@@ -318,6 +319,12 @@ final class MetricStore(val root: String, val schema: StorageSchema)(implicit sp
     * pruned, gap-fill against the step spine. Returns None when the range
     * is entirely outside retention. Output: (metric, ts, value) step-aligned,
     * nulls in gaps.
+    *
+    * With a catalog attached, the gap-fill spine comes from the catalog
+    * (the reference resolves series through its metric index,
+    * rurouni/cache.py:69-97) — never from scanning the data itself, and
+    * registered-but-silent series fetch as all-null (empty-metric fetch,
+    * tests/test_storage.py:127-133).
     */
   def fetch(metricFilter: Option[String], fromTime: Long, untilTime: Long, now: Long): Option[(Int, DataFrame)] =
     TimeSeries.clampWindow(fromTime, untilTime, now, schema.maxRetention).map { case (from, until) =>
@@ -325,7 +332,11 @@ final class MetricStore(val root: String, val schema: StorageSchema)(implicit sp
       val step = archives(level).secondsPerPoint
       val base = readLevel(level, TimeSeries.roundup(from, step), TimeSeries.roundup(until, step))
       val filtered = metricFilter.fold(base)(m => base.where(col("metric") === m))
-      (level, TimeSeries.gapFill(filtered, from, until, step).orderBy("metric", "ts"))
+      val spine = catalog.map { c =>
+        val all = c.metrics().select(col("metric"))
+        broadcast(metricFilter.fold(all)(m => all.where(col("metric") === m)))
+      }
+      (level, TimeSeries.gapFill(filtered, from, until, step, spine).orderBy("metric", "ts"))
     }
 
   // ---- retention / maintenance -----------------------------------------

@@ -90,11 +90,18 @@ object TimeSeries {
     * (metric, slot) in [from, until) at `step`, null value where no data
     * (reference fetch pre-allocates null points: kenshin/storage.py:650-693).
     * The spine (metrics x slots) is tiny relative to data and broadcast.
+    *
+    * `spineMetrics` (a 1-column `metric` frame, normally the catalog table)
+    * supplies the series list; without it the spine is derived from the
+    * fetched rows themselves — fine for tests, but a fetch at scale should
+    * never scan data to learn metric names, and silent series would vanish
+    * instead of fetching as all-null.
     */
-  def gapFill(df: DataFrame, fromTime: Long, untilTime: Long, stepSeconds: Int): DataFrame = {
+  def gapFill(df: DataFrame, fromTime: Long, untilTime: Long, stepSeconds: Int,
+              spineMetrics: Option[DataFrame] = None): DataFrame = {
     val from = roundup(fromTime, stepSeconds)
     val until = roundup(untilTime, stepSeconds)
-    val spine = df.select(col("metric")).distinct()
+    val spine = spineMetrics.getOrElse(df.select(col("metric")).distinct())
       .select(col("metric"),
         explode(sequence(lit(from), lit(until - stepSeconds), lit(stepSeconds.toLong))).as("ts"))
     spine.join(df, Seq("metric", "ts"), "left")

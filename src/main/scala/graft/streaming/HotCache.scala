@@ -63,7 +63,10 @@ final class HotCache(val store: MetricStore, val cacheRetention: Long, val waitT
     * drain everything the watermark has closed.
     */
   def processBatch(points: DataFrame, now: Long): Unit = {
-    val aligned = TimeSeries.alignDedup(points, step0, col("arrival")).cache()
+    // first-sight registration + throttle/shard gate (reference create path
+    // rurouni/cache.py:112-151); rejected metrics' points drop for the batch
+    val admitted = store.catalog.fold(points)(c => c.admit(points, now))
+    val aligned = TimeSeries.alignDedup(admitted, step0, col("arrival")).cache()
     try {
       val boundary = flushBoundary(now)
       val stragglers = aligned.where(col("ts") < boundary)

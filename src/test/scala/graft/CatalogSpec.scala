@@ -1,0 +1,101 @@
+package graft
+
+import graft.core.{AggMethod, Archive, StorageSchema, StorageSchemas, TokenBucket}
+import graft.storage.{Catalog, MetricStore}
+import graft.functions.Fnv1a
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Metrics catalog: first-sight registration with schema assignment,
+  * token-bucket create throttle, fnv1a shard gate, and the catalog-backed
+  * fetch spine. Reference: rurouni/cache.py:69-151, rurouni/utils.py:55-108.
+  */
+class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+  implicit lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  var root: java.nio.file.Path = _
+  override def beforeAll(): Unit = { root = java.nio.file.Files.createTempDirectory("graft-catalog") }
+  override def afterAll(): Unit = {
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(root.toString)).deleteRecursively()
+    ()
+  }
+
+  val schemas = new StorageSchemas(Seq(
+    StorageSchema("cpu", "^sys\\.cpu\\.".r, 1.0, AggMethod.Average, Seq(Archive(10, 360)), 600, 8),
+    StorageSchema("everything", ".*".r, 1.0, AggMethod.Last, Seq(Archive(60, 1440)), 600, 8)))
+
+  def pts(ms: String*) =
+    ms.zipWithIndex.map { case (m, i) => (m, 1700000000L + i, 1.0, i.toLong) }
+      .toDF("metric", "ts", "value", "arrival")
+
+  test("TokenBucket ports the reference doctest (rurouni/utils.py:60-70)") {
+    var now = 0.0
+    val b = new TokenBucket(60, 1, () => now)
+    assert(b.consume(6))
+    assert(b.consume(54))
+    assert(!b.consume(1))
+    now = 1.0 // one second refills one token
+    assert(b.consume(1))
+    assert(!b.consume(1))
+  }
+
+  test("first sight registers with first-match schema; re-sight does not duplicate") {
+    val cat = new Catalog(s"$root/c1", schemas)
+    val out1 = cat.admit(pts("sys.cpu.user", "app.latency"), 100L)
+    assert(out1.count() == 2)
+    val reg = cat.metrics().orderBy("metric")
+      .as[(String, String, Long)].collect().toSeq
+    assert(reg == Seq(("app.latency", "everything", 100L), ("sys.cpu.user", "cpu", 100L)))
+    assert(cat.creates == 2)
+    // same metrics again: no new rows, points still admitted
+    val out2 = cat.admit(pts("sys.cpu.user"), 200L)
+    assert(out2.count() == 1)
+    assert(cat.metrics().count() == 2)
+  }
+
+  test("token bucket throttles creates; throttled metrics' points drop (rurouni/cache.py:119-121)") {
+    var now = 0.0
+    val cat = new Catalog(s"$root/c2", schemas,
+      bucket = Some(new TokenBucket(2, 0, () => now)))
+    val out = cat.admit(pts("m.a", "m.b", "m.c"), 100L)
+    // deterministic name order: m.a, m.b admitted; m.c throttled
+    assert(out.select("metric").as[String].collect().toSet == Set("m.a", "m.b"))
+    assert(cat.droppedCreates == 1 && cat.creates == 2)
+    // known metrics stay admitted even with an empty bucket
+    assert(cat.admit(pts("m.a"), 200L).count() == 1)
+  }
+
+  test("mis-routed metrics are rejected by the shard gate (rurouni/cache.py:123-128)") {
+    val metricsForInstance0 = (1 to 100).map(i => s"m.$i").filter(Fnv1a.shard(_, 4) == 0)
+    val other = (1 to 100).map(i => s"m.$i").find(Fnv1a.shard(_, 4) == 3).get
+    val cat = new Catalog(s"$root/c3", schemas, numInstances = 4, instance = 0)
+    val out = cat.admit(pts(metricsForInstance0.head, other), 100L)
+    assert(out.select("metric").as[String].collect().toSeq == Seq(metricsForInstance0.head))
+    assert(cat.droppedCreates == 1)
+  }
+
+  test("catalog-backed fetch spine: silent series fetch as all-null") {
+    val cat = new Catalog(s"$root/c4", schemas)
+    val sch = StorageSchema("s", ".*".r, 1.0, AggMethod.Last, Seq(Archive(10, 360)), 600, 8)
+    val store = new MetricStore(s"$root/c4-store", sch, Some(cat))
+    val now = 1700003600L
+    cat.admit(pts("m.live", "m.silent"), now)
+    store.writeBatch(Seq(("m.live", now - 100, 5.0, 1L)).toDF("metric", "ts", "value", "arrival"), now)
+    val Some((_, df)) = store.fetch(None, now - 100, now - 80, now)
+    val got = df.as[(String, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("m.live", now - 100, Some(5.0)), ("m.live", now - 90, None),
+      ("m.silent", now - 100, None), ("m.silent", now - 90, None)))
+  }
+
+  test("remove deletes catalog rows") {
+    val cat = new Catalog(s"$root/c5", schemas)
+    cat.admit(pts("a", "b", "c"), 100L)
+    cat.remove(Seq("b"))
+    assert(cat.metrics().select("metric").as[String].collect().toSorted == Seq("a", "c"))
+  }
+  private implicit class SortedOps(a: Array[String]) { def toSorted: Seq[String] = a.toSeq.sorted }
+}
