@@ -46,6 +46,46 @@ object Ingest {
         (col("raw_ts").cast("decimal(21,9)") * lit(1000000000L)).cast("long").as("arrival"))
   }
 
+  /** Frame cap matching the reference pickle receiver's MAX_LENGTH = 2<<20
+    * (rurouni/protocols.py:46).
+    */
+  val MaxFrameBytes: Int = 2 << 20
+
+  private val frameSchema: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DataType.fromDDL("array<struct<metric:string,ts:double,value:double>>")
+
+  /** Framed-batch source (the pickle receiver analog,
+    * rurouni/protocols.py:45-62): each row's `frame` column carries one
+    * batch of points as a JSON array `[{"metric":…,"ts":…,"value":…},…]`
+    * — Python pickle is not JVM-portable, so the Kafka payload format is
+    * JSON/Avro with identical framing semantics. Invalid frames are
+    * ignored whole (reference: "invalid pickle received … ignoring");
+    * within a valid frame, entries with missing/bad fields drop
+    * individually (the reference's per-datapoint try/except). Frames over
+    * MaxFrameBytes are rejected.
+    */
+  def parseFrames(frames: DataFrame): DataFrame =
+    frames
+      .where(length(col("frame")) <= MaxFrameBytes)
+      .select(explode(from_json(col("frame"), frameSchema)).as("p"))
+      .select(
+        col("p.metric").as("metric"),
+        col("p.ts").as("raw_ts"),
+        col("p.value").as("value"))
+      .where(col("metric").isNotNull && col("raw_ts").isNotNull && col("value").isNotNull)
+      .select(
+        col("metric"),
+        col("raw_ts").cast("long").as("ts"),
+        col("value"),
+        (col("raw_ts").cast("decimal(21,9)") * lit(1000000000L)).cast("long").as("arrival"))
+
+  /** Count of dropped frames (unparseable or oversized) in a batch. */
+  def malformedFrameCount(frames: DataFrame): Long =
+    frames.where(
+      length(col("frame")) > MaxFrameBytes ||
+        from_json(col("frame"), frameSchema).isNull)
+      .count()
+
   /** Count of malformed lines in a batch (the reference logs+counts them;
     * we surface the same signal for instrumentation).
     */
@@ -74,6 +114,22 @@ object Ingest {
       .trigger(Trigger.ProcessingTime("5 seconds"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         hot.processBatch(parseLines(batch), nowFn())
+        ()
+      }
+      .start()
+  }
+
+  /** Framed-batch streaming ingest (the pickle listener analog): same hot
+    * path, frames instead of lines.
+    */
+  def startFrames(frames: DataFrame, hot: HotCache, checkpoint: String,
+                  nowFn: () => Long = () => System.currentTimeMillis() / 1000)(implicit spark: SparkSession): StreamingQuery = {
+    frames.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        hot.processBatch(parseFrames(batch), nowFn())
         ()
       }
       .start()
