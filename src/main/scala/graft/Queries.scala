@@ -218,6 +218,51 @@ object Queries {
     s"""SELECT metric, MIN(sec) AS created_ts, COUNT(*) AS n_points
        |FROM ($MetricBaseSql) GROUP BY 1 ORDER BY metric""".stripMargin
 
+  /** Blacklist/whitelist regex admin filter over the metric namespace
+    * (reference: bin/kenshin-find-file.py:8-14,38-50 and
+    * bin/kenshin-get-metrics.py:9-24 — include/exclude regex over metrics).
+    * Patterns kept to syntax shared by Java regex and DuckDB RE2.
+    */
+  val BlacklistInclude = "^(purchase|error|signup)"
+  val BlacklistExclude = "sign"
+
+  def blacklistFilter(s: SparkSession, dir: String): DataFrame =
+    metricStream(s, dir)
+      .where(col("metric").rlike(BlacklistInclude) && !col("metric").rlike(BlacklistExclude))
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+      .orderBy("metric")
+
+  val blacklistFilterSql: String =
+    s"""SELECT metric, COUNT(*) AS n, ${exactSumSql("value")} AS sum_value
+       |FROM ($MetricBaseSql)
+       |WHERE regexp_matches(metric, '$BlacklistInclude') AND NOT regexp_matches(metric, '$BlacklistExclude')
+       |GROUP BY 1 ORDER BY metric""".stripMargin
+
+  /** Time-aligned wide merge: K series pivoted to one row per slot with a
+    * column per metric, null-padded where a series has no point — the
+    * reference's merge_points for wide export (bin/kenshin-rehash.py
+    * merge_points doctest; §2.3). Explicit pivot column list keeps the
+    * output schema static (required both for Catalyst and the oracle).
+    */
+  val PivotMetrics: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotExport(s: SparkSession, dir: String): DataFrame =
+    metricStream(s, dir)
+      .groupBy(alignSec(600))
+      .pivot("metric", PivotMetrics)
+      .agg(exactAvg(col("value")))
+      .orderBy("ts")
+
+  val pivotExportSql: String = {
+    val cols = PivotMetrics.map { m =>
+      s"""CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (metric = '$m') AS DOUBLE)
+         | / COUNT(*) FILTER (metric = '$m') AS "$m"""".stripMargin
+    }.mkString(", ")
+    s"""SELECT ${alignSecSql(600)} AS ts, $cols
+       |FROM ($MetricBaseSql) GROUP BY 1 ORDER BY ts""".stripMargin
+  }
+
   /** Age-based cascade routing: each point lands in the finest archive whose
     * retention covers its age; older than all -> level -1 / dropped
     * (reference: kenshin/storage.py:397-419).

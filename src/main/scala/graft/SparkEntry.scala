@@ -25,6 +25,8 @@ object SparkEntry {
     "ts_cache_merge" -> (Queries.tsCacheMerge _),
     "ts_hot_view" -> (Queries.tsHotView _),
     "catalog_spine" -> (Queries.catalogSpine _),
+    "blacklist_filter" -> (Queries.blacklistFilter _),
+    "pivot_export" -> (Queries.pivotExport _),
     "ts_age_route" -> (Queries.tsAgeRoute _),
     "ts_fetch_archive" -> (Queries.tsFetchArchive _),
     "fnv1a_shard" -> (Queries.fnv1aShard _),
@@ -62,6 +64,8 @@ object SparkEntry {
     "ts_cache_merge" -> Queries.tsCacheMergeSql,
     "ts_hot_view" -> Queries.tsHotViewSql,
     "catalog_spine" -> Queries.catalogSpineSql,
+    "blacklist_filter" -> Queries.blacklistFilterSql,
+    "pivot_export" -> Queries.pivotExportSql,
     "ts_age_route" -> Queries.tsAgeRouteSql,
     "ts_fetch_archive" -> Queries.tsFetchArchiveSql,
     // fnv1a_shard: no DuckDB equivalent (custom hash) -> rows-only check
