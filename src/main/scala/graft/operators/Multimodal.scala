@@ -38,6 +38,25 @@ object Multimodal {
       lit("blob").as("kind"),
       col("text").cast("binary").as("payload"))
 
+  /** Real binary source: Spark's `binaryFile` reader over a directory of
+    * media files -> the same media-table shape (media_id from the file
+    * name's numeric stem or a stable path hash, kind from the extension,
+    * payload = raw bytes). Supports pushed path-glob filtering and
+    * `pathGlobFilter`; files stream through executors, never the driver.
+    */
+  def readBinaryDir(path: String, glob: Option[String] = None)(implicit spark: SparkSession): DataFrame = {
+    val reader = spark.read.format("binaryFile")
+    val df = glob.fold(reader)(g => reader.option("pathGlobFilter", g)).load(path)
+    val fileName = element_at(split(col("path"), "/"), -1)
+    val stem = regexp_extract(fileName, "^(\\d+)", 1)
+    df.select(
+      when(stem =!= "", stem.cast("long"))
+        .otherwise(abs(xxhash64(col("path")))).as("media_id"),
+      lower(coalesce(nullif(regexp_extract(fileName, "\\.([A-Za-z0-9]+)$", 1), lit("")),
+        lit("bin"))).as("kind"),
+      col("content").as("payload"))
+  }
+
   /** STUB decode: a real implementation would decode image/audio frames
     * here (e.g. via a JNI codec) — deterministic fake features instead.
     * Pure function of the payload bytes so tests and oracles can pin it.

@@ -81,6 +81,36 @@ final class Catalog(val root: String, val schemas: StorageSchemas,
     points.join(broadcast(metrics().select(col("metric"))), Seq("metric"), "left_semi")
   }
 
+  /** Crash-recovery rebuild: re-derive catalog entries from the level
+    * tables themselves, like the reference re-deriving its index from file
+    * headers (rurouni/storage.py:56-77 rebuildIndex; boot path
+    * rurouni/cache.py:56-60). Metrics found in storage but missing from the
+    * catalog are registered with their earliest stored timestamp; existing
+    * rows are kept (the catalog stays authoritative for schema assignment).
+    * Returns the number of recovered metrics.
+    */
+  def rebuildFromStore(store: MetricStore): Long = {
+    val perLevel = store.archives.indices.flatMap { i =>
+      val path = s"${store.root}/${store.schema.name}/level_$i"
+      if (store.hasData(path))
+        Some(spark.read.parquet(path).groupBy(col("metric")).agg(min(col("ts")).as("first_ts")))
+      else None
+    }
+    if (perLevel.isEmpty) return 0L
+    val found = perLevel.reduce(_ unionByName _)
+      .groupBy(col("metric")).agg(min(col("first_ts")).as("first_ts"))
+    val missing = found.join(metrics().select(col("metric")), Seq("metric"), "left_anti")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    if (missing.nonEmpty) {
+      import spark.implicits._
+      missing.toSeq.map { case (m, ts) => (m, schemas.schemaFor(m).name, ts) }
+        .toDF("metric", "schema_name", "created_ts")
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(path)
+    }
+    missing.length.toLong
+  }
+
   /** Remove metrics from the catalog (delete-metrics admin op). */
   def remove(toDelete: Seq[String]): Unit = {
     if (!exists || toDelete.isEmpty) return

@@ -91,6 +91,23 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("m.silent", now - 100, None), ("m.silent", now - 90, None)))
   }
 
+  test("rebuildFromStore recovers a lost catalog from level tables (rurouni/storage.py:56-77)") {
+    val sch = StorageSchema("rb", ".*".r, 1.0, AggMethod.Last, Seq(Archive(10, 360)), 600, 8)
+    val store = new MetricStore(s"$root/c6-store", sch)
+    val now = 1700003600L
+    store.writeBatch(pts("sys.cpu.user", "app.latency")
+      .withColumn("ts", lit(now - 100L)), now)
+    // fresh catalog dir (simulating index loss); recover from storage
+    val cat = new Catalog(s"$root/c6-cat", schemas)
+    assert(cat.rebuildFromStore(store) == 2)
+    val reg = cat.metrics().orderBy("metric").as[(String, String, Long)].collect().toSeq
+    assert(reg.map(_._1) == Seq("app.latency", "sys.cpu.user"))
+    assert(reg.map(_._2) == Seq("everything", "cpu")) // schema re-derived by regex
+    assert(reg.forall(_._3 == now - 100L))            // created_ts = earliest stored slot
+    // idempotent: nothing more to recover
+    assert(cat.rebuildFromStore(store) == 0)
+  }
+
   test("remove deletes catalog rows") {
     val cat = new Catalog(s"$root/c5", schemas)
     cat.admit(pts("a", "b", "c"), 100L)
