@@ -1,0 +1,97 @@
+package graft
+
+import graft.core.{AggMethod, Archive, StorageSchema}
+import graft.storage.MetricStore
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan audits: the properties that keep these operators viable at
+  * 100 TB — predicate/partition pushdown into parquet scans, column
+  * pruning, codegen coverage, and no stray cartesian products — asserted on
+  * the actual executed plans so a regression shows up as a test failure,
+  * not a cluster incident.
+  */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+  implicit lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+  var root: java.nio.file.Path = _
+  override def beforeAll(): Unit = { root = java.nio.file.Files.createTempDirectory("graft-plan") }
+  override def afterAll(): Unit = {
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(root.toString)).deleteRecursively()
+    ()
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("readLevel pushes pday partition pruning and ts row-group filters into the scan") {
+    val sch = StorageSchema("pa", ".*".r, 1.0, AggMethod.Last, Seq(Archive(10, 360)), 600, 8)
+    val store = new MetricStore(s"$root/pa", sch)
+    val now = 1700003600L
+    store.writeBatch(Seq(("m", now - 100, 1.0, 1L)).toDF("metric", "ts", "value", "arrival"), now)
+    val plan = planOf(store.readLevel(0, now - 200, now))
+    assert(plan.contains("PartitionFilters") && plan.contains("pday"),
+      s"pday pruning missing:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(ts"),
+      s"ts pushdown missing:\n$plan")
+  }
+
+  test("text queries prune the documents scan to the referenced columns") {
+    val plan = planOf(PipelineQueries.textTokens(spark, sfDir))
+    // ReadSchema must not include source/lang/n_chars — only doc_id + text
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"), readSchema)
+  }
+
+  /** Codegen explain with AQE off for the inspection — under AQE the stages
+    * (and their WholeStageCodegen wrappers) only exist after execution.
+    */
+  private def codegenOf(build: => org.apache.spark.sql.DataFrame): String = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try build.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("ts rollups stay inside whole-stage codegen with a partial aggregate") {
+    val cg = codegenOf(Queries.tsRollupAvg(spark, sfDir))
+    assert(cg.contains("WholeStageCodegen") && !cg.contains("Found 0 WholeStageCodegen"), cg.take(500))
+    // map-side combine before the exchange: partial_ aggregate functions
+    val plan = planOf(Queries.tsRollupAvg(spark, sfDir))
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
+
+  test("q1 pricing scan pushes the shipdate filter down") {
+    val plan = planOf(Queries.q1Pricing(spark, sfDir))
+    assert(plan.contains("PushedFilters") && plan.contains("LessThanOrEqual(l_shipdate"),
+      s"shipdate pushdown missing:\n$plan")
+  }
+
+  test("q5 region joins contain no cartesian product and broadcast the true dims") {
+    val plan = planOf(Queries.q5Region(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan) // nation/region hints
+  }
+
+  test("fnv1a shard expression is codegen'd (no UDF barrier)") {
+    val plan = planOf(Queries.fnv1aShard(spark, sfDir))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    val cg = codegenOf(Queries.fnv1aShard(spark, sfDir))
+    assert(cg.contains("WholeStageCodegen") && !cg.contains("Found 0 WholeStageCodegen"), cg.take(500))
+  }
+
+  test("LSH near-dup candidate join is an equi-join on (tbl, bucket), not a theta join") {
+    val plan = planOf(PipelineQueries.embedCosineNearDup(spark, sfDir))
+    // the candidate generator must hash-join on the LSH cell; the only
+    // non-equi condition allowed is the a<b tie-break inside the join
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup fell back to a nested-loop scan:\n$plan")
+  }
+}
