@@ -341,6 +341,27 @@ final class MetricStore(val root: String, val schema: StorageSchema,
 
   // ---- retention / maintenance -----------------------------------------
 
+  /** LSM compaction: rewrite a level with all superseded duplicate slots
+    * resolved (the cascade already compacts the partitions it rewrites;
+    * this is the maintenance pass for levels that only ever receive
+    * appends). Whole-level swap — run at admin cadence, per level.
+    * Returns rows removed.
+    */
+  def compact(i: Int): Long = {
+    val path = levelPath(i)
+    if (!hasData(path)) return 0L
+    val raw = spark.read.parquet(path)
+      .select(col("metric"), col("ts"), col("value"), col("arrival"))
+    val before = raw.count()
+    val resolved = lww(raw)
+    val staging = s"$path.__staging"
+    withPday(resolved).write.mode(SaveMode.Overwrite).partitionBy("pday").parquet(staging)
+    val fs = hadoopFs(path)
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(staging), new Path(path))
+    before - spark.read.parquet(path).count()
+  }
+
   /** Retention TTL: drop whole pday partitions entirely older than each
     * level's retention (replaces the ring buffer's silent overwrite;
     * fetch never returns data older than retention either way, matching

@@ -107,31 +107,44 @@ object Ingest {
     * (rurouni/writer.py:33-45 + kenshin/storage.py:429-445).
     */
   def start(lines: DataFrame, hot: HotCache, checkpoint: String,
-            nowFn: () => Long = () => System.currentTimeMillis() / 1000)(implicit spark: SparkSession): StreamingQuery = {
-    lines.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime("5 seconds"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        hot.processBatch(parseLines(batch), nowFn())
-        ()
-      }
-      .start()
-  }
+            nowFn: () => Long = () => System.currentTimeMillis() / 1000,
+            instr: Option[Instrumentation] = None)(implicit spark: SparkSession): StreamingQuery =
+    startWith(lines, hot, checkpoint, nowFn, instr, parseLines, malformedCount)
 
   /** Framed-batch streaming ingest (the pickle listener analog): same hot
     * path, frames instead of lines.
     */
   def startFrames(frames: DataFrame, hot: HotCache, checkpoint: String,
-                  nowFn: () => Long = () => System.currentTimeMillis() / 1000)(implicit spark: SparkSession): StreamingQuery = {
-    frames.writeStream
+                  nowFn: () => Long = () => System.currentTimeMillis() / 1000,
+                  instr: Option[Instrumentation] = None)(implicit spark: SparkSession): StreamingQuery =
+    startWith(frames, hot, checkpoint, nowFn, instr, parseFrames, malformedFrameCount)
+
+  private def startWith(src: DataFrame, hot: HotCache, checkpoint: String,
+                        nowFn: () => Long, instr: Option[Instrumentation],
+                        parse: DataFrame => DataFrame,
+                        countBad: DataFrame => Long): StreamingQuery =
+    src.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("5 seconds"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        hot.processBatch(parseFrames(batch), nowFn())
-        ()
+        val t0 = System.nanoTime()
+        val points = parse(batch).cache()
+        try {
+          // counters only cost extra jobs when instrumentation is attached
+          instr.foreach { ins =>
+            ins.incr("metricReceived", points.count().toDouble)
+            ins.incr("errors", countBad(batch).toDouble)
+          }
+          hot.processBatch(points, nowFn())
+          instr.foreach { ins =>
+            ins.incr("committedPoints", points.count().toDouble) // cached
+            ins.appendUpdateTime((System.nanoTime() - t0) / 1e9)
+          }
+        } finally {
+          points.unpersist()
+          ()
+        }
       }
       .start()
-  }
 }

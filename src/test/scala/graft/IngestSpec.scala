@@ -137,8 +137,9 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hot = new HotCache(store, 600, 0)
     val now = 1700003600L
     val mem = MemoryStream[String]
+    val instr = new graft.streaming.Instrumentation(hostname = "e2e", instance = "0")
     val q = Ingest.start(mem.toDF().withColumnRenamed("value", "line"), hot,
-      s"$root/st-ckpt", () => now)
+      s"$root/st-ckpt", () => now, Some(instr))
     try {
       mem.addData(
         s"m.a 1.5 ${now - 50}",
@@ -150,5 +151,9 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(("m.a", now - 50, 1.5)))
     assert(store.readLevel(0, 0, now).as[(String, Long, Double)].collect().toSet ==
       Set(("m.b", now - 2000, 2.5)))
+    // live counters: 2 parsed, 1 malformed, 2 committed, 1 update op
+    val stats = instr.drain(now).map(p => p._1.split("\\.").last -> p._3).toMap
+    assert(stats("metricReceived") == 2.0 && stats("errors") == 1.0)
+    assert(stats("committedPoints") == 2.0 && stats("updateOperations") == 1.0)
   }
 }

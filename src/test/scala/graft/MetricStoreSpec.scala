@@ -149,6 +149,18 @@ class MetricStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.readLevel(1, 0, nowTs + 86400).count() > 0)
   }
 
+  test("compact rewrites a level resolving superseded slots (LSM maintenance)") {
+    val store = new MetricStore(s"$root/s13", schema("s13", Seq(Archive(1, 60), Archive(3, 60))))
+    val t = nowTs - 5
+    store.writeBatch(Seq(("m", t, 1.0, 100L)).toDF("metric", "ts", "value", "arrival"), nowTs)
+    store.writeBatch(Seq(("m", t, 9.0, 200L)).toDF("metric", "ts", "value", "arrival"), nowTs)
+    assert(spark.read.parquet(s"$root/s13/s13/level_0").count() == 2)
+    assert(store.compact(0) == 1) // one superseded row removed
+    assert(spark.read.parquet(s"$root/s13/s13/level_0").count() == 1)
+    assert(store.readLevel(0, t, t + 1).as[(String, Long, Double)].collect().toSeq ==
+      Seq(("m", t, 9.0)))
+  }
+
   /** Port of the reference's 21-slot lost-point golden vector
     * (tests/test_storage.py:150-186): two updates with mtime-style dirty
     * tracking; the trailing incomplete xff unit must NOT be propagated.
