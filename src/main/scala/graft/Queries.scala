@@ -263,6 +263,57 @@ object Queries {
        |FROM ($MetricBaseSql) GROUP BY 1 ORDER BY ts""".stripMargin
   }
 
+  /** Sliding-window rollup (beyond the reference — §2.5 notes tumbling only;
+    * Spark's window(slide) gives this for free): 600s windows sliding every
+    * 300s, so each point lands in exactly 2 windows. Output keyed by the
+    * window start epoch.
+    */
+  def tsSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    metricStream(s, dir)
+      .groupBy(col("metric"),
+        window(timestamp_seconds(col("sec")), "600 seconds", "300 seconds"))
+      .agg(exactAvg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+      .select(col("metric"), unix_timestamp(col("window.start")).as("ws"),
+        col("avg_value"), col("n"))
+      .orderBy("metric", "ws")
+
+  val tsSlidingWindowSql: String =
+    s"""SELECT metric, ${alignSecSql(300)} - o AS ws,
+       |${exactAvgSql("value")} AS avg_value, COUNT(*) AS n
+       |FROM ($MetricBaseSql) CROSS JOIN (VALUES (0), (300)) offsets(o)
+       |GROUP BY 1, 2 ORDER BY metric, ws""".stripMargin
+
+  /** Session windows (beyond the reference): activity sessions per metric
+    * closed by a 30-minute silence gap. The oracle reproduces session
+    * boundaries with a gaps-and-islands cumulative sum — pinning that
+    * Spark's session_window semantics match the classical SQL construction.
+    */
+  val SessionGap: Long = 1800
+
+  def tsSessionWindow(s: SparkSession, dir: String): DataFrame =
+    metricStream(s, dir)
+      .groupBy(col("metric"), session_window(timestamp_seconds(col("sec")), s"$SessionGap seconds"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+      .select(col("metric"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n"), col("sum_value"))
+      .orderBy("metric", "session_start")
+
+  val tsSessionWindowSql: String =
+    s"""WITH base AS ($MetricBaseSql),
+       |marked AS (
+       |  SELECT metric, sec, ns, value,
+       |         CASE WHEN sec - LAG(sec) OVER (PARTITION BY metric ORDER BY sec, ns) > $SessionGap
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM base),
+       |islands AS (
+       |  SELECT metric, sec, value,
+       |         SUM(new_session) OVER (PARTITION BY metric ORDER BY sec, ns
+       |                                ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM marked)
+       |SELECT metric, MIN(sec) AS session_start, COUNT(*) AS n, ${exactSumSql("value")} AS sum_value
+       |FROM islands GROUP BY metric, session_id ORDER BY metric, session_start""".stripMargin
+
   /** Age-based cascade routing: each point lands in the finest archive whose
     * retention covers its age; older than all -> level -1 / dropped
     * (reference: kenshin/storage.py:397-419).

@@ -26,6 +26,8 @@ object SparkEntry {
     "ts_hot_view" -> (Queries.tsHotView _),
     "catalog_spine" -> (Queries.catalogSpine _),
     "blacklist_filter" -> (Queries.blacklistFilter _),
+    "ts_sliding_window" -> (Queries.tsSlidingWindow _),
+    "ts_session_window" -> (Queries.tsSessionWindow _),
     "pivot_export" -> (Queries.pivotExport _),
     "ts_age_route" -> (Queries.tsAgeRoute _),
     "ts_fetch_archive" -> (Queries.tsFetchArchive _),
@@ -65,6 +67,8 @@ object SparkEntry {
     "ts_hot_view" -> Queries.tsHotViewSql,
     "catalog_spine" -> Queries.catalogSpineSql,
     "blacklist_filter" -> Queries.blacklistFilterSql,
+    "ts_sliding_window" -> Queries.tsSlidingWindowSql,
+    "ts_session_window" -> Queries.tsSessionWindowSql,
     "pivot_export" -> Queries.pivotExportSql,
     "ts_age_route" -> Queries.tsAgeRouteSql,
     "ts_fetch_archive" -> Queries.tsFetchArchiveSql,
