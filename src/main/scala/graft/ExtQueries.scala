@@ -1,0 +1,175 @@
+package graft
+
+import graft.operators.{Joins, Sampling, Similarity, Sketches}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-2 extended operator surface: temporal joins, sketches, sampling,
+  * and the IVF ANN scale path — each oracle-checked like the core queries.
+  */
+object ExtQueries {
+
+  // ---- as-of join ------------------------------------------------------
+  /** For every click, the user's most recent purchase at-or-before it
+    * (backward as-of on the user key). One shuffle on user_id.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    // µs domain: DuckDB reads the nanos timestamps at µs precision, so the
+    // oracle can only see floor(ns/1000) — mirror that exactly (no µs-level
+    // collisions exist in the data, checked through sf0.1)
+    val ev = Queries.events(s, dir).withColumn("us", expr("ts DIV 1000"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("click_us"), col("value").as("click_value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("value"))
+    Joins.asOf(clicks, purchases, Seq("user_id"), "click_us", "us", Seq("us", "value"))
+      .orderBy("user_id", "click_us")
+  }
+
+  val asofJoinSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, value FROM events),
+      |u AS (
+      |  SELECT user_id, us AS ts, 0 AS side, NULL::DOUBLE AS click_value,
+      |         us AS r_us, value AS r_value
+      |  FROM ev WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, us, 1, value, NULL, NULL FROM ev WHERE event_type = 'click'),
+      |w AS (SELECT user_id, ts, side, click_value,
+      |        last_value(r_us IGNORE NULLS) OVER win AS asof_us,
+      |        last_value(r_value IGNORE NULLS) OVER win AS asof_value
+      |      FROM u
+      |      WINDOW win AS (PARTITION BY user_id ORDER BY ts, side ROWS UNBOUNDED PRECEDING))
+      |SELECT user_id, ts AS click_us, click_value, asof_us, asof_value
+      |FROM w WHERE side = 1 ORDER BY user_id, click_us""".stripMargin
+
+  // ---- range join ------------------------------------------------------
+  /** Clicks-before-error: for every error event, how many clicks (any user)
+    * landed in the preceding 5 minutes. Keyless interval×point join via
+    * bucket blocking; zero-count errors kept by re-joining counts to the
+    * interval side.
+    */
+  val RangeWinUs: Long = 300L * 1000000L
+
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.events(s, dir).withColumn("us", expr("ts DIV 1000"))
+    val errs = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("us").as("err_us"))
+      .withColumn("lo", col("err_us") - RangeWinUs)
+    val clicks = ev.where(col("event_type") === "click").select(col("us").as("click_us"))
+    val hits = Joins.rangePoints(errs, clicks,
+        col("lo"), col("err_us"), col("click_us"), RangeWinUs)
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_clicks"))
+    errs.select(col("event_id"), col("err_us"))
+      .join(hits, Seq("event_id"), "left")
+      .withColumn("n_clicks", coalesce(col("n_clicks"), lit(0L)))
+      .orderBy("event_id")
+  }
+
+  val rangeJoinSql: String =
+    s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS us, event_type FROM events),
+       |e AS (SELECT event_id, us AS err_us FROM ev WHERE event_type = 'error'),
+       |c AS (SELECT us AS click_us FROM ev WHERE event_type = 'click')
+       |SELECT e.event_id, e.err_us, COUNT(c.click_us) AS n_clicks
+       |FROM e LEFT JOIN c
+       |  ON c.click_us >= e.err_us - $RangeWinUs AND c.click_us < e.err_us
+       |GROUP BY 1, 2 ORDER BY event_id""".stripMargin
+
+  // ---- HLL approx distinct --------------------------------------------
+  /** Per event type: HLL estimate of distinct users (small range, bias
+    * correction active) and distinct event ids (raw estimator path), next
+    * to the exact counts — the error is part of the checked output.
+    */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.events(s, dir)
+    val g = Seq("event_type")
+    val users = Sketches.hllEstimate(
+      Sketches.hllRegisters(ev, g, col("user_id").cast("string")), g, "hll_users")
+    val ids = Sketches.hllEstimate(
+      Sketches.hllRegisters(ev, g, col("event_id").cast("string")), g, "hll_events")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_id")).as("n_events"))
+    exact.join(users, g).join(ids, g)
+      .select(col("event_type"), col("n_users"), col("hll_users"),
+        col("n_events"), col("hll_events"))
+      .orderBy("event_type")
+  }
+
+  val hllDistinctSql: String = {
+    val users = Sketches.hllEstimateSql("events", "event_type",
+      "CAST(user_id AS VARCHAR)", "hll_users")
+    val ids = Sketches.hllEstimateSql("events", "event_type",
+      "CAST(event_id AS VARCHAR)", "hll_events")
+    s"""WITH exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+       |                      COUNT(DISTINCT event_id) AS n_events
+       |               FROM events GROUP BY 1),
+       |hu AS $users,
+       |he AS $ids
+       |SELECT exact.event_type, n_users, hll_users, n_events, hll_events
+       |FROM exact JOIN hu ON exact.event_type = hu.event_type
+       |           JOIN he ON exact.event_type = he.event_type
+       |ORDER BY exact.event_type""".stripMargin
+  }
+
+  // ---- IVF ANN ---------------------------------------------------------
+  val IvfCentroids = 16
+  val IvfProbe = 2
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Queries.table(s, dir, "embeddings")
+    Similarity.ivfAnn(emb, emb.where(col("vec_id") < PipelineQueries.NumQueryVecs),
+        PipelineQueries.KnnK, IvfCentroids, IvfProbe)
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroids),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+       |probe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, c.cid AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN cents c WHERE e.vec_id < ${PipelineQueries.NumQueryVecs})
+       |  WHERE rn <= $IvfProbe),
+       |cand AS (SELECT p.query_id, a.vec_id AS nbr_id
+       |         FROM probe p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.vec_id),
+       |scored AS (SELECT cand.query_id, cand.nbr_id,
+       |                  round(list_cosine_similarity(eq.v, ec.v), 6) AS cos
+       |           FROM cand JOIN e eq ON cand.query_id = eq.vec_id
+       |                     JOIN e ec ON cand.nbr_id = ec.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY cos DESC, nbr_id) AS rank FROM scored)
+       |SELECT query_id, nbr_id, cos, rank FROM ranked WHERE rank <= ${PipelineQueries.KnnK}
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ---- stratified sample ----------------------------------------------
+  /** Rebalance the corpus: downsample the dominant language, keep the rest.
+    * Deterministic hash sample — same rows on every engine/run/split.
+    */
+  val SampleRates: Seq[(String, Double)] = Seq("en" -> 0.25)
+  val SampleDefaultRate = 0.8
+  val SampleSalt = "smpl"
+
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(Queries.table(s, dir, "documents"),
+        col("doc_id"), col("lang"), SampleRates, SampleDefaultRate, SampleSalt)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  val sampleStratifiedSql: String = {
+    val b = Sampling.bucketOfSql("doc_id", SampleSalt)
+    val thresh = SampleRates.foldRight(s"${(SampleDefaultRate * Sampling.Den).toLong}") {
+      case ((k, r), acc) => s"CASE WHEN lang = '$k' THEN ${(r * Sampling.Den).toLong} ELSE $acc END"
+    }
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE $b < $thresh
+       |ORDER BY doc_id""".stripMargin
+  }
+}

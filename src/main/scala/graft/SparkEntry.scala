@@ -54,6 +54,12 @@ object SparkEntry {
     "text_tokens" -> (PipelineQueries.textTokens _),
     "doc_fingerprint" -> (PipelineQueries.docFingerprint _),
     "multimodal_meta" -> (PipelineQueries.multimodalMeta _),
+    // extended operators (round 2): temporal joins, sketches, sampling, IVF
+    "asof_join" -> (ExtQueries.asofJoin _),
+    "range_join" -> (ExtQueries.rangeJoin _),
+    "hll_distinct" -> (ExtQueries.hllDistinct _),
+    "ann_ivf" -> (ExtQueries.annIvf _),
+    "sample_stratified" -> (ExtQueries.sampleStratified _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -93,5 +99,10 @@ object SparkEntry {
     "text_tokens" -> PipelineQueries.textTokensSql,
     "doc_fingerprint" -> PipelineQueries.docFingerprintSql,
     "multimodal_meta" -> PipelineQueries.multimodalMetaSql,
+    "asof_join" -> ExtQueries.asofJoinSql,
+    "range_join" -> ExtQueries.rangeJoinSql,
+    "hll_distinct" -> ExtQueries.hllDistinctSql,
+    "ann_ivf" -> ExtQueries.annIvfSql,
+    "sample_stratified" -> ExtQueries.sampleStratifiedSql,
   )
 }

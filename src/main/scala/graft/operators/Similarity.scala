@@ -136,6 +136,55 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of K centroid vectors
+    * partitions the corpus into K cells (cell = argmax-cosine centroid); a
+    * query is scored only against its `nprobe` nearest cells. This is the
+    * classic scale path when even LSH cell occupancy is too coarse: the
+    * corpus shuffles ONCE on its cell id, per-query work is
+    * nprobe/K of the corpus, and the centroid table stays broadcast-sized.
+    *
+    * Centroids are the first `numCentroids` corpus vectors (vec_id <
+    * numCentroids) — a deterministic seeding the SQL oracle reproduces;
+    * k-means iterations would move them but not change the access path.
+    * Recall vs bruteForceKnn is pinned by SimilaritySpec.
+    */
+  def ivfAnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             numCentroids: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus.where(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    val e = corpus.select(col("vec_id").as("nbr_id"), asDouble(col("embedding")).as("cvec"))
+      .withColumn("cn", norm(col("cvec")))
+    // corpus→cell assignment: map-side K-way fanout + partial-aggregating
+    // argmax (min over (-cos, cid) structs), never a window over K*N rows
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("score", dot(col("cvec"), col("cv")) / (col("cn") * col("cnrm")))
+      .groupBy(col("nbr_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("cid").as("cid"))).as("m"),
+        first(col("cvec")).as("cvec"), first(col("cn")).as("cn"))
+      .select(col("nbr_id"), col("cvec"), col("cn"), col("m.cid").as("cell"))
+    // query→nprobe nearest cells (Q is small; the window is per-query over K rows)
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("qs").desc, col("cid").asc)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
+      .withColumn("qn", norm(col("qvec")))
+      .crossJoin(broadcast(cents))
+      .withColumn("qs", dot(col("qvec"), col("cv")) / (col("qn") * col("cnrm")))
+      .withColumn("rn", row_number().over(qw))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("qn"), col("cid").as("cell"))
+    // a corpus vector lives in exactly one cell, so each (query, nbr) pair
+    // meets at most once — no dedup needed before scoring
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs, LSH-blocked (the scale path, and the
     * oracle-checked one): all (a < b) sharing an LSH cell in at least one of
     * T tables with cosine >= threshold. Candidates are generated slim

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic cardinality sketches. Spark's approx_count_distinct is the
+  * production choice when the answer only has to be close; this HLL is
+  * hash-portable (md5-derived, same bits in DuckDB SQL) so the oracle gate
+  * can hash-compare the ESTIMATE itself — and it doubles as the mergeable
+  * sketch pattern: the register table is the sketch state, groupBy(max) is
+  * the merge, so partial sketches from shards/days combine associatively
+  * exactly like the reference's per-file rollups.
+  *
+  * Layout (classic HLL, Flajolet et al. 2007): a 32-bit hash splits into a
+  * P-bit register index (low bits) and a (32-P)-bit suffix w; the register
+  * keeps max(rank) where rank = leading-zeros-of-w + 1 = (32-P+1) -
+  * bitlength(w). Bitlength via length(bin(w)) — exact integer ops on both
+  * engines, no float log2 whose last-ulp could diverge cross-engine.
+  */
+object Sketches {
+
+  val P = 8
+  val M: Int = 1 << P            // 256 registers
+  val SuffixBits: Int = 32 - P   // 24
+  val MaxRank: Int = SuffixBits + 1
+
+  /** alpha_m bias constant (m >= 128). Emitted as a literal into both the
+    * Spark plan and the oracle SQL so the doubles agree bit-for-bit.
+    */
+  val Alpha: Double = 0.7213 / (1 + 1.079 / M)
+
+  /** Register table: one row per (groups..., reg) with the max rank seen.
+    * This is the mergeable sketch state — union register tables and
+    * groupBy(max) to merge.
+    */
+  def hllRegisters(df: DataFrame, groups: Seq[String], value: Column): DataFrame = {
+    val h = Dedup.h32(value)
+    df.select(groups.map(col) :+ h.as("__h"): _*)
+      .select(groups.map(col) ++ Seq(
+        col("__h").bitwiseAND(lit((M - 1).toLong)).as("reg"),
+        shiftright(col("__h"), P).as("__w")): _*)
+      .withColumn("rank",
+        when(col("__w") === 0, lit(MaxRank))
+          .otherwise(lit(MaxRank) - length(bin(col("__w")))))
+      .groupBy(groups.map(col) :+ col("reg"): _*)
+      .agg(max(col("rank")).as("m_rank"))
+  }
+
+  /** 2^(MaxRank - rank) as exact integer via a rank CASE — the scaled
+    * harmonic-sum term (scaling by 2^MaxRank keeps the register sum in
+    * exact long arithmetic, so it is order-independent; a float pow(2,-r)
+    * could differ in the last ulp between engines).
+    */
+  private def termScaled(rank: Column): Column =
+    (1 to MaxRank).foldLeft(lit(null).cast("long")) { (acc, r) =>
+      when(rank === r, lit(1L << (MaxRank - r))).otherwise(acc)
+    }
+
+  def termScaledSql(rank: String): String =
+    s"CASE $rank " +
+      (1 to MaxRank).map(r => s"WHEN $r THEN ${1L << (MaxRank - r)}").mkString(" ") +
+      " END"
+
+  /** Estimate per group from a register table. Raw HLL estimate
+    * alpha*m^2/sum(2^-rank) with the paper's small-range correction
+    * E <= 2.5m && V>0 -> m*ln(m/V) (V = never-touched registers).
+    * Output: (groups..., est double).
+    */
+  def hllEstimate(regs: DataFrame, groups: Seq[String], out: String): DataFrame = {
+    val scale = 1L << MaxRank
+    regs.groupBy(groups.map(col): _*)
+      .agg(sum(termScaled(col("m_rank"))).as("__s"), count(lit(1)).as("__n"))
+      .withColumn("__raw",
+        lit(Alpha * M.toDouble * M.toDouble * scale.toDouble) /
+          (col("__s") + (lit(M.toLong) - col("__n")) * lit(scale)).cast("double"))
+      .withColumn("__v", lit(M.toLong) - col("__n"))
+      .withColumn(out,
+        round(when(col("__raw") <= 2.5 * M && col("__v") > 0,
+          lit(M.toDouble) * log(lit(M).cast("double") / col("__v")))
+          .otherwise(col("__raw")), 4))
+      .select(groups.map(col) :+ col(out): _*)
+  }
+
+  /** The full DuckDB mirror of hllRegisters+hllEstimate as a SQL fragment:
+    * estimates distinct `valueSql` per `groupCol` over `src`.
+    */
+  def hllEstimateSql(src: String, groupCol: String, valueSql: String, out: String): String = {
+    val scale = 1L << MaxRank
+    s"""(WITH hh AS (SELECT $groupCol, ('0x'||substr(md5($valueSql),1,8))::BIGINT AS h FROM $src),
+       |rw AS (SELECT $groupCol, h & ${M - 1} AS reg, h >> $P AS w FROM hh),
+       |rk AS (SELECT $groupCol, reg,
+       |              CASE WHEN w = 0 THEN $MaxRank ELSE $MaxRank - length(bin(w)) END AS rank
+       |       FROM rw),
+       |regs AS (SELECT $groupCol, reg, MAX(rank) AS m_rank FROM rk GROUP BY 1, 2),
+       |acc AS (SELECT $groupCol, SUM(${termScaledSql("m_rank")}) AS s, COUNT(*) AS n
+       |        FROM regs GROUP BY 1),
+       |est AS (SELECT $groupCol,
+       |               (CAST($Alpha AS DOUBLE) * $M.0 * $M.0 * $scale.0) / CAST(s + ($M - n) * $scale AS DOUBLE) AS raw,
+       |               $M - n AS v
+       |        FROM acc)
+       |SELECT $groupCol,
+       |       round(CASE WHEN raw <= ${2.5 * M} AND v > 0 THEN $M.0 * ln($M.0 / v)
+       |                  ELSE raw END, 4) AS $out
+       |FROM est)""".stripMargin
+  }
+}

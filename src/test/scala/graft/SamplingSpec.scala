@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic-sampling gates: exact reproducibility (the property
+  * df.sample() lacks), stability under repartitioning, and per-stratum rate
+  * accuracy.
+  */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  lazy val docs = (1 to 20000).map(i => (i.toLong, if (i % 4 == 0) "en" else "de"))
+    .toDF("doc_id", "lang")
+
+  test("identical row set on re-evaluation and under repartitioning") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratified(df, col("doc_id"), col("lang"), Seq("en" -> 0.25), 0.8)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    val base = ids(docs)
+    assert(ids(docs) == base)
+    assert(ids(docs.repartition(17)) == base)
+  }
+
+  test("per-stratum rates within 3% of target") {
+    val sampled = Sampling.stratified(docs, col("doc_id"), col("lang"),
+      Seq("en" -> 0.25), 0.8)
+    val rates = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val en = rates("en") / 5000.0     // 5000 en docs
+    val de = rates("de") / 15000.0    // 15000 de docs
+    assert(math.abs(en - 0.25) < 0.03, s"en rate $en")
+    assert(math.abs(de - 0.80) < 0.03, s"de rate $de")
+  }
+
+  test("same salt gives consistent membership across tables") {
+    val other = docs.select(col("doc_id"), lit("de").as("lang"))
+    val a = Sampling.stratified(docs.where(col("lang") === "de"), col("doc_id"),
+      col("lang"), Seq(), 0.5).select("doc_id").as[Long].collect().toSet
+    val b = Sampling.stratified(other.where(col("doc_id") % 4 =!= 0), col("doc_id"),
+      col("lang"), Seq(), 0.5).select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+}

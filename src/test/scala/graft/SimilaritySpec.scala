@@ -49,6 +49,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"ANN recall@$k = $recall")
   }
 
+  test("IVF ANN recall@5 vs brute force (sf0.01) hits its floor") {
+    val queries = emb.where(col("vec_id") < PipelineQueries.NumQueryVecs)
+    val k = PipelineQueries.KnnK
+    val exact = Similarity.bruteForceKnn(emb, queries, k)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfAnn(emb, queries, k,
+        ExtQueries.IvfCentroids, ExtQueries.IvfProbe)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall@$k = $recall")
+  }
+
   test("blocked near-dup recall >= 0.9 vs exhaustive (sf0.01)") {
     val thr = PipelineQueries.CosineThreshold
     val exact = Similarity.cosineNearDupPairsExhaustive(emb, thr)

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HLL sketch quality + mergeability gates. */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("estimate within 10% at 5k distinct (raw path) and 150 distinct (corrected path)") {
+    val big = (1 to 5000).map(i => ("g", s"v$i")).toDF("g", "x")
+    val bigEst = Sketches.hllEstimate(
+      Sketches.hllRegisters(big, Seq("g"), col("x")), Seq("g"), "est")
+      .head().getDouble(1)
+    assert(math.abs(bigEst - 5000) / 5000.0 < 0.10, s"raw-path estimate $bigEst")
+
+    val small = (1 to 150).map(i => ("g", s"u$i")).toDF("g", "x")
+    val smallEst = Sketches.hllEstimate(
+      Sketches.hllRegisters(small, Seq("g"), col("x")), Seq("g"), "est")
+      .head().getDouble(1)
+    assert(math.abs(smallEst - 150) / 150.0 < 0.10, s"corrected-path estimate $smallEst")
+  }
+
+  test("register tables merge associatively: union+max == whole") {
+    val a = (1 to 800).map(i => ("g", s"v$i")).toDF("g", "x")
+    val b = (500 to 1200).map(i => ("g", s"v$i")).toDF("g", "x")  // overlapping
+    val whole = Sketches.hllRegisters(a.union(b), Seq("g"), col("x"))
+    val merged = Sketches.hllRegisters(a, Seq("g"), col("x"))
+      .union(Sketches.hllRegisters(b, Seq("g"), col("x")))
+      .groupBy(col("g"), col("reg")).agg(max(col("m_rank")).as("m_rank"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
+  test("estimate is insensitive to duplication (set semantics)") {
+    val once = (1 to 1000).map(i => ("g", s"v$i")).toDF("g", "x")
+    val thrice = once.union(once).union(once)
+    val e1 = Sketches.hllEstimate(
+      Sketches.hllRegisters(once, Seq("g"), col("x")), Seq("g"), "est").head().getDouble(1)
+    val e3 = Sketches.hllEstimate(
+      Sketches.hllRegisters(thrice, Seq("g"), col("x")), Seq("g"), "est").head().getDouble(1)
+    assert(e1 == e3)
+  }
+}
