@@ -13,9 +13,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: JIT, codegen, FS metadata — outside the timed region
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => () }
+    // warm-up: JIT, codegen, FS metadata, the noop-write path, and the
+    // expression machinery the query suite leans on (regex, md5/conv, sort,
+    // window, explode, decimal agg) — all outside the timed region, so the
+    // per-query numbers measure the engine at steady state, not first-use
+    // JVM compilation
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+        .write.format("noop").mode("overwrite").save()
+      spark.range(1000)
+        .select(col("id"), col("id").cast("string").as("s"))
+        .select(col("id"),
+          conv(substring(md5(regexp_replace(lower(trim(col("s"))), "\\s+", " ")), 1, 8), 16, 10)
+            .cast("long").as("h"),
+          explode(sequence(lit(0L), pmod(col("id"), lit(3L)))).as("e"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(pmod(col("id"), lit(7L))).orderBy(col("h"))))
+        .groupBy(col("e"))
+        .agg(sum(col("h").cast("decimal(18,2)")).cast("double").as("v"), count(lit(1)).as("n"))
+        .orderBy(col("e"))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output column (a bare count() would let

@@ -92,44 +92,46 @@ object PipelineQueries {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Queries.table(s, dir, "documents")).orderBy("doc_id")
 
-  val dedupSimhashSql: String = {
-    val bitSums = (0 until 32)
-      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
-    val recompose = (0 until 32)
+  /** DuckDB mirror of Dedup.simhash (60-bit, split md5 halves). */
+  private def dedupSimhashSqlInner: String = {
+    val bitSums = (0 until Dedup.SimhashBits).map { j =>
+      val src = if (j < 32) s"(hlo >> $j)" else s"(hhi >> ${j - 32})"
+      s"SUM(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(", ")
+    val recompose = (0 until Dedup.SimhashBits)
       .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
     s"""WITH $toksSql,
        |tok AS (SELECT doc_id, unnest(list_distinct(t)) AS token FROM toks),
-       |h AS (SELECT doc_id, ${h32Sql("token")} AS h FROM tok),
+       |h AS (SELECT doc_id, ('0x'||substr(md5(token),1,8))::BIGINT AS hlo,
+       |             ('0x'||substr(md5(token),9,8))::BIGINT AS hhi FROM tok),
        |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
-       |SELECT doc_id, $recompose AS simhash FROM bits ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, $recompose AS simhash FROM bits""".stripMargin
   }
 
+  val dedupSimhashSql: String = s"$dedupSimhashSqlInner ORDER BY doc_id"
+
+  val SimhashBucketCap = 1000
+
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDupPairs(Queries.table(s, dir, "documents"), 3).orderBy("a", "b")
+    Dedup.simhashNearDupPairs(Queries.table(s, dir, "documents"), 3, SimhashBucketCap)
+      .orderBy("a", "b")
 
   val dedupSimhashPairsSql: String = {
-    val bands = (0 until 4)
-      .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS band_key FROM sig")
+    val bands = (0 until Dedup.SimhashBands)
+      .map(b => s"SELECT doc_id, simhash, $b AS band, " +
+        s"(simhash >> ${b * Dedup.SimhashBandBits}) & ${Dedup.SimhashBandMask} AS band_key FROM sig")
       .mkString(" UNION ALL ")
     s"""WITH sig AS ($dedupSimhashSqlInner),
-       |banded AS ($bands),
+       |banded0 AS ($bands),
+       |banded AS (SELECT banded0.* FROM banded0
+       |           JOIN (SELECT band, band_key, COUNT(*) AS c FROM banded0 GROUP BY 1, 2) bc
+       |             ON banded0.band = bc.band AND banded0.band_key = bc.band_key
+       |           WHERE bc.c <= $SimhashBucketCap),
        |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS sa, r.simhash AS sb
        |         FROM banded l JOIN banded r
        |           ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
        |SELECT a, b, bit_count(xor(sa, sb)) AS hamming FROM cand
        |WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin
-  }
-
-  private def dedupSimhashSqlInner: String = {
-    val bitSums = (0 until 32)
-      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
-    val recompose = (0 until 32)
-      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-    s"""WITH $toksSql,
-       |tok AS (SELECT doc_id, unnest(list_distinct(t)) AS token FROM toks),
-       |h AS (SELECT doc_id, ${h32Sql("token")} AS h FROM tok),
-       |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
-       |SELECT doc_id, $recompose AS simhash FROM bits""".stripMargin
   }
 
   // ---- embedding near-dup + knn -----------------------------------------
@@ -290,9 +292,9 @@ object PipelineQueries {
 
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     Queries.table(s, dir, "documents")
-      .select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp"),
-        TextAnalysis.fingerprint32(col("text")).as("fp32"))
+      // fp32 derives from the fp column so the regex+md5 runs once per doc
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .withColumn("fp32", conv(substring(col("fp"), 1, 8), 16, 10).cast("long"))
       .orderBy("doc_id")
 
   val docFingerprintSql: String =

@@ -154,35 +154,66 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** 32-bit SimHash over unigram tokens: bit j of the result is 1 iff the
-    * sum over distinct tokens of (+1 if bit j of h32(token) else -1) is
-    * positive. Output: (doc_id, simhash long). One groupBy(doc_id) shuffle.
+  /** SimHash width: 60 bits (not 64 — bit 63 would flip the long's sign and
+    * make arithmetic-shift band extraction engine-dependent, and a 60-bit
+    * recompose sum stays safely inside BIGINT on both engines). 4 bands of
+    * 15 bits -> 32768 buckets per band: at corpus scale the 256-bucket
+    * 8-bit banding saturates (every bucket holds n/256 docs and the
+    * candidate join re-quadratizes — 9.5M candidate rows at just 5k docs).
+    */
+  val SimhashBits = 60
+  val SimhashBands = 4
+  val SimhashBandBits: Int = SimhashBits / SimhashBands // 15
+  val SimhashBandMask: Int = (1 << SimhashBandBits) - 1
+
+  /** 60-bit SimHash over unigram tokens: bit j of the result is 1 iff the
+    * sum over distinct tokens of (+1 if bit j of the token hash else -1) is
+    * positive. The token hash takes 60 of md5's 128 bits: bits 0..31 from
+    * hex chars 1-8, bits 32..59 from chars 9-16 — one digest per token.
+    * Output: (doc_id, simhash long). One groupBy(doc_id) shuffle.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
-    val h = tok.withColumn("h", h32(col("token")))
-    val bitSums = (0 until 32).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    val h = tok.withColumn("__dg", md5(col("token")))
+      .select(col("doc_id"),
+        conv(substring(col("__dg"), 1, 8), 16, 10).cast("long").as("hlo"),
+        conv(substring(col("__dg"), 9, 8), 16, 10).cast("long").as("hhi"))
+    def bitOf(j: Int): Column =
+      if (j < 32) shiftright(col("hlo"), j) else shiftright(col("hhi"), j - 32)
+    val bitSums = (0 until SimhashBits).map { j =>
+      sum(when(bitOf(j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }
     h.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 32).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        (0 until SimhashBits).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= maxDist, using 8-bit
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, using 15-bit
     * band blocking (4 bands; any pair within distance 3 must agree on at
     * least one band by pigeonhole when maxDist < 4). Avoids the O(n^2)
-    * cross join.
+    * cross join, and the 2^15 bucket space keeps cell occupancy sub-linear
+    * far past the point where 8-bit bands re-quadratize.
     */
-  def simhashNearDupPairs(docs: DataFrame, maxDist: Int): DataFrame = {
-    require(maxDist < 4, "4-band blocking guarantees recall only for maxDist <= 3")
+  def simhashNearDupPairs(docs: DataFrame, maxDist: Int,
+                          bucketCap: Int = 1000): DataFrame = {
+    require(maxDist < SimhashBands,
+      s"$SimhashBands-band blocking guarantees recall only for maxDist <= ${SimhashBands - 1}")
     val sh = simhash(docs).cache() // one row per doc; see minhashLshPairs
-    val banded = sh.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("simhash"), b * 8).bitwiseAND(0xff)): _*)))
+    val banded0 = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until SimhashBands).map(b =>
+          shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(SimhashBandMask)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    // mega-bucket guard (same rationale as minhashLshPairs' bucketCap): a
+    // band bucket of k docs emits k^2/2 candidates; boilerplate-heavy
+    // corpora concentrate near-identical simhashes into one bucket and
+    // re-quadratize the join. Pairs inside a dropped bucket still collide
+    // in their other 3 bands unless they disagree there too.
+    val banded = banded0.join(
+      banded0.groupBy(col("band"), col("band_key")).count()
+        .where(col("count") <= bucketCap).drop("count"),
+      Seq("band", "band_key"))
     val pairs = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
           col("l.doc_id") < col("r.doc_id"))
