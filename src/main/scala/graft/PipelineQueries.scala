@@ -40,7 +40,7 @@ object PipelineQueries {
   val MinhashBucketCap = 100
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(Queries.table(s, dir, "documents"), 3, MinhashBands, MinhashRows,
+    Dedup.minhashLshPairs(Queries.spread(Queries.table(s, dir, "documents")), 3, MinhashBands, MinhashRows,
         MinhashBucketCap)
       .orderBy("a", "b")
 
@@ -70,7 +70,7 @@ object PipelineQueries {
   val JaccardDfCap = 100
 
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Queries.table(s, dir, "documents"), 3, JaccardMin, JaccardDfCap)
+    Dedup.ngramJaccardPairs(Queries.spread(Queries.table(s, dir, "documents")), 3, JaccardMin, JaccardDfCap)
       .orderBy("a", "b")
 
   val dedupNgramJaccardSql: String =
@@ -90,7 +90,7 @@ object PipelineQueries {
 
   // ---- simhash ---------------------------------------------------------
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(Queries.table(s, dir, "documents")).orderBy("doc_id")
+    Dedup.simhash(Queries.spread(Queries.table(s, dir, "documents"))).orderBy("doc_id")
 
   /** DuckDB mirror of Dedup.simhash (60-bit, split md5 halves). */
   private def dedupSimhashSqlInner: String = {
@@ -113,7 +113,7 @@ object PipelineQueries {
   val SimhashBucketCap = 1000
 
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDupPairs(Queries.table(s, dir, "documents"), 3, SimhashBucketCap)
+    Dedup.simhashNearDupPairs(Queries.spread(Queries.table(s, dir, "documents")), 3, SimhashBucketCap)
       .orderBy("a", "b")
 
   val dedupSimhashPairsSql: String = {
@@ -162,7 +162,7 @@ object PipelineQueries {
     }.mkString(" UNION ALL ")
 
   def embedCosineNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(Queries.table(s, dir, "embeddings"), CosineThreshold, AnnTables)
+    Similarity.cosineNearDupPairs(Queries.spread(Queries.table(s, dir, "embeddings")), CosineThreshold, AnnTables)
       .orderBy("a", "b")
 
   val embedCosineNearDupSql: String =
@@ -180,7 +180,7 @@ object PipelineQueries {
   val NumQueryVecs = 10
 
   def knnBruteForce(s: SparkSession, dir: String): DataFrame = {
-    val emb = Queries.table(s, dir, "embeddings")
+    val emb = Queries.spread(Queries.table(s, dir, "embeddings"))
     Similarity.bruteForceKnn(emb, emb.where(col("vec_id") < NumQueryVecs), KnnK)
       .orderBy("query_id", "rank")
   }
@@ -197,7 +197,7 @@ object PipelineQueries {
        |ORDER BY query_id, rank""".stripMargin
 
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val emb = Queries.table(s, dir, "embeddings")
+    val emb = Queries.spread(Queries.table(s, dir, "embeddings"))
     Similarity.lshAnn(emb, emb.where(col("vec_id") < NumQueryVecs), KnnK, AnnTables)
       .orderBy("query_id", "rank")
   }

@@ -36,6 +36,18 @@ object Queries {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Parallelism guard for hash/explode-heavy operators: the local test
+    * files arrive as a single parquet split (one row group), which would
+    * serialize CPU-bound per-row work (md5, shingling, vector math) on one
+    * core. Fires only when the scan is under-split — at scale inputs have
+    * >= defaultParallelism splits and this is a no-op, never a blind full
+    * shuffle of a well-split corpus.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as a raw
     * long; we want that anyway — ns longs give exact last-write-wins
     * ordering and exact second flooring (`ts DIV 1e9`). Requires
