@@ -317,7 +317,7 @@ object PipelineQueries {
   // ---- part/lineitem brand rollup (adds `part` coverage) -----------------
   def partBrandRevenue(s: SparkSession, dir: String): DataFrame = {
     val part = Queries.table(s, dir, "part").where(col("p_type") === "ECONOMY")
-    Queries.table(s, dir, "lineitem")
+    Queries.spread(Queries.table(s, dir, "lineitem"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(

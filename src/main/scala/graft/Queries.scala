@@ -410,7 +410,7 @@ object Queries {
 
   /** Pricing-summary aggregation (scan + filter + wide agg; decimal-exact). */
   def q1Pricing(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "lineitem")
+    spread(table(s, dir, "lineitem"))
       .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -448,7 +448,7 @@ object Queries {
     val cust = table(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
     val ord = table(s, dir, "orders")
       .where(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
-    val li = table(s, dir, "lineitem")
+    val li = spread(table(s, dir, "lineitem"))
       .where(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
@@ -480,7 +480,7 @@ object Queries {
     val ord = table(s, dir, "orders")
       .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
         col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
-    val li = table(s, dir, "lineitem")
+    val li = spread(table(s, dir, "lineitem"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(supp,
