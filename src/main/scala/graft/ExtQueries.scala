@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Joins, Sampling, Similarity, Sketches}
+import graft.operators.{Joins, Quantiles, Sampling, Similarity, Sketches}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -148,6 +148,18 @@ object ExtQueries {
        |             ORDER BY cos DESC, nbr_id) AS rank FROM scored)
        |SELECT query_id, nbr_id, cos, rank FROM ranked WHERE rank <= ${PipelineQueries.KnnK}
        |ORDER BY query_id, rank""".stripMargin
+
+  // ---- exact grouped quantiles ----------------------------------------
+  val QuantilePcts: Seq[Int] = Seq(25, 50, 75, 95)
+
+  def quantileSummary(s: SparkSession, dir: String): DataFrame =
+    Quantiles.groupQuantiles(Queries.events(s, dir), Seq("event_type"),
+        col("value"), QuantilePcts)
+      .orderBy("event_type")
+
+  val quantileSummarySql: String =
+    Quantiles.groupQuantilesSql("(SELECT event_type, value AS v FROM events)",
+      "event_type", QuantilePcts) + " ORDER BY event_type"
 
   // ---- stratified sample ----------------------------------------------
   /** Rebalance the corpus: downsample the dominant language, keep the rest.

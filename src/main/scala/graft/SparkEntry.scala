@@ -59,6 +59,7 @@ object SparkEntry {
     "range_join" -> (ExtQueries.rangeJoin _),
     "hll_distinct" -> (ExtQueries.hllDistinct _),
     "ann_ivf" -> (ExtQueries.annIvf _),
+    "quantile_summary" -> (ExtQueries.quantileSummary _),
     "sample_stratified" -> (ExtQueries.sampleStratified _),
   )
 
@@ -103,6 +104,7 @@ object SparkEntry {
     "range_join" -> ExtQueries.rangeJoinSql,
     "hll_distinct" -> ExtQueries.hllDistinctSql,
     "ann_ivf" -> ExtQueries.annIvfSql,
+    "quantile_summary" -> ExtQueries.quantileSummarySql,
     "sample_stratified" -> ExtQueries.sampleStratifiedSql,
   )
 }
