@@ -84,6 +84,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cg.contains("WholeStageCodegen") && !cg.contains("Found 0 WholeStageCodegen"), cg.take(500))
   }
 
+  test("IVF ANN broadcasts only the centroid table, never the corpus") {
+    val plan = planOf(ExtQueries.annIvf(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the K-centroid side rides broadcast joins; the corpus side must not
+    // appear under a BroadcastExchange (it would OOM the driver at scale)
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(broadcasts >= 1, s"expected broadcast centroid fanout:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_"),
+      s"cell argmax must partial-aggregate map-side:\n$plan")
+  }
+
+  test("HLL registers partial-aggregate before the exchange (mergeable sketch)") {
+    val plan = planOf(ExtQueries.hllDistinct(spark, sfDir))
+    assert(plan.contains("partial_max"), s"register max must be partial:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("stratified sample is a narrow codegen'd filter (no shuffle, no UDF)") {
+    val df = graft.operators.Sampling.stratified(
+      Queries.table(spark, sfDir, "documents"),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("lang"), Seq("en" -> 0.25), 0.8)
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+  }
+
   test("LSH near-dup candidate join is an equi-join on (tbl, bucket), not a theta join") {
     val plan = planOf(PipelineQueries.embedCosineNearDup(spark, sfDir))
     // the candidate generator must hash-join on the LSH cell; the only
