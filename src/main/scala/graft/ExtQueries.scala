@@ -149,6 +149,59 @@ object ExtQueries {
        |SELECT query_id, nbr_id, cos, rank FROM ranked WHERE rank <= ${PipelineQueries.KnnK}
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- count-min heavy hitters ----------------------------------------
+  /** Per event type: top-K users by CMS-estimated event count, with the
+    * exact count beside it (the CMS estimate is an upper bound; its error
+    * is part of the checked output). Sketch state is mergeable by SUM like
+    * the HLL register table; the probe joins the sketch, not the raw data.
+    */
+  val CmsTopK = 5
+
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Queries.events(s, dir)
+    val g = Seq("event_type")
+    val sketch = Sketches.cmsSketch(ev, g, col("user_id").cast("string"))
+    val items = ev.select(col("event_type"), col("user_id")).distinct()
+      .withColumn("u", col("user_id").cast("string"))
+    val est = Sketches.cmsEstimate(sketch, items.select(col("event_type"), col("u")),
+        g, col("u"), "est")
+      .withColumn("user_id", col("item").cast("long")).drop("item")
+    val exact = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("est").desc, col("user_id").asc)
+    est.join(exact, Seq("event_type", "user_id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= CmsTopK)
+      .select(col("event_type"), col("user_id"), col("est"), col("n_exact"), col("rank"))
+      .orderBy("event_type", "rank")
+  }
+
+  val cmsHeavyHittersSql: String = {
+    def probeRows(src: String): String =
+      (0 until Sketches.CmsDepth).map { r =>
+        s"SELECT event_type, u, $r AS row, ${Sketches.cmsBucketSql(r, "u")} AS bucket FROM $src"
+      }.mkString(" UNION ALL ")
+    s"""WITH ev AS (SELECT event_type, user_id, CAST(user_id AS VARCHAR) AS u FROM events),
+       |state AS (SELECT event_type, row, bucket, COUNT(*) AS c
+       |          FROM (${probeRows("ev")}) GROUP BY 1, 2, 3),
+       |items AS (SELECT DISTINCT event_type, u FROM ev),
+       |probes AS (${probeRows("items")}),
+       |est AS (SELECT p.event_type, CAST(p.u AS BIGINT) AS user_id, MIN(s.c) AS est
+       |        FROM probes p JOIN state s
+       |          ON p.event_type = s.event_type AND p.row = s.row AND p.bucket = s.bucket
+       |        GROUP BY 1, 2),
+       |exact AS (SELECT event_type, user_id, COUNT(*) AS n_exact FROM events GROUP BY 1, 2),
+       |ranked AS (SELECT est.event_type, est.user_id, est, n_exact,
+       |                  ROW_NUMBER() OVER (PARTITION BY est.event_type
+       |                    ORDER BY est DESC, est.user_id) AS rank
+       |           FROM est JOIN exact
+       |             ON est.event_type = exact.event_type AND est.user_id = exact.user_id)
+       |SELECT event_type, user_id, est, n_exact, rank FROM ranked
+       |WHERE rank <= $CmsTopK ORDER BY event_type, rank""".stripMargin
+  }
+
   // ---- exact grouped quantiles ----------------------------------------
   val QuantilePcts: Seq[Int] = Seq(25, 50, 75, 95)
 

@@ -81,6 +81,48 @@ object Sketches {
       .select(groups.map(col) :+ col(out): _*)
   }
 
+  // ---- count-min sketch ------------------------------------------------
+
+  /** CMS geometry: d independent hash rows × w buckets. Like the HLL
+    * register table, the sketch state is a plain DataFrame mergeable by
+    * groupBy-SUM — shards/days combine associatively.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  private def cmsBucket(r: Int, value: Column): Column =
+    pmod(Dedup.h32(concat(lit(s"cms$r:"), value)), lit(CmsWidth.toLong))
+
+  def cmsBucketSql(r: Int, valueSql: String): String =
+    s"('0x'||substr(md5('cms$r:' || $valueSql),1,8))::BIGINT % $CmsWidth"
+
+  /** Sketch state: one row per (groups..., row, bucket) with the collision
+    * count. Map-side the fanout is a d-element posexplode; the only shuffle
+    * is the groupBy on (groups, row, bucket) — uniform keys by construction.
+    */
+  def cmsSketch(df: DataFrame, groups: Seq[String], value: Column): DataFrame =
+    df.select(groups.map(col) :+ value.as("__x"): _*)
+      .select(groups.map(col) :+
+        posexplode(array((0 until CmsDepth).map(r => cmsBucket(r, col("__x"))): _*))
+          .as(Seq("row", "bucket")): _*)
+      .groupBy(groups.map(col) ++ Seq(col("row"), col("bucket")): _*)
+      .agg(count(lit(1)).as("c"))
+
+  /** Point estimates for `items` (a frame of groups + `item`): the CMS
+    * upper bound min over rows of the item's bucket count. The probe is an
+    * equi-join against the sketch — items never touch the raw data.
+    */
+  def cmsEstimate(sketch: DataFrame, items: DataFrame, groups: Seq[String],
+                  item: Column, out: String): DataFrame =
+    items.select(groups.map(col) :+ item.as("__i"): _*)
+      .select(groups.map(col) ++ Seq(col("__i")) :+
+        posexplode(array((0 until CmsDepth).map(r => cmsBucket(r, col("__i"))): _*))
+          .as(Seq("row", "bucket")): _*)
+      .join(sketch, groups ++ Seq("row", "bucket"))
+      .groupBy(groups.map(col) :+ col("__i"): _*)
+      .agg(min(col("c")).as(out))
+      .withColumnRenamed("__i", "item")
+
   /** The full DuckDB mirror of hllRegisters+hllEstimate as a SQL fragment:
     * estimates distinct `valueSql` per `groupCol` over `src`.
     */

@@ -33,6 +33,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
   }
 
+  test("CMS estimates are upper bounds and tight for skewed items") {
+    // 1 heavy item (500x) + 200 light items (1x each)
+    val rows = (1 to 500).map(_ => ("g", "heavy")) ++ (1 to 200).map(i => ("g", s"u$i"))
+    val df = rows.toDF("g", "x")
+    val sketch = Sketches.cmsSketch(df, Seq("g"), col("x"))
+    val items = df.select(col("g"), col("x")).distinct()
+    val est = Sketches.cmsEstimate(sketch, items, Seq("g"), col("x"), "est")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val exact = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    est.foreach { case (k, e) => assert(e >= exact(k), s"$k: est $e < exact ${exact(k)}") }
+    // the heavy hitter's estimate is within the classic eps*N slack
+    assert(est("heavy") <= 500 + (2.0 * 700 / Sketches.CmsWidth).ceil.toLong * 2)
+  }
+
+  test("CMS sketch state merges by SUM: union of shards == whole") {
+    val a = (1 to 300).map(i => ("g", s"v${i % 40}")).toDF("g", "x")
+    val b = (1 to 300).map(i => ("g", s"v${i % 55}")).toDF("g", "x")
+    val whole = Sketches.cmsSketch(a.union(b), Seq("g"), col("x"))
+    val merged = Sketches.cmsSketch(a, Seq("g"), col("x"))
+      .union(Sketches.cmsSketch(b, Seq("g"), col("x")))
+      .groupBy(col("g"), col("row"), col("bucket")).agg(sum(col("c")).as("c"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
   test("estimate is insensitive to duplication (set semantics)") {
     val once = (1 to 1000).map(i => ("g", s"v$i")).toDF("g", "x")
     val thrice = once.union(once).union(once)
