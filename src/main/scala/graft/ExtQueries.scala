@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Joins, Quantiles, Sampling, Similarity, Sketches}
+import graft.operators.{Joins, Quantiles, Sampling, Similarity, Sketches, SkewAgg}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -148,6 +148,23 @@ object ExtQueries {
        |             ORDER BY cos DESC, nbr_id) AS rank FROM scored)
        |SELECT query_id, nbr_id, cos, rank FROM ranked WHERE rank <= ${PipelineQueries.KnnK}
        |ORDER BY query_id, rank""".stripMargin
+
+  // ---- salted skew-safe rollup ----------------------------------------
+  /** The 300s sum rollup computed through two-phase salted aggregation
+    * (operators/SkewAgg): same oracle as ts_rollup_sum — decimal addition
+    * is associative, so splitting each (metric, slot) into 16 salt
+    * sub-groups and re-combining is bit-identical, while a hot metric's
+    * rows now spread over 16 reducers instead of serializing on one.
+    */
+  val RollupSalts = 16
+
+  def tsRollupSalted(s: SparkSession, dir: String): DataFrame =
+    SkewAgg.saltedSumCount(Queries.metricStream(s, dir),
+        Seq(col("metric"), Queries.alignSec(300)), Seq("metric", "ts"),
+        col("value"), col("ns"), RollupSalts, "sum_value", "n")
+      .orderBy("metric", "ts")
+
+  val tsRollupSaltedSql: String = Queries.tsRollupSumSql
 
   // ---- count-min heavy hitters ----------------------------------------
   /** Per event type: top-K users by CMS-estimated event count, with the

@@ -59,6 +59,7 @@ object SparkEntry {
     "range_join" -> (ExtQueries.rangeJoin _),
     "hll_distinct" -> (ExtQueries.hllDistinct _),
     "ann_ivf" -> (ExtQueries.annIvf _),
+    "ts_rollup_salted" -> (ExtQueries.tsRollupSalted _),
     "cms_heavy_hitters" -> (ExtQueries.cmsHeavyHitters _),
     "quantile_summary" -> (ExtQueries.quantileSummary _),
     "sample_stratified" -> (ExtQueries.sampleStratified _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "range_join" -> ExtQueries.rangeJoinSql,
     "hll_distinct" -> ExtQueries.hllDistinctSql,
     "ann_ivf" -> ExtQueries.annIvfSql,
+    "ts_rollup_salted" -> ExtQueries.tsRollupSaltedSql,
     "cms_heavy_hitters" -> ExtQueries.cmsHeavyHittersSql,
     "quantile_summary" -> ExtQueries.quantileSummarySql,
     "sample_stratified" -> ExtQueries.sampleStratifiedSql,
