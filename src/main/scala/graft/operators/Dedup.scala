@@ -122,11 +122,22 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, w: Int, minJaccard: Double,
                         dfCap: Int = 100): DataFrame = {
+    // canonicalize exact duplicates first: k copies of one text would turn
+    // every shared-shingle key into a k-times-hotter join key and emit
+    // C(k,2) jaccard=1 pairs per copy group — information exact dedup
+    // already carries. Near-dup search runs on one representative per
+    // distinct text (min doc_id, same canonical exact() picks); at 10x
+    // duplication this is the difference between linear and quadratic.
+    val canon = docs
+      .select(col("doc_id"), col("text"), md5(col("text")).as("__digest"))
+      .groupBy(col("__digest"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("__c"))
+      .select(col("__c.doc_id").as("doc_id"), col("__c.text").as("text"))
     // join on a 32-bit shingle hash instead of the shingle string: the
     // equi-join shuffles 8-byte keys, and hash collisions affect both the
     // intersection and the sizes identically (standard hashed-shingle
     // Jaccard). Distinct AFTER hashing keeps multiplicities exact.
-    val shAll = shingles(docs, w)
+    val shAll = shingles(canon, w)
       .select(col("doc_id"), h32(col("shingle")).as("shingle"))
       .distinct()
     // document-frequency cap: a shingle present in k docs contributes k^2

@@ -58,6 +58,18 @@ object Similarity {
   def multiTablePlanes(tables: Int, planesPerTable: Int, dim: Int): Seq[Seq[Seq[Double]]] =
     (0 until tables).map(t => planes(planesPerTable, dim, t))
 
+  /** Planes-per-table sized to the corpus: b = max(4, ceil(log2(n/occ))),
+    * i.e. bucket count ~ n/occ so expected cell occupancy stays ~occ as the
+    * corpus grows. Fixed-size tables saturate — at 10x corpus a 16-bucket
+    * table holds n/16 vectors per cell and the within-cell self-join
+    * re-quadratizes (measured: 176s vs 4s at 20k vs 2k vectors). Index
+    * depth growing with data size is the standard IVF/LSH build rule.
+    */
+  def adaptivePlanesPerTable(n: Long, targetOcc: Int = 32): Int = {
+    val cells = math.max(1L, (n + targetOcc - 1) / targetOcc)
+    math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(cells - 1))
+  }
+
   /** Sign-projection LSH bucket id: bit p = sign(dot(v, plane_p)) for
     * `numPlanes` planes -> an int bucket in [0, 2^numPlanes). The plane
     * dot products fold left-to-right like the cosine path, so bucket
@@ -194,7 +206,14 @@ object Similarity {
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
                          tables: Seq[Seq[Seq[Double]]]): DataFrame = {
+    // canonicalize bit-identical vectors first (one representative per
+    // distinct embedding, min vec_id): k copies of a vector are cos=1.0
+    // near-dups of each other in EVERY table — C(k,2) candidate pairs x T
+    // tables of information that exact dedup already carries. Same rule as
+    // ngramJaccardPairs' text canonicalization.
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .groupBy(col("v")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"), col("v"))
       .withColumn("nrm", norm(col("v")))
       .cache()
     val cells = withCells(e.select(col("vec_id"), col("v")), col("v"), tables)
