@@ -217,16 +217,9 @@ object PipelineQueries {
        |SELECT query_id, nbr_id, cos, rank FROM ranked WHERE rank <= $KnnK
        |ORDER BY query_id, rank""".stripMargin
 
-  /** Corpus-adaptive table depth, like embedCosineNearDup: per-query
-    * candidate count is occupancy-bounded (~T * n/2^b), so b must track n
-    * or every query scans a fixed fraction of the corpus. sf0.01 lands on
-    * b=4 = the static oracle's literals.
-    */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Queries.spread(Queries.table(s, dir, "embeddings"))
-    val b = Similarity.adaptivePlanesPerTable(emb.count())
-    val tables = Similarity.multiTablePlanes(LshTables, b, 64)
-    Similarity.lshAnn(emb, emb.where(col("vec_id") < NumQueryVecs), KnnK, tables)
+    Similarity.lshAnn(emb, emb.where(col("vec_id") < NumQueryVecs), KnnK, AnnTables)
       .orderBy("query_id", "rank")
   }
 
