@@ -98,6 +98,18 @@ object PipelineQueries {
        |WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) >= $JaccardMin
        |ORDER BY a, b""".stripMargin
 
+  // ---- token vocabulary -------------------------------------------------
+  val VocabK = 200
+
+  def textVocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocab(Queries.spread(Queries.table(s, dir, "documents")), VocabK)
+
+  val textVocabSql: String =
+    s"""WITH $toksSql,
+       |tok AS (SELECT doc_id, unnest(t) AS token FROM toks)
+       |SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+       |FROM tok GROUP BY 1 ORDER BY tf DESC, token LIMIT $VocabK""".stripMargin
+
   // ---- simhash ---------------------------------------------------------
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Queries.spread(Queries.table(s, dir, "documents"))).orderBy("doc_id")

@@ -52,6 +52,7 @@ object SparkEntry {
     "text_langid" -> (PipelineQueries.textLangid _),
     "text_quality" -> (PipelineQueries.textQuality _),
     "text_tokens" -> (PipelineQueries.textTokens _),
+    "text_vocab" -> (PipelineQueries.textVocab _),
     "doc_fingerprint" -> (PipelineQueries.docFingerprint _),
     "multimodal_meta" -> (PipelineQueries.multimodalMeta _),
     // extended operators (round 2): temporal joins, sketches, sampling, IVF
@@ -100,6 +101,7 @@ object SparkEntry {
     "text_langid" -> PipelineQueries.textLangidSql,
     "text_quality" -> PipelineQueries.textQualitySql,
     "text_tokens" -> PipelineQueries.textTokensSql,
+    "text_vocab" -> PipelineQueries.textVocabSql,
     "doc_fingerprint" -> PipelineQueries.docFingerprintSql,
     "multimodal_meta" -> PipelineQueries.multimodalMetaSql,
     "asof_join" -> ExtQueries.asofJoinSql,

@@ -88,6 +88,18 @@ object TextAnalysis {
       + uniqRatio * lit(0.3) + (lit(1.0) - least(punctRatio * lit(5.0), lit(1.0))) * lit(0.1), 6)
   }
 
+  /** Token-vocabulary construction (tokenizer-training prep): term and
+    * document frequencies over the whitespace tokens, truncated to the
+    * top-`k` by tf. One explode + one groupBy(token) shuffle; the top-k cut
+    * is a global sort of the (tiny) per-token aggregate, not the corpus.
+    */
+  def vocab(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(k)
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text,
     * plus a 32-bit numeric form (first 8 hex chars) for compact joins —
     * the rolling-hash analog, portable between Spark and DuckDB.
