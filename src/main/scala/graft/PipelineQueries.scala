@@ -54,7 +54,10 @@ object PipelineQueries {
         MinhashBucketCap)
       .orderBy("a", "b")
 
-  val dedupMinhashLshSql: String = {
+  /** Minhash pair generation as a reusable SQL body (no ORDER BY) — shared
+    * by the pairs query and the cluster oracle.
+    */
+  private val minhashPairsBodySql: String = {
     val n = MinhashBands * MinhashRows
     val mins = (0 until n)
       .map(i => s"MIN(${Dedup.minhashFamilySql("shingle", i)}) AS h$i").mkString(", ")
@@ -71,8 +74,46 @@ object PipelineQueries {
        |         WHERE bc.c <= $MinhashBucketCap)
        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |FROM kept l JOIN kept r
-       |  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-       |ORDER BY a, b""".stripMargin
+       |  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id""".stripMargin
+  }
+
+  val dedupMinhashLshSql: String = s"$minhashPairsBodySql ORDER BY a, b"
+
+  // ---- dedup clusters (connected components) ---------------------------
+  val ClusterIters = 6
+
+  /** Minhash pairs -> connected components: (doc_id, cluster_id = component
+    * min doc_id). Fixed `ClusterIters` min-label rounds on both engines —
+    * near-dup components are band-clique-shaped (diameter ~2), and
+    * DedupClusterSpec pins that 6 rounds reach the fixpoint on real data.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterLabels(
+        Dedup.minhashLshPairs(Queries.spread(Queries.table(s, dir, "documents")),
+          3, MinhashBands, MinhashRows, MinhashBucketCap),
+        ClusterIters)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+
+  val dedupClustersSql: String = {
+    // MATERIALIZED: each round references the previous label CTE twice;
+    // inlining would duplicate the whole minhash pipeline 2^ClusterIters
+    // times
+    val rounds = (1 to ClusterIters).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT cur.node, LEAST(cur.label, m.nbr_min) AS label
+         |  FROM l${k - 1} cur JOIN (
+         |    SELECT e.src AS node, MIN(ld.label) AS nbr_min
+         |    FROM edges e JOIN l${k - 1} ld ON e.dst = ld.node
+         |    GROUP BY e.src) m ON cur.node = m.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED ($minhashPairsBodySql),
+       |edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+       |          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |$rounds
+       |SELECT node AS doc_id, label AS cluster_id FROM l$ClusterIters
+       |ORDER BY doc_id""".stripMargin
   }
 
   // ---- n-gram jaccard --------------------------------------------------

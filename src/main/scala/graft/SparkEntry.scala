@@ -43,6 +43,7 @@ object SparkEntry {
     // training-data pipeline operators
     "dedup_exact" -> (PipelineQueries.dedupExact _),
     "dedup_minhash_lsh" -> (PipelineQueries.dedupMinhashLsh _),
+    "dedup_clusters" -> (PipelineQueries.dedupClusters _),
     "dedup_ngram_jaccard" -> (PipelineQueries.dedupNgramJaccard _),
     "dedup_simhash" -> (PipelineQueries.dedupSimhash _),
     "dedup_simhash_pairs" -> (PipelineQueries.dedupSimhashPairs _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "part_brand_revenue" -> PipelineQueries.partBrandRevenueSql,
     "dedup_exact" -> PipelineQueries.dedupExactSql,
     "dedup_minhash_lsh" -> PipelineQueries.dedupMinhashLshSql,
+    "dedup_clusters" -> PipelineQueries.dedupClustersSql,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramJaccardSql,
     "dedup_simhash" -> PipelineQueries.dedupSimhashSql,
     "dedup_simhash_pairs" -> PipelineQueries.dedupSimhashPairsSql,

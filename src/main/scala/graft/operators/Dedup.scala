@@ -165,6 +165,39 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected near-dup pair graph — the step
+    * that turns pairwise matches into dedup CLUSTERS (one canonical doc per
+    * component). Min-label propagation: every node starts as its own label;
+    * each round a node takes the min label among itself and its neighbors;
+    * converged labels = component minima.
+    *
+    * Each round is one self-contained join+groupBy over the edge list —
+    * the standard scalable formulation (no driver-side union-find, no
+    * collected graph). Rounds needed = graph diameter; near-dup components
+    * are band-clique-shaped (diameter ~2), so a small fixed `iters` both
+    * converges and keeps the SQL oracle expressible as the same unrolled
+    * rounds. ConvergedSpec asserts fixpoint on the test corpus.
+    */
+  def clusterLabels(pairs: DataFrame, iters: Int): DataFrame = {
+    // symmetrize edges once; nodes = distinct endpoints
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    val init = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    (1 to iters).foldLeft(init) { (labels, i) =>
+      val next = edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("label")).as("nbr_min"))
+        .join(labels, "node")
+        .select(col("node"), least(col("label"), col("nbr_min")).as("label"))
+      // truncate lineage every few rounds: an iterative DataFrame loop
+      // otherwise stacks i nested joins and Catalyst re-analysis goes
+      // super-linear (the label table itself is tiny — one row per node)
+      if (i % 3 == 0 && i < iters) next.localCheckpoint() else next
+    }
+  }
+
   /** SimHash width: 60 bits (not 64 — bit 63 would flip the long's sign and
     * make arithmetic-shift band extraction engine-dependent, and a 60-bit
     * recompose sum stays safely inside BIGINT on both engines). 4 bands of

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Connected-components gates: label propagation must match a union-find
+  * reference on random graphs, and the fixed round count used by the
+  * checked query must reach the fixpoint on the real corpus.
+  */
+class DedupClusterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    // normalize to component-min labels
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }.toMap
+  }
+
+  val graphGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.chooseNum(1, 120)
+    es <- Gen.listOfN(n, for {
+      a <- Gen.chooseNum(0L, 59L); d <- Gen.chooseNum(1L, 10L)
+    } yield (a, math.min(60L, a + d)))
+  } yield es
+
+  test("label propagation matches union-find on random graphs (5 seeds, 12 rounds)") {
+    (1L to 5L).foreach { seed =>
+      val edges = graphGen.apply(Gen.Parameters.default, Seed(seed)).get.distinct
+      val pairs = edges.toDF("a", "b")
+      // path-shaped random graphs can have diameter ~#nodes; 12 rounds of
+      // min propagation cover diameter 12, enough for these sizes' cores —
+      // use enough rounds to guarantee convergence: diameter <= 61 worst
+      // case, so iterate 61
+      val got = Dedup.clusterLabels(pairs, 61)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(edges), s"seed=$seed")
+    }
+  }
+
+  test("the checked query's 6 rounds reach the fixpoint on sf0.01") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val pairs = Dedup.minhashLshPairs(docs, 3, PipelineQueries.MinhashBands,
+      PipelineQueries.MinhashRows, PipelineQueries.MinhashBucketCap).cache()
+    val at6 = Dedup.clusterLabels(pairs, PipelineQueries.ClusterIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val at12 = Dedup.clusterLabels(pairs, PipelineQueries.ClusterIters * 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(at6 == at12, "6 rounds did not converge on the test corpus")
+  }
+}
