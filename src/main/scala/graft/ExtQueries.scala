@@ -245,6 +245,20 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** Length-proportional document sample: P(keep) = min(1, n_chars/600). */
+  val WeightScale = 600L
+
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Sampling.weighted(Queries.table(s, dir, "documents"),
+        col("doc_id"), col("n_chars"), WeightScale)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+
+  val sampleWeightedSql: String =
+    s"""SELECT doc_id, n_chars FROM documents
+       |WHERE ${Sampling.weightedSql("doc_id", "n_chars", WeightScale)}
+       |ORDER BY doc_id""".stripMargin
+
   val sampleStratifiedSql: String = {
     val b = Sampling.bucketOfSql("doc_id", SampleSalt)
     val thresh = SampleRates.foldRight(s"${(SampleDefaultRate * Sampling.Den).toLong}") {

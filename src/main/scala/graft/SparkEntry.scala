@@ -65,6 +65,7 @@ object SparkEntry {
     "cms_heavy_hitters" -> (ExtQueries.cmsHeavyHitters _),
     "quantile_summary" -> (ExtQueries.quantileSummary _),
     "sample_stratified" -> (ExtQueries.sampleStratified _),
+    "sample_weighted" -> (ExtQueries.sampleWeighted _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -114,5 +115,6 @@ object SparkEntry {
     "cms_heavy_hitters" -> ExtQueries.cmsHeavyHittersSql,
     "quantile_summary" -> ExtQueries.quantileSummarySql,
     "sample_stratified" -> ExtQueries.sampleStratifiedSql,
+    "sample_weighted" -> ExtQueries.sampleWeightedSql,
   )
 }

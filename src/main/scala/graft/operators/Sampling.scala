@@ -33,4 +33,23 @@ object Sampling {
     }
     df.where(bucketOf(idCol, salt) < thresh)
   }
+
+  /** Weighted sample: row kept with probability min(1, weight/scale) —
+    * e.g. length-proportional document sampling. Same hash-threshold
+    * machinery (integer threshold, exact, repartition-stable); rows with
+    * weight >= scale always survive.
+    */
+  def weighted(df: DataFrame, idCol: Column, weightCol: Column, scale: Long,
+               salt: String = "wsmpl"): DataFrame = {
+    // threshold = floor(weight * Den / scale) capped at Den; the double
+    // division is exact for weight*Den < 2^53 and cast truncates = floor
+    // for non-negative weights, matching DuckDB's // integer division
+    val thresh = least(lit(Den),
+      (weightCol.cast("long") * lit(Den) / lit(scale)).cast("long"))
+    df.where(bucketOf(idCol, salt) < thresh)
+  }
+
+  def weightedSql(idSql: String, weightSql: String, scale: Long,
+                  salt: String = "wsmpl"): String =
+    s"${bucketOfSql(idSql, salt)} < LEAST($Den, CAST($weightSql AS BIGINT) * $Den // $scale)"
 }

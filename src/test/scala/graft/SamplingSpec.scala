@@ -35,6 +35,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(de - 0.80) < 0.03, s"de rate $de")
   }
 
+  test("weighted sample tracks inclusion probability ∝ weight") {
+    val df = (1 to 30000).map(i => (i.toLong, (i % 3) match {
+      case 0 => 100L   // P = 1/6
+      case 1 => 300L   // P = 1/2
+      case _ => 900L   // P = 1 (capped)
+    })).toDF("doc_id", "w")
+    val kept = Sampling.weighted(df, col("doc_id"), col("w"), 600L)
+      .groupBy("w").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept(100L) / 10000.0 - 1.0 / 6) < 0.03, s"w=100: ${kept(100L)}")
+    assert(math.abs(kept(300L) / 10000.0 - 0.5) < 0.03, s"w=300: ${kept(300L)}")
+    assert(kept(900L) == 10000L, "weight >= scale must always survive")
+  }
+
   test("same salt gives consistent membership across tables") {
     val other = docs.select(col("doc_id"), lit("de").as("lang"))
     val a = Sampling.stratified(docs.where(col("lang") === "de"), col("doc_id"),
