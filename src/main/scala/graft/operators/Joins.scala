@@ -47,12 +47,17 @@ object Joins {
         payload.map(col) ++
         rightVals.zip(rTypes).map { case (c, t) => lit(null).cast(t).as(prefix + c) }: _*)
     // right rows sort before left rows at equal ts so "at the timestamp"
-    // matches; the struct makes same-ts right rows resolve deterministically
+    // matches. The tie-break struct is FROZEN into its own column before
+    // any window replacement: the per-value withColumns below overwrite
+    // the rightVal columns, and a window ordered on those names directly
+    // would sort later values by already-windowed results — inconsistent
+    // column picks for duplicate (keys, ts) right rows.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"),
-        struct(rightVals.map(c => col(prefix + c)): _*))
+      .orderBy(col("__ts"), col("__side"), col("__ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = rightVals.foldLeft(rSide.unionByName(lSide)) { (df, c) =>
+    val unioned = rSide.unionByName(lSide)
+      .withColumn("__ord", struct(rightVals.map(c => col(prefix + c)): _*))
+    val attached = rightVals.foldLeft(unioned) { (df, c) =>
       df.withColumn(prefix + c, last(col(prefix + c), ignoreNulls = true).over(w))
     }
     attached.where(col("__side") === 1)

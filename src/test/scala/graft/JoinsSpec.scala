@@ -34,6 +34,17 @@ class JoinsSpec extends AnyFunSuite {
     assert(v == 2.0)
   }
 
+  test("asOf: same-ts duplicates pick ALL attached columns from the one winning row") {
+    val left = Seq((1L, 100L)).toDF("k", "lts")
+    // two right rows at the same ts: the greater (arrival, v) tuple must win
+    // as a UNIT — no mixing arrival from one row with v from the other
+    val right = Seq((1L, 100L, 1L, 10.0), (1L, 100L, 2L, 20.0))
+      .toDF("k", "rts", "arrival", "v")
+    val r = Joins.asOf(left, right, Seq("k"), "lts", "rts", Seq("arrival", "v"))
+      .select("asof_arrival", "asof_v").head()
+    assert((r.getLong(0), r.getDouble(1)) == ((2L, 20.0)))
+  }
+
   test("rangePoints: boundaries, bucket-spanning intervals, exactly-once pairs") {
     val iv = Seq((1L, 100L, 400L), (2L, 250L, 260L), (3L, 900L, 950L))
       .toDF("id", "lo", "hi")
