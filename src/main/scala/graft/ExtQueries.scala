@@ -38,7 +38,10 @@ object ExtQueries {
       |        last_value(r_us IGNORE NULLS) OVER win AS asof_us,
       |        last_value(r_value IGNORE NULLS) OVER win AS asof_value
       |      FROM u
-      |      WINDOW win AS (PARTITION BY user_id ORDER BY ts, side ROWS UNBOUNDED PRECEDING))
+      |      -- (r_us, r_value) tie-break mirrors Joins.asOf's winning-row
+      |      -- struct order for duplicate (user_id, ts) right rows
+      |      WINDOW win AS (PARTITION BY user_id
+      |        ORDER BY ts, side, r_us, r_value ROWS UNBOUNDED PRECEDING))
       |SELECT user_id, ts AS click_us, click_value, asof_us, asof_value
       |FROM w WHERE side = 1 ORDER BY user_id, click_us""".stripMargin
 
@@ -261,7 +264,9 @@ object ExtQueries {
 
   val sampleStratifiedSql: String = {
     val b = Sampling.bucketOfSql("doc_id", SampleSalt)
-    val thresh = SampleRates.foldRight(s"${(SampleDefaultRate * Sampling.Den).toLong}") {
+    // reversed so a duplicated stratum key resolves like the Spark side's
+    // nested when/otherwise foldLeft (LAST matching entry wins, not first)
+    val thresh = SampleRates.reverse.foldRight(s"${(SampleDefaultRate * Sampling.Den).toLong}") {
       case ((k, r), acc) => s"CASE WHEN lang = '$k' THEN ${(r * Sampling.Den).toLong} ELSE $acc END"
     }
     s"""SELECT doc_id, lang FROM documents

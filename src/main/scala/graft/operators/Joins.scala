@@ -47,22 +47,23 @@ object Joins {
         payload.map(col) ++
         rightVals.zip(rTypes).map { case (c, t) => lit(null).cast(t).as(prefix + c) }: _*)
     // right rows sort before left rows at equal ts so "at the timestamp"
-    // matches. The tie-break struct is FROZEN into its own column before
-    // any window replacement: the per-value withColumns below overwrite
-    // the rightVal columns, and a window ordered on those names directly
-    // would sort later values by already-windowed results — inconsistent
-    // column picks for duplicate (keys, ts) right rows.
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"), col("__ord"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // matches. The right values ride as ONE nullable struct (__row): a
+    // single last(__row, ignoreNulls) picks the whole winning row as a
+    // unit, so a NULL inside a right value is carried faithfully instead
+    // of falling through to an older row's value (per-column last() would
+    // mix columns across rows whenever a right value is NULL).
+    val rowStruct = struct(rightVals.map(c => col(prefix + c)): _*)
     val unioned = rSide.unionByName(lSide)
-      .withColumn("__ord", struct(rightVals.map(c => col(prefix + c)): _*))
-    val attached = rightVals.foldLeft(unioned) { (df, c) =>
-      df.withColumn(prefix + c, last(col(prefix + c), ignoreNulls = true).over(w))
-    }
+      .withColumn("__row", when(col("__side") === 0, rowStruct))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__row"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = unioned
+      .withColumn("__asof", last(col("__row"), ignoreNulls = true).over(w))
     attached.where(col("__side") === 1)
       .select(keys.map(col) ++ Seq(col("__ts").as(leftTs)) ++
-        payload.map(col) ++ rightVals.map(c => col(prefix + c)): _*)
+        payload.map(col) ++
+        rightVals.map(c => col(s"__asof.$prefix$c").as(prefix + c)): _*)
   }
 
   /** Interval×point range join: inner-join every `intervals` row to the
@@ -80,7 +81,10 @@ object Joins {
   def rangePoints(intervals: DataFrame, points: DataFrame,
                   lo: Column, hi: Column, ts: Column, bucket: Long): DataFrame = {
     def align(c: Column): Column = c - pmod(c, lit(bucket))
-    val iv = intervals.withColumn("__b",
+    // empty/inverted intervals (lo >= hi) match nothing by definition —
+    // filtered before the explode, where sequence(start > stop, +step)
+    // would throw instead of yielding zero rows
+    val iv = intervals.where(lo < hi).withColumn("__b",
       explode(sequence(align(lo), align(hi - 1), lit(bucket))))
     val pt = points.withColumn("__b", align(ts))
     iv.join(pt, iv("__b") === pt("__b") && ts >= lo && ts < hi)

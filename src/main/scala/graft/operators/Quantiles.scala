@@ -29,7 +29,11 @@ object Quantiles {
     require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100), s"bad pcts: $pcts")
     val wOrd = Window.partitionBy(groups.map(col): _*).orderBy(value)
     val wAll = Window.partitionBy(groups.map(col): _*)
+    // NULLs are excluded from the population: they would inflate n and —
+    // worse — sort first in Spark but last in DuckDB, so any NULL input
+    // silently skews the ranks AND breaks cross-engine parity
     val ranked = df
+      .where(value.isNotNull)
       .withColumn("__v", value)
       .withColumn("__rn", row_number().over(wOrd))
       .withColumn("__n", count(lit(1)).over(wAll))
@@ -49,7 +53,7 @@ object Quantiles {
        |  SELECT $groupCol, v,
        |         ROW_NUMBER() OVER (PARTITION BY $groupCol ORDER BY v) AS rn,
        |         COUNT(*) OVER (PARTITION BY $groupCol) AS n
-       |  FROM $src)
+       |  FROM $src WHERE v IS NOT NULL)
        |SELECT $groupCol,
        |       $aggs
        |FROM ranked GROUP BY $groupCol)""".stripMargin

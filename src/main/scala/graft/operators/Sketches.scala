@@ -110,7 +110,11 @@ object Sketches {
 
   /** Point estimates for `items` (a frame of groups + `item`): the CMS
     * upper bound min over rows of the item's bucket count. The probe is an
-    * equi-join against the sketch — items never touch the raw data.
+    * equi-join against the sketch — items never touch the raw data. LEFT
+    * join: a probed bucket absent from the state has an implicit count of
+    * 0 (an inner join would drop it and inflate the min to whatever the
+    * item's colliding buckets hold — or lose never-ingested items
+    * entirely).
     */
   def cmsEstimate(sketch: DataFrame, items: DataFrame, groups: Seq[String],
                   item: Column, out: String): DataFrame =
@@ -118,9 +122,9 @@ object Sketches {
       .select(groups.map(col) ++ Seq(col("__i")) :+
         posexplode(array((0 until CmsDepth).map(r => cmsBucket(r, col("__i"))): _*))
           .as(Seq("row", "bucket")): _*)
-      .join(sketch, groups ++ Seq("row", "bucket"))
+      .join(sketch, groups ++ Seq("row", "bucket"), "left")
       .groupBy(groups.map(col) :+ col("__i"): _*)
-      .agg(min(col("c")).as(out))
+      .agg(min(coalesce(col("c"), lit(0L))).as(out))
       .withColumnRenamed("__i", "item")
 
   /** The full DuckDB mirror of hllRegisters+hllEstimate as a SQL fragment:

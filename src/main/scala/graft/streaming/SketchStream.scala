@@ -28,20 +28,30 @@ final class SketchStream(val root: String, groups: Seq[String])
   private def fs = org.apache.hadoop.fs.FileSystem.get(
     spark.sparkContext.hadoopConfiguration)
 
-  private def hasState: Boolean = {
-    val p = new org.apache.hadoop.fs.Path(statePath)
+  private val backupPath = s"$root/.hll_prev"
+
+  private def nonEmptyDir(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
     fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Falls back to the pre-swap backup if a crash landed between the state
+    * rename steps — the sketch may lose at most the last batch, never the
+    * accumulated registers.
+    */
+  private def currentStatePath: Option[String] =
+    if (nonEmptyDir(statePath)) Some(statePath)
+    else if (nonEmptyDir(backupPath)) Some(backupPath)
+    else None
+
   def registers(): DataFrame =
-    if (hasState) spark.read.parquet(statePath)
-    else spark.createDataFrame(
+    currentStatePath.map(spark.read.parquet(_)).getOrElse(spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(
         groups.map(g => org.apache.spark.sql.types.StructField(g,
           org.apache.spark.sql.types.StringType)) ++ Seq(
           org.apache.spark.sql.types.StructField("reg", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("m_rank", org.apache.spark.sql.types.IntegerType))))
+          org.apache.spark.sql.types.StructField("m_rank", org.apache.spark.sql.types.IntegerType)))))
 
   /** Merge one batch of raw rows into the state (foreachBatch body). */
   def mergeBatch(batch: DataFrame, value: Column): Unit = {
@@ -50,9 +60,18 @@ final class SketchStream(val root: String, groups: Seq[String])
       .groupBy(groups.map(col) :+ col("reg"): _*)
       .agg(max(col("m_rank")).as("m_rank"))
     merged.write.mode("overwrite").parquet(stagingPath)
+    // backup-swap, never delete-then-rename: state -> backup, staging ->
+    // state, drop backup. A crash at any point leaves either the new state
+    // or the backup readable (currentStatePath falls back), so the sketch
+    // can lose at most the current batch — which replay then re-merges.
     val dst = new org.apache.hadoop.fs.Path(statePath)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(stagingPath), dst)
+    val bak = new org.apache.hadoop.fs.Path(backupPath)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(dst) && !fs.rename(dst, bak))
+      throw new java.io.IOException(s"rename $statePath -> $backupPath failed")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(stagingPath), dst))
+      throw new java.io.IOException(s"rename $stagingPath -> $statePath failed")
+    fs.delete(bak, true)
     ()
   }
 

@@ -45,6 +45,24 @@ class JoinsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getDouble(1)) == ((2L, 20.0)))
   }
 
+  test("asOf: a NULL inside the winning right row is carried, not replaced by older rows") {
+    val left = Seq((1L, 100L)).toDF("k", "lts")
+    val right = Seq((1L, 50L, Some(1L), Some(10.0)), (1L, 60L, Some(2L), None))
+      .toDF("k", "rts", "arrival", "v")
+    val r = Joins.asOf(left, right, Seq("k"), "lts", "rts", Seq("arrival", "v")).head()
+    // winner is the ts=60 row as a unit: arrival=2, v=NULL — NOT v=10.0
+    assert(r.getLong(2) == 2L && r.isNullAt(3))
+  }
+
+  test("rangePoints: empty and inverted intervals match nothing instead of crashing") {
+    val iv = Seq((1L, 200L, 200L), (2L, 300L, 250L), (3L, 100L, 150L))
+      .toDF("id", "lo", "hi")
+    val pt = Seq(120L, 200L, 260L).toDF("ts")
+    val out = Joins.rangePoints(iv, pt, col("lo"), col("hi"), col("ts"), 100L)
+      .select("id", "ts").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((3L, 120L)))
+  }
+
   test("rangePoints: boundaries, bucket-spanning intervals, exactly-once pairs") {
     val iv = Seq((1L, 100L, 400L), (2L, 250L, 260L), (3L, 900L, 950L))
       .toDF("id", "lo", "hi")

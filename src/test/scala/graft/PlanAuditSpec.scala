@@ -91,8 +91,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // appear under a BroadcastExchange (it would OOM the driver at scale)
     val broadcasts = plan.linesIterator.count(_.contains("BroadcastExchange"))
     assert(broadcasts >= 1, s"expected broadcast centroid fanout:\n$plan")
-    assert(plan.contains("partial_min") || plan.contains("partial_"),
-      s"cell argmax must partial-aggregate map-side:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"cell argmax must partial-aggregate (min over (-cos, cid) structs) map-side:\n$plan")
   }
 
   test("HLL registers partial-aggregate before the exchange (mergeable sketch)") {

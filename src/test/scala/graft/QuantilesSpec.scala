@@ -24,6 +24,13 @@ class QuantilesSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 19.0)
   }
 
+  test("NULL values are excluded from the population") {
+    val df = Seq(("g", Some(1.0)), ("g", None), ("g", Some(2.0)), ("g", Some(3.0)))
+      .toDF("g", "v")
+    val r = Quantiles.groupQuantiles(df, Seq("g"), col("v"), Seq(50, 100)).head()
+    assert((r.getDouble(1), r.getDouble(2)) == ((2.0, 3.0)))
+  }
+
   test("p1 of a tiny group clamps to rank 1 (the minimum)") {
     val df = Seq(("g", 7.0), ("g", 3.0)).toDF("g", "v")
     val r = Quantiles.groupQuantiles(df, Seq("g"), col("v"), Seq(1)).head()

@@ -47,6 +47,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(est("heavy") <= 500 + (2.0 * 700 / Sketches.CmsWidth).ceil.toLong * 2)
   }
 
+  test("CMS estimate of a never-ingested item is 0 when any bucket is empty") {
+    // tiny sketch: 3 rows -> most buckets empty, so an unseen item almost
+    // surely has >= 1 empty bucket and min(coalesce(c,0)) must yield 0
+    val df = Seq(("g", "a"), ("g", "b"), ("g", "c")).toDF("g", "x")
+    val sketch = Sketches.cmsSketch(df, Seq("g"), col("x"))
+    val items = Seq(("g", "never-seen-item-xyz"), ("g", "a")).toDF("g", "x")
+    val est = Sketches.cmsEstimate(sketch, items, Seq("g"), col("x"), "est")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(est("never-seen-item-xyz") == 0L, s"unseen item estimated ${est.get("never-seen-item-xyz")}")
+    assert(est("a") >= 1L)
+  }
+
   test("CMS sketch state merges by SUM: union of shards == whole") {
     val a = (1 to 300).map(i => ("g", s"v${i % 40}")).toDF("g", "x")
     val b = (1 to 300).map(i => ("g", s"v${i % 55}")).toDF("g", "x")
