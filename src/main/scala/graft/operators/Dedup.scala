@@ -34,6 +34,19 @@ object Dedup {
       .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
 
+  /** One representative row per duplicate group (min id — the same
+    * canonical exact() reports): the shared preamble of every near-dup
+    * path, collapsing exact-duplicate clusters before the quadratic-ish
+    * candidate joins. `key` is the duplicate-group key (a content digest
+    * for text, the vector itself for embeddings); `rest` columns carry
+    * through from the winning row.
+    */
+  def canonicalize(df: DataFrame, idCol: String, key: Column,
+                   rest: Seq[String]): DataFrame =
+    df.groupBy(key.as("__k"))
+      .agg(min_by(struct(col(idCol) +: rest.map(col): _*), col(idCol)).as("__c"))
+      .select(col(s"__c.$idCol") +: rest.map(c => col(s"__c.$c")): _*)
+
   /** Word w-shingles of the lowercased text, distinct per doc.
     * Output: (doc_id, shingle).
     */
@@ -125,14 +138,10 @@ object Dedup {
     // canonicalize exact duplicates first: k copies of one text would turn
     // every shared-shingle key into a k-times-hotter join key and emit
     // C(k,2) jaccard=1 pairs per copy group — information exact dedup
-    // already carries. Near-dup search runs on one representative per
-    // distinct text (min doc_id, same canonical exact() picks); at 10x
-    // duplication this is the difference between linear and quadratic.
-    val canon = docs
-      .select(col("doc_id"), col("text"), md5(col("text")).as("__digest"))
-      .groupBy(col("__digest"))
-      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("__c"))
-      .select(col("__c.doc_id").as("doc_id"), col("__c.text").as("text"))
+    // already carries. At 10x duplication this is the difference between
+    // linear and quadratic.
+    val canon = canonicalize(docs.select(col("doc_id"), col("text")),
+      "doc_id", md5(col("text")), Seq("text"))
     // join on a 32-bit shingle hash instead of the shingle string: the
     // equi-join shuffles 8-byte keys, and hash collisions affect both the
     // intersection and the sizes identically (standard hashed-shingle

@@ -206,14 +206,14 @@ object Similarity {
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
                          tables: Seq[Seq[Seq[Double]]]): DataFrame = {
-    // canonicalize bit-identical vectors first (one representative per
-    // distinct embedding, min vec_id): k copies of a vector are cos=1.0
-    // near-dups of each other in EVERY table — C(k,2) candidate pairs x T
-    // tables of information that exact dedup already carries. Same rule as
-    // ngramJaccardPairs' text canonicalization.
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .groupBy(col("v")).agg(min(col("vec_id")).as("vec_id"))
-      .select(col("vec_id"), col("v"))
+    // canonicalize bit-identical vectors first (Dedup.canonicalize with
+    // the vector itself as the duplicate-group key): k copies of a vector
+    // are cos=1.0 near-dups of each other in EVERY table — C(k,2)
+    // candidate pairs x T tables of information exact dedup already
+    // carries.
+    val e = Dedup.canonicalize(
+        embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v")),
+        "vec_id", col("v"), Seq("v"))
       .withColumn("nrm", norm(col("v")))
       .cache()
     val cells = withCells(e.select(col("vec_id"), col("v")), col("v"), tables)
