@@ -50,8 +50,9 @@ object Multimodal {
     val fileName = element_at(split(col("path"), "/"), -1)
     val stem = regexp_extract(fileName, "^(\\d+)", 1)
     df.select(
-      when(stem =!= "", stem.cast("long"))
-        .otherwise(abs(xxhash64(col("path")))).as("media_id"),
+      // try_cast: an all-digit stem longer than a Long (hash-named assets)
+      // falls back to the path hash instead of an ANSI cast overflow
+      coalesce(stem.try_cast("long"), abs(xxhash64(col("path")))).as("media_id"),
       lower(coalesce(nullif(regexp_extract(fileName, "\\.([A-Za-z0-9]+)$", 1), lit("")),
         lit("bin"))).as("kind"),
       col("content").as("payload"))

@@ -22,8 +22,13 @@ object Admin {
   def deleteMetrics(store: MetricStore, metrics: Seq[String])
                    (implicit spark: SparkSession): Unit = {
     if (metrics.isEmpty) return
-    store.archives.indices.foreach { i =>
-      val path = s"${store.root}/${store.schema.name}/level_$i"
+    // level tables AND the streaming hot table: points still sitting in
+    // the hot cache above the watermark would otherwise flush back into
+    // level_0 after the delete, resurrecting the metric
+    val paths = store.archives.indices
+      .map(i => s"${store.root}/${store.schema.name}/level_$i") :+
+      s"${store.root}/${store.schema.name}/hot"
+    paths.foreach { path =>
       if (store.hasData(path)) {
         val remaining = spark.read.parquet(path)
           .where(!col("metric").isInCollection(metrics))
@@ -126,7 +131,14 @@ object Admin {
       new java.net.URI(treeRoot), spark.sparkContext.hadoopConfiguration)
     val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(treeRoot))
       .filter(_.isDirectory).map(_.getPath)
-    dirs.map { d =>
+    if (dirs.isEmpty)
+      // empty migration source -> empty frame, not an empty-reduce crash
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("metric", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+    else dirs.map { d =>
       spark.read.parquet(d.toString)
         .select(lit(d.getName).as("metric"), col("ts"), col("value"))
     }.reduce(_ unionByName _)

@@ -290,15 +290,21 @@ final class MetricStore(val root: String, val schema: StorageSchema,
     */
   def cascadeAuto(force: Boolean = false): Unit = {
     (0 until archives.length - 1).foreach { i =>
-      val d = dirtyRange(i)
-      if (d.isEmpty) return
-      val (from, until) = d.get
-      if (!(force || crossesUnit(from, until, propagateTimeunit(i)))) return
-      val (wf, wu) = propagationWindow(i, from, until, force)
-      propagate(i, wf, wu)
-      if (!force && wu < until) setDirty(i, wu, until) else clearDirty(i)
-      if (i + 1 < archives.length - 1)
-        mergeDirty(i + 1, wf, math.max(wu, until))
+      // per-level skip, never an early return: a clean (or gate-deferred)
+      // level must not block coarser levels that hold their own recorded
+      // dirty state — e.g. age-routed late points that landed directly in
+      // level 1 while level 0 stayed clean, or a retained dirty tail from
+      // a previous run whose own gate now defers. An early return here
+      // left such windows unpropagated forever, even under force.
+      dirtyRange(i).foreach { case (from, until) =>
+        if (force || crossesUnit(from, until, propagateTimeunit(i))) {
+          val (wf, wu) = propagationWindow(i, from, until, force)
+          propagate(i, wf, wu)
+          if (!force && wu < until) setDirty(i, wu, until) else clearDirty(i)
+          if (i + 1 < archives.length - 1)
+            mergeDirty(i + 1, wf, math.max(wu, until))
+        }
+      }
     }
   }
 
@@ -333,7 +339,11 @@ final class MetricStore(val root: String, val schema: StorageSchema,
       val base = readLevel(level, TimeSeries.roundup(from, step), TimeSeries.roundup(until, step))
       val filtered = metricFilter.fold(base)(m => base.where(col("metric") === m))
       val spine = catalog.map { c =>
-        val all = c.metrics().select(col("metric"))
+        // only THIS store's schema: the catalog is shared across stores,
+        // and an unfiltered spine would gap-fill phantom all-null series
+        // for metrics that belong to other schemas
+        val all = c.metrics().where(col("schema_name") === schema.name)
+          .select(col("metric"))
         broadcast(metricFilter.fold(all)(m => all.where(col("metric") === m)))
       }
       (level, TimeSeries.gapFill(filtered, from, until, step, spine).orderBy("metric", "ts"))

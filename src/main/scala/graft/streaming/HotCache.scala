@@ -62,7 +62,12 @@ final class HotCache(val store: MetricStore, val cacheRetention: Long, val waitT
     * kenshin/storage.py:397-419); the rest append to the hot table. Then
     * drain everything the watermark has closed.
     */
-  def processBatch(points: DataFrame, now: Long): Unit = {
+  /** Returns the number of points that survived admission + LWW alignment
+    * (what actually entered the cache/store path — the committedPoints
+    * instrumentation signal; parse-side counts would overstate during
+    * create-throttle storms).
+    */
+  def processBatch(points: DataFrame, now: Long): Long = {
     // first-sight registration + throttle/shard gate (reference create path
     // rurouni/cache.py:112-151); rejected metrics' points drop for the batch
     val admitted = store.catalog.fold(points)(c => c.admit(points, now))
@@ -79,6 +84,7 @@ final class HotCache(val store: MetricStore, val cacheRetention: Long, val waitT
         recent.withColumn("pday", floor(col("ts") / 86400L))
           .write.mode(SaveMode.Append).partitionBy("pday").parquet(hotPath)
       flush(now)
+      aligned.count()
     } finally {
       aligned.unpersist()
       ()

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -37,14 +37,22 @@ object Ingest {
         col("p").getItem(2).try_cast("double").as("raw_ts"),
         col("p").getItem(1).try_cast("double").as("value"))
       .where(col("metric").isNotNull && col("raw_ts").isNotNull && col("value").isNotNull)
-      .select(
-        col("metric"),
-        col("raw_ts").cast("long").as("ts"),
-        col("value"),
-        // decimal, not double, math: ts*1e9 exceeds the 52-bit double
-        // mantissa and would round the arrival tiebreaker
-        (col("raw_ts").cast("decimal(21,9)") * lit(1000000000L)).cast("long").as("arrival"))
+      .select(col("metric") +: tsCols(col("raw_ts")) :+ col("value"): _*)
+      .where(col("ts").isNotNull && col("arrival").isNotNull)
+      .select(col("metric"), col("ts"), col("value"), col("arrival"))
   }
+
+  /** ts + arrival conversion, overflow-safe end to end: try_cast (never
+    * plain cast) so a NaN/Infinity/out-of-range timestamp — e.g. an
+    * ms-epoch where seconds were expected, which exceeds decimal(21,9) —
+    * nulls out and drops as malformed instead of throwing under ANSI mode
+    * and killing the stream. Decimal, not double, math for arrival:
+    * ts*1e9 exceeds the 52-bit double mantissa and would round the
+    * tiebreaker.
+    */
+  private def tsCols(rawTs: Column): Seq[Column] = Seq(
+    rawTs.try_cast("long").as("ts"),
+    (rawTs.try_cast("decimal(21,9)") * lit(1000000000L)).try_cast("long").as("arrival"))
 
   /** Frame cap matching the reference pickle receiver's MAX_LENGTH = 2<<20
     * (rurouni/protocols.py:46).
@@ -73,11 +81,9 @@ object Ingest {
         col("p.ts").as("raw_ts"),
         col("p.value").as("value"))
       .where(col("metric").isNotNull && col("raw_ts").isNotNull && col("value").isNotNull)
-      .select(
-        col("metric"),
-        col("raw_ts").cast("long").as("ts"),
-        col("value"),
-        (col("raw_ts").cast("decimal(21,9)") * lit(1000000000L)).cast("long").as("arrival"))
+      .select(col("metric") +: tsCols(col("raw_ts")) :+ col("value"): _*)
+      .where(col("ts").isNotNull && col("arrival").isNotNull)
+      .select(col("metric"), col("ts"), col("value"), col("arrival"))
 
   /** Count of dropped frames (unparseable or oversized) in a batch. */
   def malformedFrameCount(frames: DataFrame): Long =
@@ -91,10 +97,18 @@ object Ingest {
     */
   def malformedCount(lines: DataFrame): Long = {
     val parts = split(trim(col("line")), "\\s+")
+    // get(), not getItem(): the conditions share subexpressions, and under
+    // ANSI mode an out-of-bounds getItem throws even when the size
+    // predicate would have short-circuited it
+    val rawTs = get(col("p"), lit(2)).try_cast("double")
     lines.withColumn("p", parts)
       .where(size(col("p")) =!= 3 ||
-        col("p").getItem(1).try_cast("double").isNull ||
-        col("p").getItem(2).try_cast("double").isNull)
+        get(col("p"), lit(1)).try_cast("double").isNull ||
+        rawTs.isNull ||
+        // overflow class: parses as a double but can't convert to an
+        // epoch-seconds long / ns arrival (NaN, Infinity, ms-epochs)
+        rawTs.try_cast("long").isNull ||
+        (rawTs.try_cast("decimal(21,9)") * lit(1000000000L)).try_cast("long").isNull)
       .count()
   }
 
@@ -136,9 +150,11 @@ object Ingest {
             ins.incr("metricReceived", points.count().toDouble)
             ins.incr("errors", countBad(batch).toDouble)
           }
-          hot.processBatch(points, nowFn())
+          val committed = hot.processBatch(points, nowFn())
           instr.foreach { ins =>
-            ins.incr("committedPoints", points.count().toDouble) // cached
+            // post-admission count: throttled/mis-routed/dropped points are
+            // NOT committed (parse-side points.count() would overstate)
+            ins.incr("committedPoints", committed.toDouble)
             ins.appendUpdateTime((System.nanoTime() - t0) / 1e9)
           }
         } finally {

@@ -33,9 +33,33 @@ class AdminSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("cpu0", nowTs - i, 0.0 + i, i.toLong), ("cpu1", nowTs - i, 10.0 + i, i.toLong))
     }.toDF("metric", "ts", "value", "arrival")
 
+  test("deleteMetrics also purges the hot cache (no resurrection at next flush)") {
+    import graft.streaming.HotCache
+    val store = new MetricStore(s"$root/d0", schema("d0", Seq(Archive(1, 600), Archive(3, 1800))))
+    val hot = new HotCache(store, cacheRetention = 300, waitTime = 60)
+    // recent points stay in the hot table (above the watermark)
+    hot.processBatch(Seq(("cpu0", nowTs - 5, 1.0, 1L), ("cpu1", nowTs - 5, 2.0, 2L))
+      .toDF("metric", "ts", "value", "arrival"), nowTs)
+    assert(hot.hotView().select("metric").distinct().count() == 2)
+    Admin.deleteMetrics(store, Seq("cpu0"))
+    assert(hot.hotView().select("metric").as[String].collect().toSet == Set("cpu1"))
+    // the flush that follows must not bring cpu0 back into level 0
+    hot.flush(nowTs + 3600)
+    val lvl0 = store.readLevel(0, 0, nowTs + 86400).select("metric").distinct()
+      .as[String].collect().toSet
+    assert(!lvl0.contains("cpu0"), "deleted metric resurrected from the hot cache")
+  }
+
+  test("readPerMetricTree of an empty tree yields an empty frame, not a crash") {
+    val dir = java.nio.file.Files.createTempDirectory(root, "empty-tree")
+    val df = Admin.readPerMetricTree(dir.toString)
+    assert(df.count() == 0 && df.columns.toSeq == Seq("metric", "ts", "value"))
+  }
+
   test("deleteMetrics removes a metric from every level and the catalog") {
-    val cat = new Catalog(s"$root/d1-cat", new StorageSchemas(Nil))
-    val store = new MetricStore(s"$root/d1", schema("d1", Seq(Archive(1, 60), Archive(3, 60))), Some(cat))
+    val sch = schema("d1", Seq(Archive(1, 60), Archive(3, 60)))
+    val cat = new Catalog(s"$root/d1-cat", new StorageSchemas(Seq(sch)))
+    val store = new MetricStore(s"$root/d1", sch, Some(cat))
     cat.admit(points(1 to 6), nowTs)
     store.writeBatch(points(1 to 6), nowTs)
     store.cascade(nowTs - 6, nowTs, force = true)

@@ -78,8 +78,11 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("catalog-backed fetch spine: silent series fetch as all-null") {
-    val cat = new Catalog(s"$root/c4", schemas)
     val sch = StorageSchema("s", ".*".r, 1.0, AggMethod.Last, Seq(Archive(10, 360)), 600, 8)
+    // the catalog must know the store's schema: fetch spines are filtered
+    // to the store's schema_name (shared catalogs would otherwise gap-fill
+    // phantom series from other stores)
+    val cat = new Catalog(s"$root/c4", new StorageSchemas(Seq(sch)))
     val store = new MetricStore(s"$root/c4-store", sch, Some(cat))
     val now = 1700003600L
     cat.admit(pts("m.live", "m.silent"), now)

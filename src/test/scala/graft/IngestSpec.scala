@@ -48,6 +48,19 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Ingest.malformedCount(lines) == 3)
   }
 
+  test("overflow-class timestamps drop as malformed instead of killing the stream (ANSI)") {
+    val lines = Seq(
+      "m 1.0 1700000000",        // fine
+      "m 1.0 1700000000000",     // ms-epoch: overflows the decimal(21,9) arrival
+      "m 1.0 NaN",
+      "m 1.0 Infinity",
+      "m 1.0 1e300").toDF("line")
+    // a plain cast under ANSI mode would throw here; the parse must survive
+    val got = Ingest.parseLines(lines).collect()
+    assert(got.length == 1 && got.head.getString(0) == "m")
+    assert(Ingest.malformedCount(lines) == 4)
+  }
+
   // ---- hot cache vs the ts_hot_view oracle query ------------------------
 
   lazy val eventsPoints = Queries.metricStream(spark, "/root/testdata/sf0.001")

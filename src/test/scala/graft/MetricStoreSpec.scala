@@ -149,6 +149,21 @@ class MetricStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.readLevel(1, 0, nowTs + 86400).count() > 0)
   }
 
+  test("cascadeAuto: a clean level 0 does not block a dirty coarser level") {
+    // 3-level cascade; late points age-route straight into level 1, so
+    // only dirty(1) is recorded — an early return at clean level 0 would
+    // strand that window forever (even under force)
+    val store = new MetricStore(s"$root/s14",
+      schema("s14", Seq(Archive(1, 60), Archive(3, 600), Archive(30, 6000)), AggMethod.Min))
+    val late = nowTs - 120 // older than level 0's 60s retention, inside level 1's
+    store.writeBatch(Seq(("m", late, 7.0, 1L)).toDF("metric", "ts", "value", "arrival"), nowTs)
+    assert(store.dirtyRange(0).isEmpty && store.dirtyRange(1).nonEmpty)
+    store.cascadeAuto(force = true)
+    assert(store.dirtyRange(1).isEmpty, "level 1's dirty window was not consumed")
+    assert(store.readLevel(2, 0, nowTs + 86400).count() > 0,
+      "late point never propagated to the coarsest level")
+  }
+
   test("compact rewrites a level resolving superseded slots (LSM maintenance)") {
     val store = new MetricStore(s"$root/s13", schema("s13", Seq(Archive(1, 60), Archive(3, 60))))
     val t = nowTs - 5
