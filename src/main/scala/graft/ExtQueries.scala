@@ -119,7 +119,8 @@ object ExtQueries {
   val IvfProbe = 2
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val emb = Queries.spread(Queries.table(s, dir, "embeddings"))
+    // no spread() — the corpus redistributes on its cell id anyway
+    val emb = Queries.table(s, dir, "embeddings")
     Similarity.ivfAnn(emb, emb.where(col("vec_id") < PipelineQueries.NumQueryVecs),
         PipelineQueries.KnnK, IvfCentroids, IvfProbe)
       .orderBy("query_id", "rank")

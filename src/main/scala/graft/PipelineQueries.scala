@@ -91,7 +91,7 @@ object PipelineQueries {
     Dedup.clusterLabels(
         Dedup.minhashLshPairs(Queries.spread(Queries.table(s, dir, "documents")),
           3, MinhashBands, MinhashRows, MinhashBucketCap),
-        ClusterIters)
+        ClusterIters, checkConverged = true)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
 
@@ -231,7 +231,11 @@ object PipelineQueries {
     * is generated from, so the hash-compare sees identical blocking.
     */
   def embedCosineNearDup(s: SparkSession, dir: String): DataFrame = {
-    val emb = Queries.spread(Queries.table(s, dir, "embeddings"))
+    // no spread(): the pre-shuffle work on the embeddings scan is a trivial
+    // projection (bucket hashing is ~4k flops/vector); the canonicalize
+    // groupBy redistributes to full parallelism anyway, and the probe +
+    // repartition cost more than the single-split map they would fix
+    val emb = Queries.table(s, dir, "embeddings")
     val b = Similarity.adaptivePlanesPerTable(emb.count())
     val tables = Similarity.multiTablePlanes(LshTables, b, 64)
     Similarity.cosineNearDupPairs(emb, CosineThreshold, tables)
@@ -254,7 +258,9 @@ object PipelineQueries {
   val NumQueryVecs = 10
 
   def knnBruteForce(s: SparkSession, dir: String): DataFrame = {
-    val emb = Queries.spread(Queries.table(s, dir, "embeddings"))
+    // bruteForceKnn spreads its own corpus side (the O(Q*N) scoring is the
+    // part worth parallelizing); an outer spread would just add a shuffle
+    val emb = Queries.table(s, dir, "embeddings")
     Similarity.bruteForceKnn(emb, emb.where(col("vec_id") < NumQueryVecs), KnnK)
       .orderBy("query_id", "rank")
   }
@@ -271,7 +277,8 @@ object PipelineQueries {
        |ORDER BY query_id, rank""".stripMargin
 
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val emb = Queries.spread(Queries.table(s, dir, "embeddings"))
+    // no spread() — see embedCosineNearDup
+    val emb = Queries.table(s, dir, "embeddings")
     Similarity.lshAnn(emb, emb.where(col("vec_id") < NumQueryVecs), KnnK, AnnTables)
       .orderBy("query_id", "rank")
   }
@@ -296,16 +303,23 @@ object PipelineQueries {
   // ---- text analysis -----------------------------------------------------
   def textLangid(s: SparkSession, dir: String): DataFrame = {
     val scores = TextAnalysis.langMarkers.map { case (lang, _) => s"score_$lang" }
+    // sort-first: orderBy AFTER the scoring projection would make the range
+    // exchange's sampling pass re-evaluate the whole projection; sorting
+    // the slim base keeps the expensive work above the exchange, evaluated
+    // once (projections preserve row order)
     val docs = Queries.table(s, dir, "documents")
+      .select(col("doc_id"), col("text")).orderBy("doc_id")
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
     val withScores = TextAnalysis.langMarkers.foldLeft(docs) {
       case (df, (lang, words)) =>
         df.withColumn(s"score_$lang", TextAnalysis.markerScore(col("__toks"), words))
     }
     withScores
-      .withColumn("lang_pred", TextAnalysis.langIdFromTokens(col("__toks")))
+      // lang_pred from the materialized score columns — langIdFromTokens
+      // here would re-derive every marker score per reference
+      .withColumn("lang_pred", TextAnalysis.langIdFromScores(
+        TextAnalysis.langMarkers.map { case (lang, _) => lang -> col(s"score_$lang") }))
       .select((col("doc_id") +: col("lang_pred") +: scores.map(col)): _*)
-      .orderBy("doc_id")
   }
 
   val textLangidSql: String = {
@@ -325,11 +339,12 @@ object PipelineQueries {
   }
 
   def textQuality(s: SparkSession, dir: String): DataFrame =
+    // sort-first (see textLangid): features stay above the range exchange
     TextAnalysis.qualityFeatures(
-        Queries.table(s, dir, "documents").select(col("doc_id"), col("text")), col("text"))
+        Queries.table(s, dir, "documents").select(col("doc_id"), col("text"))
+          .orderBy("doc_id"), col("text"))
       .withColumn("quality", TextAnalysis.qualityScore)
       .drop("text")
-      .orderBy("doc_id")
 
   val textQualitySql: String = {
     val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
@@ -353,10 +368,10 @@ object PipelineQueries {
 
   def textTokens(s: SparkSession, dir: String): DataFrame =
     Queries.table(s, dir, "documents")
+      .select(col("doc_id"), col("text")).orderBy("doc_id")
       .select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).as("n_ws_tokens"),
         TextAnalysis.bpeishCount(col("text")).as("n_bpeish_tokens"))
-      .orderBy("doc_id")
 
   val textTokensSql: String =
     s"""SELECT doc_id,
@@ -366,10 +381,10 @@ object PipelineQueries {
 
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     Queries.table(s, dir, "documents")
+      .select(col("doc_id"), col("text")).orderBy("doc_id")
       // fp32 derives from the fp column so the regex+md5 runs once per doc
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .withColumn("fp32", conv(substring(col("fp"), 1, 8), 16, 10).cast("long"))
-      .orderBy("doc_id")
 
   val docFingerprintSql: String =
     """SELECT doc_id,
@@ -391,7 +406,7 @@ object PipelineQueries {
   // ---- part/lineitem brand rollup (adds `part` coverage) -----------------
   def partBrandRevenue(s: SparkSession, dir: String): DataFrame = {
     val part = Queries.table(s, dir, "part").where(col("p_type") === "ECONOMY")
-    Queries.spread(Queries.table(s, dir, "lineitem"))
+    Queries.table(s, dir, "lineitem")
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(

@@ -390,16 +390,30 @@ object Queries {
        |ORDER BY spine.metric, spine.ts""".stripMargin
   }
 
-  /** fnv1a32 shard routing (reference: rurouni/utils.py:107-108). Not
-    * expressible in DuckDB -> rows-only check; golden vectors pin it in
-    * the unit suite.
-    */
+  /** fnv1a32 shard routing (reference: rurouni/utils.py:107-108). */
   def fnv1aShard(s: SparkSession, dir: String): DataFrame =
     metricStream(s, dir)
       .groupBy(col("metric"),
         pmod(graft.functions.Fnv1a.fnv1a32(col("metric")), lit(8)).as("shard"))
       .agg(count(lit(1)).as("n"))
       .orderBy("metric", "shard")
+
+  /** The metric namespace of the events table is closed (five event types
+    * at every sf), so the hash DuckDB cannot compute is precomputed here by
+    * the golden-vectored JVM Fnv1a.shard and joined as a VALUES table. The
+    * INNER join makes an unexpected metric surface as a row-count mismatch
+    * instead of a silent pass.
+    */
+  val fnv1aShardSql: String = {
+    val metrics = Seq("click", "error", "purchase", "signup", "view")
+    val vals = metrics
+      .map(m => s"('$m', ${graft.functions.Fnv1a.shard(m, 8)})").mkString(", ")
+    s"""WITH base AS ($MetricBaseSql),
+       |shards(metric, shard) AS (VALUES $vals)
+       |SELECT b.metric AS metric, CAST(s.shard AS INTEGER) AS shard, COUNT(*) AS n
+       |FROM base b JOIN shards s ON b.metric = s.metric
+       |GROUP BY 1, 2 ORDER BY metric, shard""".stripMargin
+  }
 
   // =====================================================================
   // Relational coverage (scans, joins, windows, set ops) on the star schema
@@ -410,7 +424,10 @@ object Queries {
 
   /** Pricing-summary aggregation (scan + filter + wide agg; decimal-exact). */
   def q1Pricing(s: SparkSession, dir: String): DataFrame =
-    spread(table(s, dir, "lineitem"))
+    // no spread(): scan+agg queries partial-aggregate map-side, so only a
+    // handful of group rows ever shuffle — a pre-repartition would move all
+    // 16 columns of every row before the filter and agg drop them
+    table(s, dir, "lineitem")
       .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -448,7 +465,7 @@ object Queries {
     val cust = table(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
     val ord = table(s, dir, "orders")
       .where(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
-    val li = spread(table(s, dir, "lineitem"))
+    val li = table(s, dir, "lineitem")
       .where(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
@@ -480,7 +497,7 @@ object Queries {
     val ord = table(s, dir, "orders")
       .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
         col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
-    val li = spread(table(s, dir, "lineitem"))
+    val li = table(s, dir, "lineitem")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(supp,

@@ -84,7 +84,9 @@ object SparkEntry {
     "pivot_export" -> Queries.pivotExportSql,
     "ts_age_route" -> Queries.tsAgeRouteSql,
     "ts_fetch_archive" -> Queries.tsFetchArchiveSql,
-    // fnv1a_shard: no DuckDB equivalent (custom hash) -> rows-only check
+    // fnv1a_shard: the hash itself is not DuckDB-expressible, but the
+    // closed metric namespace lets the oracle join precomputed shard values
+    "fnv1a_shard" -> Queries.fnv1aShardSql,
     "q1_pricing" -> Queries.q1PricingSql,
     "q3_shipping" -> Queries.q3ShippingSql,
     "q5_region" -> Queries.q5RegionSql,

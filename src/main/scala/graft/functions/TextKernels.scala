@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd per-document text kernels for the quality-scoring operator.
+  *
+  * `textStats` folds the three token statistics the quality score needs
+  * (word count, distinct-word count, stopword hits) into ONE pass over the
+  * token array — the composable alternatives cost three passes
+  * (size / array_distinct / a filter lambda), and the filter lambda runs
+  * interpreted (HOFs are CodegenFallback). `charClassCount` replaces
+  * `size(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))` with a direct
+  * codepoint scan — the character classes are all-ASCII, so a UTF-8
+  * leading-byte walk counts exactly the codepoints the regex would match
+  * (any non-ASCII codepoint is in the negated class by definition).
+  */
+object TextKernels {
+  def textStats(toks: Column, stopwords: Seq[String]): Column =
+    ColumnBridge.column(TextStatsExpr(ColumnBridge.expression(toks), stopwords))
+
+  def charClassCount(text: Column): Column =
+    ColumnBridge.column(CharClassCountExpr(ColumnBridge.expression(text)))
+
+  def stats(a: ArrayData, stopSet: java.util.HashSet[UTF8String]): Array[Int] = {
+    val n = a.numElements()
+    val seen = new java.util.HashSet[UTF8String](n * 2)
+    var stop = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val t = a.getUTF8String(i)
+        if (stopSet.contains(t)) stop += 1
+        seen.add(t)
+        ()
+      }
+      i += 1
+    }
+    Array(n, seen.size, stop)
+  }
+
+  /** Codepoints outside [a-zA-Z0-9] ∪ Java regex \s ([ \t\n\x0B\f\r]).
+    * UTF-8 continuation bytes (10xxxxxx) are skipped so multi-byte
+    * codepoints count once (always as a hit — they are non-ASCII).
+    */
+  def punctCount(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if ((b & 0xc0) != 0x80) { // not a continuation byte -> one codepoint
+        val isWord = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+          (b >= '0' && b <= '9')
+        val isWs = b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+        if (!isWord && !isWs) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+}
+
+case class TextStatsExpr(child: Expression, stopwords: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_uniq_words", IntegerType, nullable = false),
+    StructField("n_stopwords", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"text_stats requires array<string> input, got $other")
+    }
+
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](stopwords.size * 2)
+    stopwords.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val r = TextKernels.stats(a.asInstanceOf[ArrayData], stopSet)
+    org.apache.spark.sql.catalyst.InternalRow(r(0), r(1), r(2))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("r")
+      s"""
+         |int[] $r = graft.functions.TextKernels.stats($a, $setRef);
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{$r[0], $r[1], $r[2]});
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "text_stats"
+}
+
+case class CharClassCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"punct_count requires string input, got ${child.dataType}")
+
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.punctCount(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextKernels.punctCount($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "punct_count"
+}

@@ -187,24 +187,41 @@ object Dedup {
     * converges and keeps the SQL oracle expressible as the same unrolled
     * rounds. ConvergedSpec asserts fixpoint on the test corpus.
     */
-  def clusterLabels(pairs: DataFrame, iters: Int): DataFrame = {
+  def clusterLabels(pairs: DataFrame, iters: Int,
+                    checkConverged: Boolean = false): DataFrame = {
     // symmetrize edges once; nodes = distinct endpoints
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .cache()
+    // the label table is one row per pair-graph node — bounded by near-dup
+    // density, never by corpus size — so each round's two joins against it
+    // are BROADCAST joins: edges never leave their partitions, and the only
+    // exchange per round is the partial-aggregated groupBy(src). Each round
+    // is eagerly localCheckpoint'ed: the next round broadcasts (= collects)
+    // the table twice, and without materialization every broadcast would
+    // re-execute the join lineage accumulated so far (and Catalyst
+    // re-analysis of the stacked plan goes super-linear with rounds).
     val init = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-    (1 to iters).foldLeft(init) { (labels, i) =>
-      val next = edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+      .withColumn("label", col("node")).localCheckpoint()
+    def round(labels: DataFrame): DataFrame =
+      edges.join(broadcast(labels.withColumnRenamed("node", "dst")), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("label")).as("nbr_min"))
-        .join(labels, "node")
+        .join(broadcast(labels), "node")
         .select(col("node"), least(col("label"), col("nbr_min")).as("label"))
-      // truncate lineage every few rounds: an iterative DataFrame loop
-      // otherwise stacks i nested joins and Catalyst re-analysis goes
-      // super-linear (the label table itself is tiny — one row per node)
-      if (i % 3 == 0 && i < iters) next.localCheckpoint() else next
+    val out = (1 to iters).foldLeft(init) { (labels, _) =>
+      round(labels).localCheckpoint()
     }
+    if (checkConverged) {
+      // rounds needed = component diameter; a chain-shaped component longer
+      // than `iters` silently splits without this probe
+      val changed = round(out).as("nx").join(out.as("cur"), "node")
+        .where(col("nx.label") =!= col("cur.label")).count()
+      require(changed == 0,
+        s"clusterLabels: $changed labels still changing after $iters rounds " +
+          "— a component's diameter exceeds the round budget; raise iters")
+    }
+    out
   }
 
   /** SimHash width: 60 bits (not 64 — bit 63 would flip the long's sign and

@@ -126,21 +126,25 @@ object Similarity {
   def lshAnn(corpus: DataFrame, queries: DataFrame, k: Int,
              tables: Seq[Seq[Seq[Double]]]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = withCells(
-      corpus.select(col("vec_id").as("nbr_id"), asDouble(col("embedding")).as("cvec"))
-        .withColumn("cn", norm(col("cvec"))),
-      col("cvec"), tables)
-    val q = withCells(
-      queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
-        .withColumn("qn", norm(col("qvec"))),
-      col("qvec"), tables)
-    // candidate = same (tbl, bucket) in any table; distinct before scoring
-    // so each surviving pair is scored exactly once
-    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+    val cbase = corpus.select(col("vec_id").as("nbr_id"), asDouble(col("embedding")).as("cvec"))
+      .withColumn("cn", norm(col("cvec")))
+    val qbase = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qvec"))
+      .withColumn("qn", norm(col("qvec")))
+    // candidate = same (tbl, bucket) in any table. Generate and dedup SLIM
+    // (id, id) pairs — the dedup exchange carries 16 bytes per row, not two
+    // embeddings — then re-join the vectors for scoring (the same pattern
+    // as cosineNearDupPairs).
+    val ccells = withCells(cbase, col("cvec"), tables)
+      .select(col("nbr_id"), col("tbl"), col("bucket"))
+    val qcells = withCells(qbase, col("qvec"), tables)
+      .select(col("query_id"), col("tbl"), col("bucket"))
+    val cand = ccells.join(broadcast(qcells), Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("nbr_id"))
-      .select(col("query_id"), col("nbr_id"), col("qvec"), col("qn"), col("cvec"), col("cn"))
+      .select(col("query_id"), col("nbr_id"))
       .dropDuplicates("query_id", "nbr_id")
     val scored = cand
+      .join(broadcast(qbase), "query_id")
+      .join(cbase, "nbr_id")
       .withColumn("cos", round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -11,9 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, lowercased. */
-  def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+  /** Whitespace tokens, lowercased. After trim, a `\s+` split can only
+    * produce an empty token for empty/all-whitespace input (one [""]), so
+    * the empty-input guard is a codegen'd `when` — NOT a filter() lambda,
+    * which would run interpreted (HOFs are CodegenFallback) on every doc.
+    */
+  def tokens(text: Column): Column = {
+    val t = trim(text)
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(t), "\\s+"))
+  }
 
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-alphanumeric-non-space chars (a cheap proxy for subword tokenizers;
@@ -43,13 +50,21 @@ object TextAnalysis {
     */
   def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
+  /** Marker-word hit count with multiplicity — a codegen'd hash-set probe
+    * per token (graft.functions.SetHits), never a filter() lambda:
+    * higher-order functions are CodegenFallback (interpreted, no CSE), and
+    * this count is the per-row hot loop of langid and quality scoring.
+    */
   def markerScore(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
+    graft.functions.SetHits.setHits(toks, words)
 
-  def langIdFromTokens(toks: Column): Column = {
-    val scores = langMarkers.map { case (lang, words) =>
-      (lang, markerScore(toks, words))
-    }
+  /** Winner among ALREADY-MATERIALIZED score columns: callers that also
+    * output the scores must pass those columns here rather than re-deriving
+    * from the token array — the filter lambdas are interpreted and the
+    * greatest/when tree references each score several times, so re-derived
+    * scores would be re-evaluated per reference.
+    */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // first language in declared order that achieves the best (non-zero) score
     scores.foldRight(lit("und"): Column) { case ((lang, hits), elseCol) =>
@@ -57,22 +72,26 @@ object TextAnalysis {
     }
   }
 
+  def langIdFromTokens(toks: Column): Column =
+    langIdFromScores(langMarkers.map { case (lang, words) =>
+      (lang, markerScore(toks, words))
+    })
+
   /** Quality features + a composite score in [0,1]:
     * word count, mean word length, stopword ratio, unique-token ratio,
     * punctuation ratio. Deterministic and SQL-expressible.
     */
-  def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
-    val toks = col("__toks") // materialized once; HOF lambdas get no CSE
-    df.withColumn("__toks", tokens(text))
-      .withColumn("n_words", size(toks))
-      .withColumn("n_uniq_words", size(array_distinct(toks)))
-      .withColumn("n_stopwords",
-        size(filter(toks, t => stopwords.map(w => t === lit(w)).reduce(_ || _))))
-      .withColumn("n_punct",
-        size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))))
+  def qualityFeatures(df: DataFrame, text: Column): DataFrame =
+    // one codegen'd pass over the token array for all three token stats
+    // (size / array_distinct / stopword filter would be three passes, the
+    // last interpreted), and a direct codepoint scan for the punct count
+    df.withColumn("__st", graft.functions.TextKernels.textStats(tokens(text), stopwords))
+      .withColumn("n_words", col("__st.n_words"))
+      .withColumn("n_uniq_words", col("__st.n_uniq_words"))
+      .withColumn("n_stopwords", col("__st.n_stopwords"))
+      .withColumn("n_punct", graft.functions.TextKernels.charClassCount(text))
       .withColumn("text_len", length(text))
-      .drop("__toks")
-  }
+      .drop("__st")
 
   /** Composite quality score from the feature columns (all-double math in a
     * fixed expression order so oracles agree bit-for-bit after rounding).

@@ -143,6 +143,14 @@ final class HotCache(val store: MetricStore, val cacheRetention: Long, val waitT
         val hot = TimeSeries.rollup(hotWindow, step, store.schema.aggregationMethod)
         val merged = TimeSeries.mergeHotHistorical(hot, hist)
         val filtered = metricFilter.fold(merged)(m => merged.where(col("metric") === m))
-        (level, TimeSeries.gapFill(filtered, from, until, step).orderBy("metric", "ts"))
+        // same catalog-backed spine as MetricStore.fetch: a registered but
+        // silent series must fetch as all-null here too, not vanish from
+        // the merged read path while appearing in the plain store fetch
+        val spine = store.catalog.map { c =>
+          val all = c.metrics().where(col("schema_name") === store.schema.name)
+            .select(col("metric"))
+          broadcast(metricFilter.fold(all)(m => all.where(col("metric") === m)))
+        }
+        (level, TimeSeries.gapFill(filtered, from, until, step, spine).orderBy("metric", "ts"))
     }
 }

@@ -63,7 +63,10 @@ final class Instrumentation(prefix: String = "rurouni",
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-      incr("metricReceived", e.progress.numInputRows.toDouble)
+      // timing only — metricReceived is counted in exactly one place
+      // (Ingest.startWith's foreachBatch, post-parse): counting
+      // numInputRows here too would double-count when both are wired, and
+      // pre-parse input rows disagree with parsed points anyway
       Option(e.progress.durationMs.get("triggerExecution"))
         .foreach(ms => appendUpdateTime(ms.toDouble / 1000))
     }
