@@ -35,14 +35,23 @@ object ExtQueries {
       |  UNION ALL
       |  SELECT user_id, us, 1, value, NULL, NULL FROM ev WHERE event_type = 'click'),
       |w AS (SELECT user_id, ts, side, click_value,
-      |        last_value(r_us IGNORE NULLS) OVER win AS asof_us,
-      |        last_value(r_value IGNORE NULLS) OVER win AS asof_value
+      |        -- the winning right row travels as ONE struct (side=0-only, so
+      |        -- the CASE is NULL for left rows), mirroring Joins.asOf: a NULL
+      |        -- INSIDE a right value must be carried faithfully, never
+      |        -- back-filled from an older row as independent per-column
+      |        -- last_value(... IGNORE NULLS) would do. ('asof' is a DuckDB
+      |        -- keyword — hence won_row.)
+      |        last_value(CASE WHEN side = 0
+      |            THEN struct_pack(r_us := r_us, r_value := r_value) END
+      |          IGNORE NULLS) OVER win AS won_row
       |      FROM u
-      |      -- (r_us, r_value) tie-break mirrors Joins.asOf's winning-row
-      |      -- struct order for duplicate (user_id, ts) right rows
+      |      -- (r_us, r_value NULLS FIRST) tie-break mirrors Joins.asOf's
+      |      -- winning-row struct order (Spark sorts null fields first ASC)
       |      WINDOW win AS (PARTITION BY user_id
-      |        ORDER BY ts, side, r_us, r_value ROWS UNBOUNDED PRECEDING))
-      |SELECT user_id, ts AS click_us, click_value, asof_us, asof_value
+      |        ORDER BY ts, side, r_us, r_value NULLS FIRST ROWS UNBOUNDED PRECEDING))
+      |SELECT user_id, ts AS click_us, click_value,
+      |       struct_extract(won_row, 'r_us') AS asof_us,
+      |       struct_extract(won_row, 'r_value') AS asof_value
       |FROM w WHERE side = 1 ORDER BY user_id, click_us""".stripMargin
 
   // ---- range join ------------------------------------------------------

@@ -41,9 +41,12 @@ final class Catalog(val root: String, val schemas: StorageSchemas,
     org.apache.spark.sql.types.StructField("schema_name", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("created_ts", org.apache.spark.sql.types.LongType)))
 
-  private def exists: Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+  private def fs: org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  private def exists: Boolean = {
+    SafeSwap.recover(fs, path) // restore if a remove() died mid-swap
     fs.exists(new org.apache.hadoop.fs.Path(path))
   }
 
@@ -111,16 +114,13 @@ final class Catalog(val root: String, val schemas: StorageSchemas,
     missing.length.toLong
   }
 
-  /** Remove metrics from the catalog (delete-metrics admin op). */
+  /** Remove metrics from the catalog (delete-metrics admin op). Backup-swap
+    * (SafeSwap): a crash at any step leaves the old or new catalog intact.
+    */
   def remove(toDelete: Seq[String]): Unit = {
     if (!exists || toDelete.isEmpty) return
     val remaining = metrics().where(!col("metric").isInCollection(toDelete))
-    val staging = s"$path.__staging"
-    remaining.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), new org.apache.hadoop.fs.Path(path))
-    ()
+    remaining.coalesce(1).write.mode(SaveMode.Overwrite).parquet(SafeSwap.stagingPath(path))
+    SafeSwap.commit(fs, path)
   }
 }

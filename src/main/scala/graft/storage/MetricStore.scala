@@ -154,25 +154,63 @@ final class MetricStore(val root: String, val schema: StorageSchema,
     * scale the same move is a transactional dynamic-partition overwrite;
     * local-FS parquet cannot overwrite a path it is reading, hence
     * stage-then-swap.)
+    *
+    * Crash safety: per-day BACKUP-swap — a day's previous content renames
+    * aside to `$target.__old/pday=N` (never a bare delete) before its
+    * staged content renames in, so an interruption at any step loses no
+    * committed data: `recoverSwap` restores any day whose old content is
+    * still aside, and the writer (idempotent upsert / recompute-from-source
+    * propagate) simply re-runs. Days already swapped when the crash hit
+    * keep their new content — also safe, because every writer through this
+    * path converges under replay.
+    *
+    * A day inside [loDay, hiDay] with NO staged content is still swapped
+    * (to nothing): a window that legitimately recomputes to zero rows must
+    * drop its stale rows, not keep them.
     */
-  private def swapPartitions(target: String, loDay: Long, hiDay: Long, merged: DataFrame): Unit = {
-    val staging = s"$target.__staging"
+  private[graft] def swapPartitions(target: String, loDay: Long, hiDay: Long,
+                                    merged: DataFrame): Unit = {
+    recoverSwap(target) // clear any previous crash before staging anew
+    val staging = SafeSwap.stagingPath(target)
     withPday(merged).write.mode(SaveMode.Overwrite).partitionBy("pday").parquet(staging)
     val fs = hadoopFs(target)
-    if (hasData(staging)) {
-      fs.mkdirs(new Path(target))
-      (loDay to hiDay).foreach { day =>
-        fs.delete(new Path(s"$target/pday=$day"), true)
-      }
-      fs.listStatus(new Path(staging)).foreach { st =>
+    val old = new Path(s"$target.__old")
+    fs.mkdirs(new Path(target))
+    fs.mkdirs(old)
+    (loDay to hiDay).foreach { day =>
+      val tgt = new Path(s"$target/pday=$day")
+      val stg = new Path(s"$staging/pday=$day")
+      if (fs.exists(tgt) && !fs.rename(tgt, new Path(s"$old/pday=$day")))
+        throw new java.io.IOException(s"swap: backup of $tgt failed")
+      if (fs.exists(stg) && !fs.rename(stg, tgt))
+        throw new java.io.IOException(s"swap: move-in of $stg failed")
+    }
+    fs.delete(old, true)
+    fs.delete(new Path(staging), true)
+    ()
+  }
+
+  /** Recover from a swapPartitions interrupted by a crash: restore every
+    * day whose previous content is still aside in `$target.__old` and whose
+    * new content did not land, then drop the leftovers. Idempotent; no-op
+    * (one exists probe) when there is no crash evidence.
+    */
+  def recoverSwap(target: String): Unit = {
+    val fs = hadoopFs(target)
+    val old = new Path(s"$target.__old")
+    if (fs.exists(old)) {
+      fs.listStatus(old).foreach { st =>
         val name = st.getPath.getName
-        if (name.startsWith("pday=")) {
-          fs.rename(st.getPath, new Path(s"$target/$name"))
-          ()
+        if (name.startsWith("pday=") && !fs.exists(new Path(s"$target/$name"))) {
+          if (!fs.rename(st.getPath, new Path(s"$target/$name")))
+            throw new java.io.IOException(s"recoverSwap: restore of $name failed")
         }
       }
+      fs.delete(old, true)
+      ()
     }
-    fs.delete(new Path(staging), true)
+    val staging = new Path(SafeSwap.stagingPath(target))
+    if (fs.exists(staging)) fs.delete(staging, true)
     ()
   }
 
@@ -187,7 +225,8 @@ final class MetricStore(val root: String, val schema: StorageSchema,
   /** Raw level rows (may contain superseded duplicates), pruned to a time
     * range (partition pruning on pday + row-group pruning on ts).
     */
-  private def readLevelRaw(i: Int, fromTime: Long, untilTime: Long): DataFrame =
+  private def readLevelRaw(i: Int, fromTime: Long, untilTime: Long): DataFrame = {
+    recoverSwap(levelPath(i)) // cheap no-op unless a swap died mid-flight
     if (!hasData(levelPath(i)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], levelSchema)
     else
@@ -195,6 +234,7 @@ final class MetricStore(val root: String, val schema: StorageSchema,
         .where(col("pday").between(fromTime / 86400L, untilTime / 86400L))
         .where(col("ts") >= fromTime && col("ts") < untilTime)
         .select(col("metric"), col("ts"), col("value"), col("arrival"))
+  }
 
   /** Read one level with duplicates resolved (last-write-wins). */
   def readLevel(i: Int, fromTime: Long, untilTime: Long): DataFrame =
@@ -359,16 +399,16 @@ final class MetricStore(val root: String, val schema: StorageSchema,
     */
   def compact(i: Int): Long = {
     val path = levelPath(i)
+    recoverSwap(path)
     if (!hasData(path)) return 0L
     val raw = spark.read.parquet(path)
       .select(col("metric"), col("ts"), col("value"), col("arrival"))
-    val before = raw.count()
-    val resolved = lww(raw)
-    val staging = s"$path.__staging"
-    withPday(resolved).write.mode(SaveMode.Overwrite).partitionBy("pday").parquet(staging)
-    val fs = hadoopFs(path)
-    fs.delete(new Path(path), true)
-    fs.rename(new Path(staging), new Path(path))
+    val head = raw.agg(count(lit(1)), min(col("ts")), max(col("ts"))).head()
+    val before = head.getLong(0)
+    if (before == 0) return 0L
+    // whole-level rewrite through the same crash-safe per-day swap as the
+    // cascade (no delete-then-rename window)
+    swapPartitions(path, head.getLong(1) / 86400L, head.getLong(2) / 86400L, lww(raw))
     before - spark.read.parquet(path).count()
   }
 

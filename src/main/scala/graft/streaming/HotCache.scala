@@ -48,12 +48,14 @@ final class HotCache(val store: MetricStore, val cacheRetention: Long, val waitT
     org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
     org.apache.spark.sql.types.StructField("arrival", org.apache.spark.sql.types.LongType)))
 
-  private def rawHot(): DataFrame =
+  private def rawHot(): DataFrame = {
+    store.recoverSwap(hotPath) // cheap no-op unless a flush died mid-swap
     if (!store.hasData(hotPath))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], hotSchema)
     else
       spark.read.parquet(hotPath)
         .select(col("metric"), col("ts"), col("value"), col("arrival"))
+  }
 
   /** One micro-batch of raw points `(metric, ts, value, arrival)`:
     * align+LWW to the level-0 step; stragglers already below the watermark
@@ -104,16 +106,14 @@ final class HotCache(val store: MetricStore, val cacheRetention: Long, val waitT
       val toFlush = TimeSeries.lwwMerge(raw.where(col("ts") < boundary))
       if (toFlush.isEmpty) return
       store.writeBatch(toFlush, now, upsert = true)
-      // rewrite the hot table without the flushed slots
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(hotPath), spark.sparkContext.hadoopConfiguration)
+      // rewrite the hot table without the flushed slots, through the
+      // store's crash-safe per-day backup swap (a crash between the store
+      // upsert above and this rewrite just leaves the flushed slots in
+      // both places — LWW replay converges; a crash inside the swap is
+      // recovered by recoverSwap, losing no committed slot either way)
+      val span = raw.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
       val keep = TimeSeries.lwwMerge(raw.where(col("ts") >= boundary))
-      val staging = s"$hotPath.__staging"
-      keep.withColumn("pday", floor(col("ts") / 86400L))
-        .write.mode(SaveMode.Overwrite).partitionBy("pday").parquet(staging)
-      fs.delete(new org.apache.hadoop.fs.Path(hotPath), true)
-      fs.rename(new org.apache.hadoop.fs.Path(staging), new org.apache.hadoop.fs.Path(hotPath))
-      ()
+      store.swapPartitions(hotPath, span.getLong(0) / 86400L, span.getLong(1) / 86400L, keep)
     } finally {
       raw.unpersist()
       ()
