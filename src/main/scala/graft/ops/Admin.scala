@@ -30,16 +30,17 @@ object Admin {
       s"${store.root}/${store.schema.name}/hot"
     paths.foreach { path =>
       if (store.hasData(path)) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        graft.storage.SafeSwap.recover(fs, path)
         val remaining = spark.read.parquet(path)
           .where(!col("metric").isInCollection(metrics))
           .select(col("metric"), col("ts"), col("value"), col("arrival"), col("pday"))
-        val staging = s"$path.__staging"
-        remaining.write.mode(SaveMode.Overwrite).partitionBy("pday").parquet(staging)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(path), true)
-        fs.rename(new org.apache.hadoop.fs.Path(staging), new org.apache.hadoop.fs.Path(path))
-        ()
+        remaining.write.mode(SaveMode.Overwrite).partitionBy("pday")
+          .parquet(graft.storage.SafeSwap.stagingPath(path))
+        // backup-swap (never delete-then-rename): a crash leaves either the
+        // old or the new table readable
+        graft.storage.SafeSwap.commit(fs, path)
       }
     }
     store.catalog.foreach(_.remove(metrics))

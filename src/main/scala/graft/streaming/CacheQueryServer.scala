@@ -1,0 +1,114 @@
+package graft.streaming
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import org.apache.spark.sql.functions._
+
+/** The cache-query serving endpoint: the reference serves its in-memory hot
+  * cache over a TCP length-prefixed-pickle protocol
+  * (rurouni/protocols.py:65-84 CacheManagementHandler; client
+  * bin/kenshin-cache-query.py); here the same process boundary is a small
+  * HTTP/JSON service in the DRIVER over the HotCache views, so any
+  * non-Spark reader (the web app in the reference deployment) can hit it.
+  *
+  * Endpoints:
+  *  - `GET /query?metric=m` — pre-flush hot slots for one metric (the
+  *    cache-query analog; returns only what the cache holds, like
+  *    MetricCache.get);
+  *  - `GET /fetch?metric=m&from=a&until=b&now=c` — the full merged
+  *    hot ∪ historical read through HotCache.fetchMerged (the web-side
+  *    merge the reference does in its graphite handler).
+  *
+  * Response: `{"metric":"m","step":s,"datapoints":[[ts,value|null],...]}`
+  * ascending by ts. Collecting to the driver is bounded: a hot window is
+  * ≈ cacheRetention/step slots per metric, and a fetch is already
+  * clamped + archive-selected before it gets here.
+  *
+  * Instrumentation: each /query bumps the `cacheQueries` counter, the
+  * reference's cache_queries stat (rurouni/state/instrumentation.py).
+  */
+final class CacheQueryServer(hot: HotCache, port: Int = 0,
+                             instr: Option[Instrumentation] = None) {
+
+  private var server: HttpServer = _
+
+  /** Start serving; returns the bound port (pass port=0 for ephemeral). */
+  def start(): Int = synchronized {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/query", handler(handleQuery))
+    server.createContext("/fetch", handler(handleFetch))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = synchronized { if (server != null) server.stop(0) }
+
+  private def handler(f: Map[String, String] => (Int, String)): HttpHandler =
+    new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val (code, body) = try f(params(ex)) catch {
+          case e: IllegalArgumentException => (400, jsonErr(e.getMessage))
+          case e: Exception => (500, jsonErr(e.toString))
+        }
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      }
+    }
+
+  private def params(ex: HttpExchange): Map[String, String] = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    q.split("&").filter(_.contains("=")).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k -> java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+  }
+
+  private def need(p: Map[String, String], k: String): String =
+    p.getOrElse(k, throw new IllegalArgumentException(s"missing parameter '$k'"))
+
+  private def handleQuery(p: Map[String, String]): (Int, String) = {
+    val metric = need(p, "metric")
+    instr.foreach(_.incr("cacheQueries"))
+    val rows = hot.hotView().where(col("metric") === metric)
+      .orderBy(col("ts"))
+      .select(col("ts"), col("value"))
+      .collect()
+    val step = hot.store.archives.head.secondsPerPoint
+    (200, jsonSeries(metric, step, rows.map(r => (r.getLong(0), Some(r.getDouble(1))))))
+  }
+
+  private def handleFetch(p: Map[String, String]): (Int, String) = {
+    val metric = need(p, "metric")
+    val from = need(p, "from").toLong
+    val until = need(p, "until").toLong
+    val now = p.get("now").map(_.toLong).getOrElse(System.currentTimeMillis() / 1000L)
+    hot.fetchMerged(Some(metric), from, until, now) match {
+      case None => (200, jsonSeries(metric, 0, Array.empty))
+      case Some((level, df)) =>
+        val step = hot.store.archives(level).secondsPerPoint
+        val rows = df.select(col("ts"), col("value")).collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        (200, jsonSeries(metric, step, rows))
+    }
+  }
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def jsonSeries(metric: String, step: Int,
+                         pts: Array[(Long, Option[Double])]): String = {
+    val dp = pts.map { case (ts, v) => s"[$ts,${v.map(_.toString).getOrElse("null")}]" }
+      .mkString("[", ",", "]")
+    s"""{"metric":"${esc(metric)}","step":$step,"datapoints":$dp}"""
+  }
+
+  private def jsonErr(msg: String): String = s"""{"error":"${esc(msg)}"}"""
+}

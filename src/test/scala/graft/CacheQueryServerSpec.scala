@@ -1,0 +1,97 @@
+package graft
+
+import graft.core.{Archive, StorageSchema, AggMethod}
+import graft.functions.Fnv1a
+import graft.ops.CacheQueryCli
+import graft.storage.MetricStore
+import graft.streaming.{CacheQueryServer, HotCache, Instrumentation}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Real round trips against the running cache-query HTTP service (the
+  * reference's CacheManagementHandler + kenshin-cache-query client pair,
+  * rurouni/protocols.py:65-84, bin/kenshin-cache-query.py).
+  */
+class CacheQueryServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+  implicit lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  val nowTs = 1411628779L
+  var root: java.nio.file.Path = _
+  var server: CacheQueryServer = _
+  var port: Int = _
+  var instr: Instrumentation = _
+
+  override def beforeAll(): Unit = {
+    root = java.nio.file.Files.createTempDirectory("graft-cqs")
+    val schema = StorageSchema("cq", ".*".r, 1.0, AggMethod.Average,
+      Seq(Archive(1, 600), Archive(3, 1200)), 600, 8)
+    val store = new MetricStore(s"$root/cq", schema)
+    val hot = new HotCache(store, cacheRetention = 300L, waitTime = 60L)
+    val pts = (1 to 5).map(i => ("web.req", nowTs - i, i.toDouble, i.toLong))
+      .toDF("metric", "ts", "value", "arrival")
+    hot.processBatch(pts, nowTs)
+    instr = new Instrumentation(hostname = "testhost")
+    server = new CacheQueryServer(hot, port = 0, instr = Some(instr))
+    port = server.start()
+  }
+
+  override def afterAll(): Unit = {
+    server.stop()
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(root.toString)).deleteRecursively()
+    ()
+  }
+
+  test("client /query round trip returns the hot slots as JSON") {
+    val body = CacheQueryCli.query("127.0.0.1", Seq(port), "web.req")
+    assert(body.contains("\"metric\":\"web.req\""))
+    assert(body.contains("\"step\":1"))
+    // all five pre-flush points present, ascending
+    val dps = (1 to 5).reverse.map(i => s"[${nowTs - i},${i.toDouble}]").mkString(",")
+    assert(body.contains(s"[$dps]"), s"got: $body")
+  }
+
+  test("/query bumps the cacheQueries instrumentation counter") {
+    instr.drain(nowTs) // reset whatever earlier tests accumulated
+    CacheQueryCli.query("127.0.0.1", Seq(port), "web.req")
+    CacheQueryCli.query("127.0.0.1", Seq(port), "web.req")
+    val after = instr.drain(nowTs)
+      .collectFirst { case (m, _, v, _) if m.endsWith("cacheQueries") => v }.get
+    assert(after == 2.0)
+  }
+
+  test("client /fetch round trip serves the merged read path") {
+    val body = CacheQueryCli.fetch("127.0.0.1", Seq(port), "web.req",
+      nowTs - 5, nowTs, nowTs)
+    assert(body.contains("\"metric\":\"web.req\""))
+    // fetchMerged gap-fills to the full window: 5 slots, all with values
+    assert((1 to 5).forall(i => body.contains(s"[${nowTs - i},${i.toDouble}]")), s"got: $body")
+  }
+
+  test("shard routing picks the owning instance's port (reference client table)") {
+    val n = 8
+    val shard = Fnv1a.shard("web.req", n)
+    // dummies everywhere except the owning slot: connecting anywhere else fails
+    val ports = Seq.tabulate(n)(i => if (i == shard) port else 1)
+    val body = CacheQueryCli.query("127.0.0.1", ports, "web.req")
+    assert(body.contains("\"metric\":\"web.req\""))
+  }
+
+  test("missing parameter yields HTTP 400 with a JSON error") {
+    val e = intercept[java.io.IOException] {
+      CacheQueryCli.fetch("127.0.0.1", Seq(port), "web.req", nowTs - 5, nowTs, nowTs)
+      // direct bad request (no metric param)
+      val conn = java.net.URI.create(s"http://127.0.0.1:$port/query").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      throw new java.io.IOException(s"HTTP $code")
+    }
+    assert(e.getMessage.contains("400"))
+  }
+
+  test("unknown metric returns an empty datapoint list, not an error") {
+    val body = CacheQueryCli.query("127.0.0.1", Seq(port), "no.such.metric")
+    assert(body.contains("\"datapoints\":[]"))
+  }
+}
