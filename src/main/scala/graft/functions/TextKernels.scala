@@ -27,6 +27,9 @@ object TextKernels {
   def charClassCount(text: Column): Column =
     ColumnBridge.column(CharClassCountExpr(ColumnBridge.expression(text)))
 
+  def wordShingles(toks: Column, w: Int): Column =
+    ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(toks), w))
+
   def stats(a: ArrayData, stopSet: java.util.HashSet[UTF8String]): Array[Int] = {
     val n = a.numElements()
     val seen = new java.util.HashSet[UTF8String](n * 2)
@@ -42,6 +45,32 @@ object TextKernels {
       i += 1
     }
     Array(n, seen.size, stop)
+  }
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Distinct word w-shingles (space-joined), first-occurrence order —
+    * one pass, one hash set. The composable form
+    * `array_distinct(transform(sequence(...), i => concat_ws(slice(...))))`
+    * runs the lambda INTERPRETED per shingle (HOFs are CodegenFallback)
+    * with a slice allocation each — this kernel is the shared front of
+    * every shingle-based near-dup operator.
+    */
+  def shingleSet(a: ArrayData, w: Int): ArrayData = {
+    val n = a.numElements()
+    if (n < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]((n - w + 1) * 2)
+    var i = 0
+    while (i <= n - w) {
+      val parts = new Array[UTF8String](w)
+      var j = 0
+      while (j < w) { parts(j) = a.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(Space, parts: _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
   /** Codepoints outside [a-zA-Z0-9] ∪ Java regex \s ([ \t\n\x0B\f\r]).
@@ -108,6 +137,32 @@ case class TextStatsExpr(child: Expression, stopwords: Seq[String]) extends Unar
     copy(child = newChild)
 
   override def prettyName: String = "text_stats"
+}
+
+case class ShinglesExpr(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_shingles requires array<string> input, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.shingleSet(a.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernels.shingleSet($a, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
 }
 
 case class CharClassCountExpr(child: Expression) extends UnaryExpression {
