@@ -142,9 +142,10 @@ object Similarity {
       .where(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"))
       .dropDuplicates("query_id", "nbr_id")
-    val scored = cand
-      .join(broadcast(qbase), "query_id")
-      .join(cbase, "nbr_id")
+    // the candidate set is query-bounded (Q * tables * occupancy), so IT is
+    // the broadcast side of the vector re-join — the corpus never shuffles
+    val scored = cbase
+      .join(broadcast(cand.join(broadcast(qbase), "query_id")), "nbr_id")
       .withColumn("cos", round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))
