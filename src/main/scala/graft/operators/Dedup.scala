@@ -179,46 +179,52 @@ object Dedup {
     * converges and keeps the SQL oracle expressible as the same unrolled
     * rounds. ConvergedSpec asserts fixpoint on the test corpus.
     */
-  def clusterLabels(pairs: DataFrame, iters: Int,
-                    checkConverged: Boolean = false): DataFrame = {
-    // symmetrize edges once, WITH self-loops: min(own label, neighbor min)
-    // then collapses to one join + one groupBy per round instead of two
-    // joins (the self-loop contributes the node's own label to the min)
+  /** Symmetrized edge table WITH self-loops, pre-partitioned by src and
+    * cached — the fixed side of every propagation round. Self-loops make
+    * min(own label, neighbor min) collapse to one join + one groupBy per
+    * round; pre-partitioning by src means the per-round groupBy needs NO
+    * exchange (the cached scan's hash-partitioning satisfies the
+    * aggregation), so a round is zero-shuffle — one broadcast of the
+    * bounded label table + an in-place aggregation. Measured 4x on the
+    * whole propagation vs re-shuffling each round (AQE re-plans every
+    * materialized stage).
+    */
+  private[graft] def ccEdges(pairs: DataFrame): DataFrame = {
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-    // pre-partition the cached edge table by src ONCE: the per-round
-    // groupBy(src) then needs no exchange at all (the cached scan's
-    // hash-partitioning satisfies the aggregation), so a round is
-    // zero-shuffle — one broadcast of the bounded label table + an
-    // in-place aggregation. Measured 4x on the whole propagation vs
-    // re-shuffling each round (AQE re-plans every materialized stage).
-    val edges = sym
+    sym
       .unionByName(sym.select(col("src")).distinct()
         .select(col("src"), col("src").as("dst")))
       .repartition(col("src"))
       .cache()
-    // the label table is one row per pair-graph node — bounded by near-dup
-    // density, never by corpus size — so the per-round join against it is a
-    // BROADCAST join: edges never leave their partitions. Each round is
-    // eagerly localCheckpoint'ed: the next round's broadcast (= collect)
-    // would otherwise re-execute the whole join lineage accumulated so far
-    // (and Catalyst re-analysis of the stacked plan goes super-linear).
+  }
+
+  /** One min-label round: labels broadcast (one row per pair-graph node,
+    * bounded by near-dup density), edges never leave their partitions.
+    */
+  private[graft] def ccRound(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges.join(broadcast(labels.withColumnRenamed("node", "dst")), "dst")
+      .groupBy(col("src").as("node"))
+      .agg(min(col("label")).as("label"))
+
+  def clusterLabels(pairs: DataFrame, iters: Int,
+                    checkConverged: Boolean = false): DataFrame = {
+    val edges = ccEdges(pairs)
     // nodes from the CACHED edge table (self-loops guarantee every node
     // appears as src) — deriving from the uncached upstream would run the
-    // whole candidate-pair pipeline a second time
+    // whole candidate-pair pipeline a second time. Each round is eagerly
+    // localCheckpoint'ed: the next round's broadcast (= collect) would
+    // otherwise re-execute the whole join lineage accumulated so far (and
+    // Catalyst re-analysis of the stacked plan goes super-linear).
     val init = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
-    def round(labels: DataFrame): DataFrame =
-      edges.join(broadcast(labels.withColumnRenamed("node", "dst")), "dst")
-        .groupBy(col("src").as("node"))
-        .agg(min(col("label")).as("label"))
     val out = (1 to iters).foldLeft(init) { (labels, _) =>
-      round(labels).localCheckpoint()
+      ccRound(edges, labels).localCheckpoint()
     }
     if (checkConverged) {
       // rounds needed = component diameter; a chain-shaped component longer
       // than `iters` silently splits without this probe
-      val changed = round(out).as("nx").join(out.as("cur"), "node")
+      val changed = ccRound(edges, out).as("nx").join(out.as("cur"), "node")
         .where(col("nx.label") =!= col("cur.label")).count()
       require(changed == 0,
         s"clusterLabels: $changed labels still changing after $iters rounds " +

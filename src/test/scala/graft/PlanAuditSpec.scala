@@ -121,4 +121,46 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"near-dup fell back to a nested-loop scan:\n$plan")
   }
+
+  test("connected-components round is zero-shuffle: broadcast join + in-place agg") {
+    import org.apache.spark.sql.functions._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val edges = graft.operators.Dedup.ccEdges(pairs)
+    edges.count() // materialize the pre-partitioned cache
+    val labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    val round = graft.operators.Dedup.ccRound(edges, labels)
+    round.collect() // executedPlan under AQE is only final after execution
+    val plan = round.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"label join must broadcast:\n$plan")
+    // audit only the round's own operators: the InMemoryRelation subtree
+    // prints the cached edge table's BUILD lineage (which legitimately
+    // contains the one-time repartition exchange)
+    val roundOnly = plan.split("InMemoryRelation")(0)
+    val shuffles = roundOnly.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
+    assert(shuffles == 0,
+      s"a propagation round must not re-shuffle the pre-partitioned edges:\n$plan")
+  }
+
+  test("shingle generation runs the codegen'd kernel, not interpreted HOF lambdas") {
+    // (the per-doc BAND transform() stays a lambda — 4 elements per doc;
+    // it's the per-shingle path that must be the kernel)
+    val plan = planOf(PipelineQueries.dedupMinhashLsh(spark, sfDir))
+    assert(plan.contains("word_shingles"), s"shingle kernel missing from plan:\n${plan.take(2000)}")
+  }
+
+  test("ann_lsh joins are all broadcast-side bounded (corpus never shuffles for scoring)") {
+    val plan = planOf(PipelineQueries.annLsh(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"scoring re-join must broadcast the query-bounded candidate set:\n$plan")
+  }
+
+  test("text quality runs codegen'd kernels, no interpreted filter lambdas") {
+    val plan = planOf(PipelineQueries.textQuality(spark, sfDir))
+    assert(plan.contains("text_stats") && plan.contains("punct_count"),
+      s"quality kernels missing:\n${plan.take(2000)}")
+    assert(!plan.contains("filter(lambda"), s"interpreted filter lambda:\n${plan.take(2000)}")
+  }
 }
