@@ -254,19 +254,38 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+    // one 60-bit token hash as a single long: bits 0..31 from hlo, 32..59
+    // from the LOW 28 bits of hhi (the mask keeps the product inside a
+    // signed long — hhi itself is a full 32-bit value)
     val h = tok.withColumn("__dg", md5(col("token")))
       .select(col("doc_id"),
-        conv(substring(col("__dg"), 1, 8), 16, 10).cast("long").as("hlo"),
-        conv(substring(col("__dg"), 9, 8), 16, 10).cast("long").as("hhi"))
-    def bitOf(j: Int): Column =
-      if (j < 32) shiftright(col("hlo"), j) else shiftright(col("hhi"), j - 32)
-    val bitSums = (0 until SimhashBits).map { j =>
-      sum(when(bitOf(j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+        (conv(substring(col("__dg"), 1, 8), 16, 10).cast("long") +
+          conv(substring(col("__dg"), 9, 8), 16, 10).cast("long")
+            .bitwiseAND(lit(0xFFFFFFFL)) * lit(1L << 32))
+          .as("h60"))
+    // LANE-PACKED bit counting: bit j's vote sum is 2*S_j - N for
+    // S_j = count of tokens with bit j set. Summing (h60 >> f) & laneMask
+    // accumulates S_f, S_{f+15}, S_{f+30}, S_{f+45} in four 15-bit lanes of
+    // ONE long — 15 sum aggregates + a count instead of 60 conditional
+    // sums (4x smaller agg codegen and buffers). A lane saturates at 32767
+    // distinct tokens per doc; the recompose guards that bound explicitly.
+    val laneMask = (1L) | (1L << 15) | (1L << 30) | (1L << 45)
+    val laneSums = (0 until SimhashBandBits).map { f =>
+      sum(shiftright(col("h60"), f).bitwiseAND(laneMask)).as(s"l$f")
     }
-    h.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until SimhashBits).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    val agged = h.groupBy(col("doc_id"))
+      .agg(laneSums.head, laneSums.tail :+ count(lit(1)).as("n"): _*)
+    def sOf(j: Int): Column =
+      shiftright(col(s"l${j % SimhashBandBits}"), (j / SimhashBandBits) * 15)
+        .bitwiseAND(0x7fff)
+    val recomposed = (0 until SimhashBits)
+      // bit j set iff vote sum 2*S_j - N > 0
+      .map(j => when(sOf(j) * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agged.select(col("doc_id"),
+      when(col("n") > 0x7fff, raise_error(concat(lit(
+        "simhash: doc exceeds 32767 distinct tokens (lane overflow): "), col("doc_id"))))
+        .otherwise(recomposed).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, using 15-bit
