@@ -9,12 +9,19 @@ import org.apache.spark.sql.functions._
   * so decoders amortize per-batch setup and the payload never hits the
   * driver).
   *
-  * The actual codec step is a clearly-marked deterministic STUB — the
-  * container has no image/audio libraries — but schema, partitioning, batch
-  * shape and the UDF signature are real: swap `decodeStub` for a JNI/codec
-  * call and nothing else changes.
+  * IMAGE decode is REAL: the JDK ships codecs (javax.imageio —
+  * PNG/JPEG/BMP/GIF) so `imageFeatures` decodes, resizes
+  * (deterministic nearest-neighbor) and extracts pixel statistics on
+  * executors. Audio/video frame decode remains a clearly-marked
+  * deterministic STUB (`decodeStub`) — the container has no AV codecs —
+  * with the schema, partitioning, batch shape and signature real: swap the
+  * stub for a JNI/codec call and nothing else changes.
   */
 object Multimodal {
+
+  // ImageIO must not look for a display on executors
+  try { System.setProperty("java.awt.headless", "true"); () }
+  catch { case _: SecurityException => () }
 
   /** One media row: opaque bytes + typed metadata. */
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
@@ -58,9 +65,10 @@ object Multimodal {
       col("content").as("payload"))
   }
 
-  /** STUB decode: a real implementation would decode image/audio frames
-    * here (e.g. via a JNI codec) — deterministic fake features instead.
-    * Pure function of the payload bytes so tests and oracles can pin it.
+  /** STUB decode for AUDIO/VIDEO payloads (no AV codecs in this
+    * environment) — deterministic fake features; pure function of the
+    * payload bytes so tests and oracles can pin it. Image payloads have
+    * the real path: `imageFeatures` below.
     */
   def decodeStub(row: MediaRow, frameStride: Int): MediaFeatures = {
     val bytes = row.payload
@@ -83,6 +91,77 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       // per-partition decoder setup would go here
       rows.map(decodeStub(_, frameStride))
+    }
+  }
+
+  /** Decoded-image statistics: what a training-data image pipeline filters
+    * and dedups on before the expensive embed step.
+    */
+  final case class ImageFeatures(
+      media_id: Long,
+      kind: String,
+      decoded: Boolean,
+      width: Int,
+      height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double,
+      luma_hist: Seq[Long]) // 16 bins over resized luma, a cheap visual signature
+
+  /** Real image decode via the JDK's built-in codecs. Returns None for
+    * payloads no installed reader accepts (truncated files, non-images).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /** Deterministic nearest-neighbor resize — an explicit sampling loop, not
+    * Graphics2D interpolation, so features are bit-stable across JVMs.
+    */
+  def resizeNearest(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      val sy = math.min(sh - 1, y * sh / h)
+      var x = 0
+      while (x < w) {
+        out(y * w + x) = img.getRGB(math.min(sw - 1, x * sw / w), sy)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def featuresOf(row: MediaRow, w: Int, h: Int): ImageFeatures =
+    decodeImage(row.payload) match {
+      case None =>
+        ImageFeatures(row.media_id, row.kind, decoded = false, -1, -1, 0, 0, 0, Seq.fill(16)(0L))
+      case Some(img) =>
+        val px = resizeNearest(img, w, h)
+        var (r, g, b) = (0L, 0L, 0L)
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          val (pr, pg, pb) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+          r += pr; g += pg; b += pb
+          // integer ITU-R 601 luma, exact across platforms
+          hist(((pr * 299 + pg * 587 + pb * 114) / 1000) >> 4) += 1
+          i += 1
+        }
+        val n = px.length.toDouble
+        ImageFeatures(row.media_id, row.kind, decoded = true, img.getWidth, img.getHeight,
+          r / n, g / n, b / n, hist.toSeq)
+    }
+
+  /** Distributed decode -> resize -> feature pass: one ImageIO context per
+    * partition (mapPartitions), payload bytes never leave the executors.
+    */
+  def imageFeatures(media: DataFrame, targetW: Int = 32, targetH: Int = 32)
+                   (implicit spark: SparkSession): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map(featuresOf(_, targetW, targetH))
     }
   }
 
