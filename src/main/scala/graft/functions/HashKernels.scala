@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd minhash family kernel. The composable form computes
+  * ceil(H/4) md5 digests as HEX STRINGS and parses H
+  * `conv(substring(hex, …), 16, 10)` windows back out of them — per
+  * shingle, that is 4 hex encodings plus 16 string-slice/radix-parse
+  * expression trees. This kernel produces the same H longs straight from
+  * the raw digest bytes in one JVM call (digest d = md5("s<d>:"+s); hash k
+  * = unsigned big-endian int of bytes 4*(k%4)..4*(k%4)+3 of digest k/4 —
+  * exactly the hex-window definition, since 8 hex chars ARE 4 digest
+  * bytes). Bit-identical to `Dedup.minhashFamily` / the DuckDB oracle's
+  * `('0x'||substr(md5('s<d>:'||s), p, 8))::BIGINT`.
+  */
+object HashKernels {
+  def minhashWindows(shingle: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinhashWindowsExpr(ColumnBridge.expression(shingle), numHashes))
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def windows(s: UTF8String, numHashes: Int): ArrayData = {
+    val md = md5Local.get()
+    val sBytes = s.getBytes
+    val out = new Array[Any](numHashes)
+    var d = 0
+    var k = 0
+    while (k < numHashes) {
+      md.reset()
+      // ASCII prefix "s<d>:" — matches lit(s"s$d:") for the ASCII digits
+      md.update(('s').toByte)
+      val ds = String.valueOf(d)
+      var i = 0
+      while (i < ds.length) { md.update(ds.charAt(i).toByte); i += 1 }
+      md.update((':').toByte)
+      md.update(sBytes)
+      val dg = md.digest()
+      var j = 0
+      while (j < 4 && k < numHashes) {
+        out(k) = ((dg(4 * j) & 0xffL) << 24) | ((dg(4 * j + 1) & 0xffL) << 16) |
+          ((dg(4 * j + 2) & 0xffL) << 8) | (dg(4 * j + 3) & 0xffL)
+        j += 1
+        k += 1
+      }
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class MinhashWindowsExpr(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes >= 1, "numHashes must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_windows requires string input, got ${child.dataType}")
+
+  override def nullSafeEval(s: Any): Any =
+    HashKernels.windows(s.asInstanceOf[UTF8String], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.HashKernels.windows($s, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_windows"
+}

@@ -79,9 +79,14 @@ object Dedup {
     * One groupBy(doc_id) shuffle over the exploded shingles.
     */
   def minhashSignatures(docs: DataFrame, w: Int, numHashes: Int): DataFrame = {
+    // the whole hash family comes from ONE codegen'd kernel call per
+    // shingle (raw digest bytes, no hex-string round trips) — bit-identical
+    // to minhashFamily, which remains as the composable/oracle-documented
+    // definition
     val sh = shingles(docs, w)
-    val family = minhashFamily(col("shingle"), numHashes)
-    val aggs = family.zipWithIndex.map { case (h, k) => min(h).as(s"h$k") }
+      .select(col("doc_id"),
+        graft.functions.HashKernels.minhashWindows(col("shingle"), numHashes).as("__mh"))
+    val aggs = (0 until numHashes).map(k => min(element_at(col("__mh"), k + 1)).as(s"h$k"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
   }
