@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.operators.{Contamination, Dedup, Sampling, Similarity, TextAnalysis, Multimodal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -391,6 +391,123 @@ object PipelineQueries {
       |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
       |('0x'||substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),1,8))::BIGINT AS fp32
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- repetition quality (Gopher-style) ---------------------------------
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    // sort-first (see textLangid): the kernel projection stays above the
+    // range exchange, evaluated once per row
+    TextAnalysis.repetitionStats(
+      Queries.table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .orderBy("doc_id"), col("text"))
+      .drop("text")
+
+  val textRepetitionSql: String =
+    s"""WITH $toksSql,
+       |g2 AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+       |       FROM toks, unnest(generate_series(1, len(t) - 1)) gs(i) WHERE len(t) >= 2),
+       |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+       |s2 AS (SELECT doc_id, SUM(c) AS n_2grams, MAX(c) AS top2_count,
+       |              SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup2_count
+       |       FROM c2 GROUP BY 1),
+       |g3 AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+       |       FROM toks, unnest(generate_series(1, len(t) - 2)) gs(i) WHERE len(t) >= 3),
+       |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+       |s3 AS (SELECT doc_id, SUM(c) AS n_3grams, MAX(c) AS top3_count,
+       |              SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3_count
+       |       FROM c3 GROUP BY 1)
+       |SELECT toks.doc_id,
+       |  CAST(COALESCE(s2.n_2grams, 0) AS INT) AS n_2grams,
+       |  CAST(COALESCE(s2.top2_count, 0) AS INT) AS top2_count,
+       |  CAST(COALESCE(s2.dup2_count, 0) AS INT) AS dup2_count,
+       |  CAST(COALESCE(s3.n_3grams, 0) AS INT) AS n_3grams,
+       |  CAST(COALESCE(s3.top3_count, 0) AS INT) AS top3_count,
+       |  CAST(COALESCE(s3.dup3_count, 0) AS INT) AS dup3_count,
+       |  CASE WHEN COALESCE(s2.n_2grams, 0) > 0
+       |       THEN round(CAST(s2.top2_count AS DOUBLE) / CAST(s2.n_2grams AS DOUBLE), 6)
+       |       ELSE 0.0 END AS top2_frac,
+       |  CASE WHEN COALESCE(s3.n_3grams, 0) > 0
+       |       THEN round(CAST(s3.dup3_count AS DOUBLE) / CAST(s3.n_3grams AS DOUBLE), 6)
+       |       ELSE 0.0 END AS dup3_frac
+       |FROM toks LEFT JOIN s2 ON toks.doc_id = s2.doc_id
+       |          LEFT JOIN s3 ON toks.doc_id = s3.doc_id
+       |ORDER BY toks.doc_id""".stripMargin
+
+  // ---- benchmark decontamination ------------------------------------------
+  val BenchSource = "src0"
+  val ContamW = 3
+
+  /** Training-vs-benchmark n-gram overlap: docs from `BenchSource` play the
+    * held-out eval suite; every other document reports how many of its
+    * distinct hashed 3-shingles also occur in the benchmark.
+    */
+  def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.table(s, dir, "documents")
+    Contamination.ngramHits(
+        docs.where(col("source") =!= BenchSource),
+        docs.where(col("source") === BenchSource), ContamW)
+      .orderBy("doc_id")
+  }
+
+  val textDecontaminateSql: String =
+    s"""WITH toksAll AS (
+       |  SELECT doc_id, source,
+       |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM documents),
+       |shAll AS (
+       |  SELECT DISTINCT doc_id, source,
+       |         ${h32Sql(s"array_to_string(t[i:i+${ContamW - 1}], ' ')")} AS shingle
+       |  FROM toksAll, unnest(generate_series(1, len(t) - ${ContamW - 1})) g(i)
+       |  WHERE len(t) >= $ContamW),
+       |bench AS (SELECT DISTINCT shingle FROM shAll WHERE source = '$BenchSource'),
+       |corpus AS (SELECT doc_id, shingle FROM shAll WHERE source <> '$BenchSource'),
+       |hits AS (
+       |  SELECT c.doc_id, COUNT(*) AS n_shingles,
+       |         CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
+       |  GROUP BY 1)
+       |SELECT doc_id, n_shingles, n_hits,
+       |       round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS hit_frac
+       |FROM hits ORDER BY doc_id""".stripMargin
+
+  // ---- embedding int8 quantization audit ----------------------------------
+  def embedQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeStats(
+      Queries.table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .orderBy("vec_id"))
+
+  val embedQuantizeSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e),
+      |err AS (SELECT vec_id, scale, len(v) AS n,
+      |        CASE WHEN scale > 0
+      |             THEN list_transform(v, x -> abs(x - floor(x / scale + 0.5) * scale))
+      |             END AS errs
+      |        FROM s)
+      |SELECT vec_id, round(scale, 6) AS scale,
+      |  round(CASE WHEN scale > 0 AND n > 0 THEN list_sum(errs) / n ELSE 0.0 END, 6) AS mae,
+      |  round(CASE WHEN scale > 0 THEN list_max(errs) ELSE 0.0 END, 6) AS max_err
+      |FROM err ORDER BY vec_id""".stripMargin
+
+  // ---- uniform language rebalance ------------------------------------------
+  val RebalSalt = "rebal"
+
+  /** Downsample every language, in expectation, to the smallest language's
+    * share — corpus mixture control as one deterministic narrow filter.
+    */
+  def sampleRebalance(s: SparkSession, dir: String): DataFrame =
+    Sampling.rebalanceUniform(
+        Queries.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source")),
+        col("doc_id"), col("lang"), RebalSalt)
+      .orderBy("doc_id")
+
+  val sampleRebalanceSql: String =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+       |m AS (SELECT MIN(n) AS mn FROM c)
+       |SELECT d.doc_id, d.lang, d.source
+       |FROM documents d JOIN c USING (lang), m
+       |WHERE ${Sampling.bucketOfSql("d.doc_id", RebalSalt)} < mn * ${Sampling.Den} // n
+       |ORDER BY d.doc_id""".stripMargin
 
   // ---- multimodal ---------------------------------------------------------
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =

@@ -56,6 +56,12 @@ object SparkEntry {
     "text_vocab" -> (PipelineQueries.textVocab _),
     "doc_fingerprint" -> (PipelineQueries.docFingerprint _),
     "multimodal_meta" -> (PipelineQueries.multimodalMeta _),
+    // training-data pipeline operators (round 3): repetition quality,
+    // benchmark decontamination, quantization audit, mixture rebalance
+    "text_repetition" -> (PipelineQueries.textRepetition _),
+    "text_decontaminate" -> (PipelineQueries.textDecontaminate _),
+    "embed_quantize" -> (PipelineQueries.embedQuantize _),
+    "sample_rebalance" -> (PipelineQueries.sampleRebalance _),
     // extended operators (round 2): temporal joins, sketches, sampling, IVF
     "asof_join" -> (ExtQueries.asofJoin _),
     "range_join" -> (ExtQueries.rangeJoin _),
@@ -109,6 +115,10 @@ object SparkEntry {
     "text_vocab" -> PipelineQueries.textVocabSql,
     "doc_fingerprint" -> PipelineQueries.docFingerprintSql,
     "multimodal_meta" -> PipelineQueries.multimodalMetaSql,
+    "text_repetition" -> PipelineQueries.textRepetitionSql,
+    "text_decontaminate" -> PipelineQueries.textDecontaminateSql,
+    "embed_quantize" -> PipelineQueries.embedQuantizeSql,
+    "sample_rebalance" -> PipelineQueries.sampleRebalanceSql,
     "asof_join" -> ExtQueries.asofJoinSql,
     "range_join" -> ExtQueries.rangeJoinSql,
     "hll_distinct" -> ExtQueries.hllDistinctSql,

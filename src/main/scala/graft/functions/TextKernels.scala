@@ -30,6 +30,9 @@ object TextKernels {
   def wordShingles(toks: Column, w: Int): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(toks), w))
 
+  def repetitionStats(toks: Column): Column =
+    ColumnBridge.column(RepStatsExpr(ColumnBridge.expression(toks)))
+
   def stats(a: ArrayData, stopSet: java.util.HashSet[UTF8String]): Array[Int] = {
     val n = a.numElements()
     val seen = new java.util.HashSet[UTF8String](n * 2)
@@ -71,6 +74,50 @@ object TextKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** Per-document n-gram repetition statistics (the Gopher-style repetition
+    * quality signals): for gram widths 2 and 3 over the token array, the
+    * total gram count (with multiplicity), the count of the most frequent
+    * gram, and the number of gram occurrences belonging to grams that occur
+    * more than once. One pass and one count map per width — the composable
+    * form (explode n-grams, groupBy(doc, gram), groupBy(doc)) pays two
+    * shuffles keyed on every gram occurrence of the corpus; this kernel
+    * keeps the whole signal a narrow projection. Only counts are returned
+    * (never "the" top gram), so ties need no ordering rule.
+    */
+  def repStats(a: ArrayData): Array[Int] = {
+    val n = a.numElements()
+    val out = new Array[Int](6)
+    var w = 2
+    while (w <= 3) {
+      val base = (w - 2) * 3
+      if (n >= w) {
+        val m = new java.util.HashMap[UTF8String, Integer]((n - w + 1) * 2)
+        var i = 0
+        while (i <= n - w) {
+          val parts = new Array[UTF8String](w)
+          var j = 0
+          while (j < w) { parts(j) = a.getUTF8String(i + j); j += 1 }
+          m.merge(UTF8String.concatWs(Space, parts: _*), Integer.valueOf(1),
+            (x: Integer, y: Integer) => Integer.valueOf(x.intValue + y.intValue))
+          i += 1
+        }
+        var top = 0
+        var dup = 0
+        val it = m.values().iterator()
+        while (it.hasNext) {
+          val c = it.next().intValue
+          if (c > top) top = c
+          if (c > 1) dup += c
+        }
+        out(base) = n - w + 1
+        out(base + 1) = top
+        out(base + 2) = dup
+      }
+      w += 1
+    }
+    out
   }
 
   /** Codepoints outside [a-zA-Z0-9] ∪ Java regex \s ([ \t\n\x0B\f\r]).
@@ -163,6 +210,45 @@ case class ShinglesExpr(child: Expression, w: Int) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "word_shingles"
+}
+
+case class RepStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_2grams", IntegerType, nullable = false),
+    StructField("top2_count", IntegerType, nullable = false),
+    StructField("dup2_count", IntegerType, nullable = false),
+    StructField("n_3grams", IntegerType, nullable = false),
+    StructField("top3_count", IntegerType, nullable = false),
+    StructField("dup3_count", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"repetition_stats requires array<string> input, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val r = TextKernels.repStats(a.asInstanceOf[ArrayData])
+    org.apache.spark.sql.catalyst.InternalRow(r(0), r(1), r(2), r(3), r(4), r(5))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("r")
+      s"""
+         |int[] $r = graft.functions.TextKernels.repStats($a);
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{$r[0], $r[1], $r[2], $r[3], $r[4], $r[5]});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "repetition_stats"
 }
 
 case class CharClassCountExpr(child: Expression) extends UnaryExpression {

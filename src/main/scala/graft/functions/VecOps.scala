@@ -39,6 +39,43 @@ object VecOps {
     while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
     math.sqrt(s)
   }
+
+  def vecQuantStats(a: Column): Column =
+    ColumnBridge.column(VecQuantStatsExpr(ColumnBridge.expression(a)))
+
+  /** Symmetric int8 scalar-quantization stats: scale = max|x|/127,
+    * q_i = floor(x_i/scale + 0.5) (explicit half-up — portable, unlike
+    * rint/round whose half-case rules differ between engines), error =
+    * |x_i - q_i*scale|. Returns {scale, mae, max_err}; a zero vector
+    * quantizes to scale 0 with zero error. Accumulation is strictly
+    * left-to-right so the DuckDB list-kernel oracle reproduces it
+    * bit-for-bit.
+    */
+  def quantStats(a: ArrayData): Array[Double] = {
+    val n = a.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(a.getDouble(i))
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    var sum = 0.0
+    var mx = 0.0
+    if (scale > 0.0) {
+      i = 0
+      while (i < n) {
+        val x = a.getDouble(i)
+        val q = math.floor(x / scale + 0.5)
+        val e = math.abs(x - q * scale)
+        sum += e
+        if (e > mx) mx = e
+        i += 1
+      }
+    }
+    Array(scale, if (n > 0 && scale > 0.0) sum / n else 0.0, mx)
+  }
 }
 
 case class VecDotExpr(left: Expression, right: Expression) extends BinaryExpression {
@@ -74,6 +111,42 @@ case class VecDotExpr(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "vec_dot"
+}
+
+case class VecQuantStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("scale", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("mae", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("max_err", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_quant_stats requires array<double> input, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val r = VecOps.quantStats(a.asInstanceOf[ArrayData])
+    org.apache.spark.sql.catalyst.InternalRow(r(0), r(1), r(2))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("r")
+      s"""
+         |double[] $r = graft.functions.VecOps.quantStats($a);
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{$r[0], $r[1], $r[2]});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "vec_quant_stats"
 }
 
 case class VecNormExpr(child: Expression) extends UnaryExpression {

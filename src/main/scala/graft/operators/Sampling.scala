@@ -52,4 +52,26 @@ object Sampling {
   def weightedSql(idSql: String, weightSql: String, scale: Long,
                   salt: String = "wsmpl"): String =
     s"${bucketOfSql(idSql, salt)} < LEAST($Den, CAST($weightSql AS BIGINT) * $Den // $scale)"
+
+  /** Rebalance to a uniform group mix (e.g. per-language corpus balancing):
+    * every group is downsampled, in expectation, to the size of the
+    * smallest group, via the same deterministic hash threshold —
+    * thresh_g = floor(min_count * Den / count_g) out of Den. Two tiny
+    * aggregates (one row per group, one global min) broadcast back onto the
+    * scan, so the data path stays ONE narrow filter: nothing about the
+    * corpus itself shuffles, which is what makes mixture control affordable
+    * at 100 TB. The threshold's double division is exact while
+    * min_count * Den < 2^53 and the long cast truncates = floor for
+    * non-negative counts, matching DuckDB's // integer division.
+    */
+  def rebalanceUniform(df: DataFrame, idCol: Column, groupCol: Column,
+                       salt: String = "rebal"): DataFrame = {
+    val counts = df.groupBy(groupCol.as("__g")).agg(count(lit(1)).as("__n"))
+    val thresh = counts
+      .crossJoin(broadcast(counts.agg(min(col("__n")).as("__mn"))))
+      .select(col("__g"), (col("__mn") * lit(Den) / col("__n")).cast("long").as("__thresh"))
+    df.join(broadcast(thresh), groupCol === col("__g"))
+      .where(bucketOf(idCol, salt) < col("__thresh"))
+      .drop("__g", "__thresh")
+  }
 }

@@ -28,6 +28,23 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Int8 scalar-quantization audit for an embedding corpus — the
+    * compression step ANN indexes lean on at scale (4x smaller vectors, so
+    * 4x more candidates per broadcast/cache byte). Per vector: the
+    * symmetric scale (max|x|/127), mean and max absolute reconstruction
+    * error (graft.functions.VecOps.quantStats, one codegen'd pass). A
+    * zero-shuffle narrow projection: quantization quality can be audited on
+    * the full 100 TB corpus as a scan.
+    */
+  def quantizeStats(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("vec_id"), graft.functions.VecOps.vecQuantStats(
+        asDouble(col("embedding"))).as("__q"))
+      .select(col("vec_id"),
+        round(col("__q.scale"), 6).as("scale"),
+        round(col("__q.mae"), 6).as("mae"),
+        round(col("__q.max_err"), 6).as("max_err"))
+
   /** Murmur3 finalizer (fmix32): full-avalanche integer mix, so sign bits of
     * distinct (table, plane, component) indices are effectively independent.
     * (The round-1 linear-congruence mixer was parity-degenerate: every

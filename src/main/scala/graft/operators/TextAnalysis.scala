@@ -119,6 +119,32 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(k)
 
+  /** Gopher-style repetition quality signals, per document: 2-/3-gram
+    * totals, the top-gram count, and the occurrences belonging to repeated
+    * grams, plus the two derived fractions the published filters threshold
+    * on (top-2-gram fraction, duplicate-3-gram fraction). One codegen'd
+    * pass per doc (graft.functions.TextKernels.repStats) — a zero-shuffle
+    * narrow projection, where the explode+groupBy formulation would shuffle
+    * every gram occurrence of the corpus twice.
+    */
+  def repetitionStats(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("__rs", graft.functions.TextKernels.repetitionStats(tokens(text)))
+      .withColumn("n_2grams", col("__rs.n_2grams"))
+      .withColumn("top2_count", col("__rs.top2_count"))
+      .withColumn("dup2_count", col("__rs.dup2_count"))
+      .withColumn("n_3grams", col("__rs.n_3grams"))
+      .withColumn("top3_count", col("__rs.top3_count"))
+      .withColumn("dup3_count", col("__rs.dup3_count"))
+      .withColumn("top2_frac",
+        when(col("n_2grams") > 0,
+          round(col("top2_count").cast("double") / col("n_2grams").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("dup3_frac",
+        when(col("n_3grams") > 0,
+          round(col("dup3_count").cast("double") / col("n_3grams").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .drop("__rs")
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text,
     * plus a 32-bit numeric form (first 8 hex chars) for compact joins —
     * the rolling-hash analog, portable between Spark and DuckDB.

@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.{Contamination, Sampling, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 pipeline operators: repetition quality stats, benchmark
+  * decontamination, int8 quantization audit, uniform mixture rebalance.
+  * Each is pinned by hand-computed golden values plus a property check
+  * against an independent naive formulation.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // ---- repetition stats ---------------------------------------------------
+
+  /** Independent reference: n-gram totals / top count / repeated-gram
+    * occurrences from plain Scala collections.
+    */
+  private def naiveRep(toks: Seq[String], w: Int): (Int, Int, Int) = {
+    val grams = toks.sliding(w).filter(_.size == w).map(_.mkString(" ")).toList
+    val counts = grams.groupBy(identity).map { case (_, g) => g.size }
+    (grams.size,
+      if (counts.isEmpty) 0 else counts.max,
+      counts.filter(_ > 1).sum)
+  }
+
+  private def repRows(texts: Seq[String]) =
+    TextAnalysis.repetitionStats(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        col("text"))
+      .orderBy("doc_id")
+      .select("n_2grams", "top2_count", "dup2_count", "n_3grams", "top3_count", "dup3_count")
+      .collect()
+
+  test("repetition stats match hand-computed grams on a crafted doc") {
+    // tokens a b a b a: bigrams = [a b, b a, a b, b a]; trigrams = [a b a, b a b, a b a]
+    val r = repRows(Seq("a b a b a")).head
+    assert(r.getInt(0) == 4 && r.getInt(1) == 2 && r.getInt(2) == 4)
+    assert(r.getInt(3) == 3 && r.getInt(4) == 2 && r.getInt(5) == 2)
+  }
+
+  test("repetition stats edge cases: empty, one token, all-unique") {
+    val rows = repRows(Seq("", "solo", "w1 w2 w3 w4"))
+    assert(rows(0).toSeq == Seq(0, 0, 0, 0, 0, 0))
+    assert(rows(1).toSeq == Seq(0, 0, 0, 0, 0, 0))
+    assert(rows(2).toSeq == Seq(3, 1, 0, 2, 1, 0))
+  }
+
+  test("repetition kernel agrees with the naive reference on random docs") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "dd", "ee")
+    val texts = (1 to 60).map(_ => Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val got = repRows(texts)
+    texts.zip(got).foreach { case (t, r) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+      val (n2, t2, d2) = naiveRep(toks, 2)
+      val (n3, t3, d3) = naiveRep(toks, 3)
+      assert(r.toSeq == Seq(n2, t2, d2, n3, t3, d3), s"doc '$t'")
+    }
+  }
+
+  // ---- benchmark decontamination -----------------------------------------
+
+  test("contamination counts shared shingles against the benchmark") {
+    val bench = Seq((100L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "w1 w2 w3 x"),   // shares "w1 w2 w3" of its 2 shingles
+      (2L, "p q r s"),      // shares nothing
+      (3L, "w1 w2")         // shorter than w -> no shingles, absent
+    ).toDF("doc_id", "text")
+    val got = Contamination.ngramHits(corpus, bench, 3).orderBy("doc_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 2L && got(0).getLong(2) == 1L
+      && got(0).getDouble(3) == 0.5)
+    assert(got(1).getLong(0) == 2L && got(1).getLong(2) == 0L && got(1).getDouble(3) == 0.0)
+  }
+
+  test("a benchmark-identical doc reports hit_frac 1.0") {
+    val bench = Seq((100L, "q1 q2 q3 q4 q5")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "q1 q2 q3 q4 q5")).toDF("doc_id", "text")
+    val got = Contamination.ngramHits(corpus, bench, 3).collect()
+    assert(got.head.getDouble(3) == 1.0)
+  }
+
+  // ---- int8 quantization audit --------------------------------------------
+
+  test("quantization stats: golden values on a crafted vector") {
+    // v = [127, -127, 63.5, 0]: scale = 1; q = [127, -127, 64, 0]
+    // errors = [0, 0, 0.5, 0]; mae = 0.125; max_err = 0.5
+    val df = Seq((1L, Seq(127.0f, -127.0f, 63.5f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeStats(df).collect().head
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 0.125 && r.getDouble(3) == 0.5)
+  }
+
+  test("quantization error is bounded by scale/2 and zero vectors are exact") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 50).map(i =>
+      (i.toLong, Seq.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))) :+ (99L, Seq.fill(16)(0.0f))
+    val rows = Similarity.quantizeStats(vecs.toDF("vec_id", "embedding")).collect()
+    rows.foreach { r =>
+      val (scale, mae, mx) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(mx <= scale / 2 + 1e-9, s"vec ${r.getLong(0)}: max_err $mx > scale/2 ${scale / 2}")
+      assert(mae <= mx + 1e-12)
+    }
+    val zero = rows.find(_.getLong(0) == 99L).get
+    assert(zero.getDouble(1) == 0.0 && zero.getDouble(2) == 0.0 && zero.getDouble(3) == 0.0)
+  }
+
+  // ---- uniform rebalance ----------------------------------------------------
+
+  lazy val skewed = (1 to 10000).map { i =>
+    val g = if (i <= 8000) "en" else if (i <= 9500) "de" else "fr"
+    (i.toLong, g)
+  }.toDF("doc_id", "lang")
+
+  test("rebalance downsamples every group to ~the smallest group's size") {
+    val out = Sampling.rebalanceUniform(skewed, col("doc_id"), col("lang"))
+    val sizes = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes("fr") == 500L, s"smallest group must be kept whole: $sizes")
+    // en: Binomial(8000, 500/8000); de: Binomial(1500, 500/1500) — 15% slack
+    assert(math.abs(sizes("en") - 500L) < 75, s"en ${sizes("en")}")
+    assert(math.abs(sizes("de") - 500L) < 75, s"de ${sizes("de")}")
+  }
+
+  test("rebalance is deterministic and repartition-stable") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.rebalanceUniform(df, col("doc_id"), col("lang"))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    val base = ids(skewed)
+    assert(ids(skewed) == base)
+    assert(ids(skewed.repartition(13)) == base)
+  }
+}

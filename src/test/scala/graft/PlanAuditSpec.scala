@@ -163,4 +163,38 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"quality kernels missing:\n${plan.take(2000)}")
     assert(!plan.contains("filter(lambda"), s"interpreted filter lambda:\n${plan.take(2000)}")
   }
+
+  test("repetition stats is a kernel projection: no shuffle except the output sort") {
+    val plan = planOf(PipelineQueries.textRepetition(spark, sfDir))
+    assert(plan.contains("repetition_stats"), s"kernel missing:\n${plan.take(2000)}")
+    // the only exchange allowed is the orderBy's range partitioning — the
+    // signal itself must never shuffle gram occurrences
+    val hashShuffles = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashShuffles == 0, s"repetition stats must not shuffle grams:\n$plan")
+  }
+
+  test("decontamination broadcasts the benchmark shingle set over the corpus scan") {
+    val plan = planOf(PipelineQueries.textDecontaminate(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"bench probe must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("quantization audit is a narrow kernel scan (sort exchange only)") {
+    val plan = planOf(PipelineQueries.embedQuantize(spark, sfDir))
+    assert(plan.contains("vec_quant_stats"), s"kernel missing:\n${plan.take(2000)}")
+    val hashShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashShuffles == 0, s"quantization must not shuffle the corpus:\n$plan")
+  }
+
+  test("rebalance broadcasts the per-group thresholds; the corpus side stays a filter") {
+    val df = graft.operators.Sampling.rebalanceUniform(
+      Queries.table(spark, sfDir, "documents"),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("lang"))
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"threshold join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for mixture control:\n$plan")
+  }
 }
