@@ -96,16 +96,24 @@ object Dedup {
     * Output: distinct (a, b) with a < b. Join happens only within equal band
     * buckets — the standard sub-quadratic near-dup path at 100 TB.
     */
-  def minhashLshPairs(docs: DataFrame, w: Int, bands: Int, rowsPerBand: Int,
-                      bucketCap: Int = 100): DataFrame = {
-    // signatures are tiny (one row per doc); cache so the band self-join
-    // doesn't recompute the shingle+hash pipeline for each side
-    val sig = minhashSignatures(docs, w, bands * rowsPerBand).cache()
-    val banded = sig.select(col("doc_id"),
+  /** Banded minhash signatures: (doc_id, band, band_key) — the LSH collision
+    * key rows shared by the batch near-dup join and the streaming
+    * incremental probe.
+    */
+  def bandedSignatures(docs: DataFrame, w: Int, bands: Int,
+                       rowsPerBand: Int): DataFrame =
+    minhashSignatures(docs, w, bands * rowsPerBand)
+      .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
+
+  def minhashLshPairs(docs: DataFrame, w: Int, bands: Int, rowsPerBand: Int,
+                      bucketCap: Int = 100): DataFrame = {
+    // signatures are tiny (one row per doc); cache so the band self-join
+    // doesn't recompute the shingle+hash pipeline for each side
+    val banded = bandedSignatures(docs, w, bands, rowsPerBand).cache()
     // bucket-size cap: a band bucket holding k docs emits k^2/2 pairs; on
     // boilerplate-heavy corpora one mega-bucket reintroduces the quadratic
     // blowup LSH exists to avoid. Buckets above the cap are dropped — their
