@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Contamination, Dedup, Sampling, Similarity, TextAnalysis, Multimodal}
+import graft.operators.{Contamination, Dedup, Packing, Sampling, Similarity, TextAnalysis, Multimodal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -508,6 +508,34 @@ object PipelineQueries {
        |FROM documents d JOIN c USING (lang), m
        |WHERE ${Sampling.bucketOfSql("d.doc_id", RebalSalt)} < mn * ${Sampling.Den} // n
        |ORDER BY d.doc_id""".stripMargin
+
+  // ---- sequence packing (concat-and-chunk) ---------------------------------
+  val PackBudget = 512L
+
+  /** Per-language concat-and-chunk packing of whitespace token counts into
+    * 512-token pretraining chunks.
+    */
+  def packChunks(s: SparkSession, dir: String): DataFrame =
+    Packing.packChunks(
+        Queries.table(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        col("lang"), size(TextAnalysis.tokens(col("text"))), PackBudget)
+      .withColumnRenamed("grp", "lang")
+      .orderBy("doc_id")
+
+  val packChunksSql: String =
+    s"""WITH $toksSql,
+       |n AS (SELECT d.doc_id, d.lang, len(t) AS n_tokens
+       |      FROM documents d JOIN toks ON d.doc_id = toks.doc_id
+       |      WHERE len(t) > 0),
+       |c AS (SELECT doc_id, lang, n_tokens,
+       |             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM n)
+       |SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+       |  CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS start_pack,
+       |  CAST((cum - 1) // $PackBudget AS BIGINT) AS end_pack,
+       |  CAST((cum - n_tokens) % $PackBudget AS BIGINT) AS pack_offset
+       |FROM c ORDER BY doc_id""".stripMargin
 
   // ---- multimodal ---------------------------------------------------------
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =

@@ -62,6 +62,7 @@ object SparkEntry {
     "text_decontaminate" -> (PipelineQueries.textDecontaminate _),
     "embed_quantize" -> (PipelineQueries.embedQuantize _),
     "sample_rebalance" -> (PipelineQueries.sampleRebalance _),
+    "pack_chunks" -> (PipelineQueries.packChunks _),
     // extended operators (round 2): temporal joins, sketches, sampling, IVF
     "asof_join" -> (ExtQueries.asofJoin _),
     "range_join" -> (ExtQueries.rangeJoin _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "text_decontaminate" -> PipelineQueries.textDecontaminateSql,
     "embed_quantize" -> PipelineQueries.embedQuantizeSql,
     "sample_rebalance" -> PipelineQueries.sampleRebalanceSql,
+    "pack_chunks" -> PipelineQueries.packChunksSql,
     "asof_join" -> ExtQueries.asofJoinSql,
     "range_join" -> ExtQueries.rangeJoinSql,
     "hll_distinct" -> ExtQueries.hllDistinctSql,

@@ -125,6 +125,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(sizes("de") - 500L) < 75, s"de ${sizes("de")}")
   }
 
+  // ---- sequence packing -----------------------------------------------------
+
+  test("pack chunks: golden concat-and-chunk layout, including a straddling doc") {
+    // lang g stream: [300, 300, 600, 100] @ budget 500
+    // doc 1: [0,300)    -> packs 0..0, offset 0
+    // doc 2: [300,600)  -> packs 0..1, offset 300 (straddles)
+    // doc 3: [600,1200) -> packs 1..2, offset 100
+    // doc 4: [1200,1300)-> packs 2..2, offset 200
+    val docs = Seq((1L, "g", 300), (2L, "g", 300), (3L, "g", 600), (4L, "g", 100))
+      .toDF("doc_id", "grp0", "nt")
+    val got = graft.operators.Packing.packChunks(docs, col("grp0"), col("nt"), 500L)
+      .orderBy("doc_id")
+      .select("start_pack", "end_pack", "pack_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 0L, 0L), (0L, 1L, 300L), (1L, 2L, 100L), (2L, 2L, 200L)))
+  }
+
+  test("pack chunks: groups pack independently; zero-token docs are excluded") {
+    val docs = Seq((1L, "a", 400), (2L, "b", 400), (3L, "a", 0), (4L, "a", 200))
+      .toDF("doc_id", "grp0", "nt")
+    val got = graft.operators.Packing.packChunks(docs, col("grp0"), col("nt"), 500L)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    // doc 2 starts ITS group's stream at zero; doc 4 continues group a at 400
+    assert(got(1).getLong(3) == 0L && got(1).getLong(5) == 0L)
+    assert(got(2).getLong(3) == 0L && got(2).getLong(4) == 1L && got(2).getLong(5) == 400L)
+  }
+
+  test("pack chunks agree with a naive sequential scan on random streams") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 300).map(i => (i.toLong, s"g${i % 3}", rnd.nextInt(900) + 1))
+    val got = graft.operators.Packing.packChunks(
+        docs.toDF("doc_id", "grp0", "nt"), col("grp0"), col("nt"), 512L)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    docs.groupBy(_._2).foreach { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).foreach { case (id, _, nt) =>
+        val expect = (cum / 512L, (cum + nt - 1) / 512L, cum % 512L)
+        assert(got(id) == expect, s"doc $id")
+        cum += nt
+      }
+    }
+  }
+
   test("rebalance is deterministic and repartition-stable") {
     def ids(df: org.apache.spark.sql.DataFrame) =
       Sampling.rebalanceUniform(df, col("doc_id"), col("lang"))
