@@ -477,7 +477,8 @@ object PipelineQueries {
 
   val embedQuantizeSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e),
+      |s AS (SELECT vec_id, v,
+      |        coalesce(list_max(list_transform(v, x -> abs(x))) / 127, 0.0) AS scale FROM e),
       |err AS (SELECT vec_id, scale, len(v) AS n,
       |        CASE WHEN scale > 0
       |             THEN list_transform(v, x -> abs(x - floor(x / scale + 0.5) * scale))

@@ -40,11 +40,11 @@ final class DedupStream(val root: String, w: Int, bands: Int, rowsPerBand: Int,
   private val bandsPath = s"$root/dedup_bands"
   private val decisionsPath = s"$root/dedup_decisions"
 
-  private def fs = org.apache.hadoop.fs.FileSystem.get(
-    spark.sparkContext.hadoopConfiguration)
-
   private def nonEmptyDir(path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
+    // resolve the FS from the path itself so a scheme-qualified root
+    // (s3a://, hdfs://) works even when it isn't the default filesystem
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
   }
 
@@ -70,14 +70,23 @@ final class DedupStream(val root: String, w: Int, bands: Int, rowsPerBand: Int,
       batch.select(col("doc_id"), col("text")), w, bands, rowsPerBand)
       .localCheckpoint() // the probe uses it thrice; cut the shingle lineage
     val state = bandStore()
-    // occupancy cap over the COMBINED table (same rationale as the batch
-    // operator's bucketCap: a mega-bucket of boilerplate re-quadratizes the
-    // candidate join; its members are exact-dup territory)
-    val all = state.unionByName(newBands)
-    val kept = all.join(
-      all.groupBy(col("band"), col("band_key")).count()
-        .where(col("count") <= bucketCap).drop("count"),
-      Seq("band", "band_key"))
+    // Bounded probe surface: per touched bucket, keep only the EARLIEST
+    // `bucketCap` doc_ids as probe targets. Pair expansion per new doc stays
+    // <= bands * bucketCap (the batch operator's rationale), but unlike a
+    // drop-the-whole-bucket cap, a hot bucket (boilerplate) keeps matching:
+    // its earliest members ARE the cluster root, so later true duplicates
+    // still resolve to the root canonical instead of silently becoming
+    // their own. Occupancy is ranked over DISTINCT rows, so a replayed
+    // batch (already in state AND in newBands) does not double-count.
+    // Only buckets the batch touches are ranked — per-batch work is
+    // O(touched buckets), not O(band log).
+    val touched = newBands.select(col("band"), col("band_key")).distinct()
+    val all = state.join(touched, Seq("band", "band_key"), "left_semi")
+      .unionByName(newBands).distinct()
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_key")).orderBy(col("doc_id"))
+    val kept = all.withColumn("__rk", row_number().over(rankW))
+      .where(col("__rk") <= bucketCap).drop("__rk")
     // candidates: new doc vs any EARLIER doc (persisted, or smaller-id
     // within this batch) sharing a capped band bucket
     val pairs = newBands.as("n").join(kept.as("o"),
@@ -106,9 +115,12 @@ final class DedupStream(val root: String, w: Int, bands: Int, rowsPerBand: Int,
           .as("canonical_id"))
     // append-only: O(batch) writes; the task-commit protocol keeps readers
     // off in-flight files, and replayed duplicates dissolve in the
-    // read-side resolutions above
-    assigned.write.mode("append").parquet(decisionsPath)
+    // read-side resolutions above. Bands land FIRST: an orphaned band row
+    // (failure before the decisions append) is harmless under the DISTINCT
+    // read, whereas a decision without bands would permanently remove that
+    // doc's collision surface for future near-dups of it.
     newBands.write.mode("append").parquet(bandsPath)
+    assigned.write.mode("append").parquet(decisionsPath)
   }
 
   /** Wire onto a stream of (doc_id, text): `attach(stream).start()`. */

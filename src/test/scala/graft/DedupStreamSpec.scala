@@ -79,6 +79,18 @@ class DedupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d(3L) == 1L || d(3L) == 2L, s"bridge doc joins an existing cluster: $d")
   }
 
+  test("a hot bucket beyond bucketCap still matches new duplicates to the root") {
+    val ds = new DedupStream(s"$root/d6", w = 3, bands = 4, rowsPerBand = 2, bucketCap = 2)
+    ds.processBatch(Seq((1L, baseA), (2L, baseA), (3L, baseA)).toDF("doc_id", "text"))
+    // bucket occupancy (3) now exceeds the cap (2): the probe surface is the
+    // earliest 2 members, so a later duplicate still resolves to the root
+    // instead of silently becoming its own canonical as the stream ages
+    ds.processBatch(Seq((9L, baseA)).toDF("doc_id", "text"))
+    val d = decisionsMap(ds)
+    assert(d(9L) == 1L, s"hot-bucket duplicate must join the root cluster: $d")
+    assert(d(2L) == 1L && d(3L) == 1L, s"within-batch members keep the root: $d")
+  }
+
   test("end-to-end through a real MemoryStream micro-batch pipeline") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
