@@ -1,0 +1,171 @@
+package graft
+
+import graft.operators.{SeriesOps, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 extended operator surface: derived time series (rates, moving
+  * averages — the fetch-side transforms a Graphite-style web layer computes
+  * on the reference's stored series), semi-structured property extraction,
+  * OLAP rollup totals, TF-IDF term scoring, and Unicode canonicalization —
+  * each oracle-checked like the core queries.
+  */
+object AnalyticsQueries {
+
+  // ---- per-key rate (non-negative derivative) ---------------------------
+  /** Per-user per-second rate of `value` between consecutive events, counter
+    * resets clamped to 0 — one shuffle on user_id, linear lag scan within.
+    * µs domain (ts DIV 1000) so the oracle sees identical timestamps.
+    */
+  def tsRate(s: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.events(s, dir).select(
+      col("event_id"), col("user_id"), expr("ts DIV 1000").as("us"), col("value"))
+    SeriesOps.rate(ev, Seq("user_id"), "us", "value", Seq("us", "event_id"))
+      .select(col("event_id"), col("user_id"), col("us"), col("value"),
+        col("prev_us"), col("rate_ps"))
+      .orderBy("event_id")
+  }
+
+  val tsRateSql: String =
+    """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events),
+      |l AS (SELECT event_id, user_id, us, value,
+      |        lag(us) OVER w AS prev_us, lag(value) OVER w AS prev_v
+      |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      |SELECT event_id, user_id, us, value, prev_us,
+      |       CASE WHEN prev_us IS NOT NULL AND us - prev_us > 0
+      |            THEN round(greatest(value - prev_v, 0.0) * 1000000.0
+      |                       / CAST(us - prev_us AS DOUBLE), 6)
+      |       END AS rate_ps
+      |FROM l ORDER BY event_id""".stripMargin
+
+  // ---- trailing moving average over the rollup --------------------------
+  /** 10-minute trailing mean per metric over the 60s sum rollup: the range
+    * frame runs over SLOTS (bounded rows per metric), never raw points;
+    * sums travel as decimals so the mean is bit-identical across engines
+    * and partitionings. Frame = [ts-540, ts] — ten 60s slots inclusive.
+    */
+  val MavgStep = 60L
+  val MavgRange = 540L
+
+  def tsMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val roll = Queries.metricStream(s, dir)
+      .groupBy(col("metric"), Queries.alignSec(MavgStep))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sv"), count(lit(1)).as("n"))
+    SeriesOps.movingAvg(roll, Seq("metric"), "ts", "sv", "n", MavgRange)
+      .select(col("metric"), col("ts"), col("n"), col("mov_n"), col("mavg"))
+      .orderBy("metric", "ts")
+  }
+
+  val tsMovingAvgSql: String =
+    s"""WITH r AS (SELECT metric, ${Queries.alignSecSql(MavgStep)} AS ts,
+       |             SUM(CAST(value AS DECIMAL(18,2))) AS sv, COUNT(*) AS n
+       |           FROM (${Queries.MetricBaseSql}) GROUP BY 1, 2)
+       |SELECT metric, ts, n, CAST(SUM(n) OVER w AS BIGINT) AS mov_n,
+       |       round(CAST(SUM(sv) OVER w AS DOUBLE) / SUM(n) OVER w, 6) AS mavg
+       |FROM r WINDOW w AS (PARTITION BY metric ORDER BY ts
+       |  RANGE BETWEEN $MavgRange PRECEDING AND CURRENT ROW)
+       |ORDER BY metric, ts""".stripMargin
+
+  // ---- TF-IDF top terms --------------------------------------------------
+  val TfidfK = 3
+
+  def tfidfTopk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopK(Queries.table(s, dir, "documents"), TfidfK)
+      .orderBy("doc_id", "rnk")
+
+  val tfidfTopkSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM documents),
+       |pairs AS (SELECT doc_id, token, COUNT(*) AS tf
+       |          FROM toks, unnest(t) AS u(token) GROUP BY 1, 2),
+       |dft AS (SELECT token, COUNT(*) AS df FROM pairs GROUP BY 1),
+       |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT p.doc_id, p.token, p.tf, d.df,
+       |         round(p.tf * ln((n_docs + 1.0) / (d.df + 1.0)), 6) AS score
+       |  FROM pairs p JOIN dft d USING (token), nd),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |             ORDER BY score DESC, token) AS rnk FROM scored)
+       |SELECT doc_id, token, tf, df, score, rnk FROM ranked
+       |WHERE rnk <= $TfidfK ORDER BY doc_id, rnk""".stripMargin
+
+  // ---- JSON property extraction ------------------------------------------
+  /** Typed aggregate over a JSON string column (the semi-structured side of
+    * multimodal metadata): extract props.k per event and aggregate per type.
+    * get_json_object is codegen'd; try_cast so a malformed row nulls out
+    * instead of failing the job under ANSI mode.
+    */
+  def jsonPropsAgg(s: SparkSession, dir: String): DataFrame =
+    Queries.events(s, dir)
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        round(sum(col("k")).cast("double") / count(col("k")), 6).as("avg_k"))
+      .orderBy("event_type")
+
+  val jsonPropsAggSql: String =
+    """WITH ev AS (SELECT event_type,
+      |              TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |            FROM events)
+      |SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_k,
+      |       CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+      |       round(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k
+      |FROM ev GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // ---- OLAP rollup (grouping sets) ----------------------------------------
+  /** Revenue totals with subtotal and grand-total rows via ROLLUP — the OLAP
+    * aggregation family the reference lacks and Spark supplies natively
+    * (SURVEY §2.4 "grouping sets: not present"). Partial aggregation applies
+    * per grouping set, so the shuffle still carries only group rows.
+    */
+  def olapRollup(s: SparkSession, dir: String): DataFrame =
+    Queries.table(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(Queries.decPrice(col("l_extendedprice"))
+          * (lit(1).cast("decimal(3,2)") - Queries.decRate(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("g_flag"), col("g_status"), col("revenue"), col("n"))
+      .orderBy("g_flag", "g_status", "flag", "status")
+
+  val olapRollupSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, flag, status""".stripMargin
+
+  // ---- Unicode canonicalization -------------------------------------------
+  /** NFC-normalized fingerprint per document (pre-dedup canonicalization):
+    * decomposed and precomposed spellings of the same text must hash
+    * identically before any fingerprint/minhash operator sees them. The
+    * kernel is a codegen Expression (functions/Normalize) with an
+    * already-normalized fast path; unicode golden vectors live in the spec.
+    */
+  def textNormalize(s: SparkSession, dir: String): DataFrame =
+    Queries.table(s, dir, "documents")
+      .withColumn("__n", graft.functions.Normalize.nfc(col("text")))
+      .select(col("doc_id"), md5(col("__n")).as("nfc_md5"),
+        length(col("__n")).as("n_chars_nfc"),
+        (col("__n") =!= col("text")).cast("int").as("changed"))
+      .orderBy("doc_id")
+
+  val textNormalizeSql: String =
+    """WITH n AS (SELECT doc_id, text, nfc_normalize(text) AS nt FROM documents)
+      |SELECT doc_id, md5(nt) AS nfc_md5, CAST(length(nt) AS INT) AS n_chars_nfc,
+      |       CAST(nt <> text AS INT) AS changed
+      |FROM n ORDER BY doc_id""".stripMargin
+}

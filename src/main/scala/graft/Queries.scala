@@ -419,8 +419,8 @@ object Queries {
   // Relational coverage (scans, joins, windows, set ops) on the star schema
   // =====================================================================
 
-  private def decPrice(c: Column): Column = c.cast("decimal(12,2)")
-  private def decRate(c: Column): Column = c.cast("decimal(3,2)")
+  private[graft] def decPrice(c: Column): Column = c.cast("decimal(12,2)")
+  private[graft] def decRate(c: Column): Column = c.cast("decimal(3,2)")
 
   /** Pricing-summary aggregation (scan + filter + wide agg; decimal-exact). */
   def q1Pricing(s: SparkSession, dir: String): DataFrame =

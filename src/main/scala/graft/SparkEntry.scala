@@ -73,6 +73,14 @@ object SparkEntry {
     "quantile_summary" -> (ExtQueries.quantileSummary _),
     "sample_stratified" -> (ExtQueries.sampleStratified _),
     "sample_weighted" -> (ExtQueries.sampleWeighted _),
+    // extended operators (round 4): derived series, semi-structured
+    // extraction, OLAP rollup, TF-IDF, unicode canonicalization
+    "ts_rate" -> (AnalyticsQueries.tsRate _),
+    "ts_moving_avg" -> (AnalyticsQueries.tsMovingAvg _),
+    "tfidf_topk" -> (AnalyticsQueries.tfidfTopk _),
+    "json_props_agg" -> (AnalyticsQueries.jsonPropsAgg _),
+    "olap_rollup" -> (AnalyticsQueries.olapRollup _),
+    "text_normalize" -> (AnalyticsQueries.textNormalize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -130,5 +138,11 @@ object SparkEntry {
     "quantile_summary" -> ExtQueries.quantileSummarySql,
     "sample_stratified" -> ExtQueries.sampleStratifiedSql,
     "sample_weighted" -> ExtQueries.sampleWeightedSql,
+    "ts_rate" -> AnalyticsQueries.tsRateSql,
+    "ts_moving_avg" -> AnalyticsQueries.tsMovingAvgSql,
+    "tfidf_topk" -> AnalyticsQueries.tfidfTopkSql,
+    "json_props_agg" -> AnalyticsQueries.jsonPropsAggSql,
+    "olap_rollup" -> AnalyticsQueries.olapRollupSql,
+    "text_normalize" -> AnalyticsQueries.textNormalizeSql,
   )
 }

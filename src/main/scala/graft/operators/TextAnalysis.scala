@@ -119,6 +119,37 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(k)
 
+  /** Top-k TF-IDF terms per document (retrieval / keyword-extraction prep):
+    * tf over the doc's whitespace tokens, smoothed idf = ln((N+1)/(df+1)),
+    * k highest-scoring terms per doc.
+    *
+    * Shape at scale: the (doc, term) frequency agg partial-aggregates
+    * map-side (a document's tokens sit in one split, so the shuffle carries
+    * ~distinct-terms-per-doc rows, not every token occurrence); df is a
+    * second agg over those slim pairs; N arrives as a one-row broadcast —
+    * never a driver-side count baked into the plan. Ranking compares the
+    * ROUNDED score so both engines order identically even if their ln()
+    * differs in the last ulp.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = pairs.join(dfreq, "token")
+      .join(broadcast(n))
+      .withColumn("score", round(
+        col("tf").cast("double")
+          * log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)),
+        6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+
   /** Gopher-style repetition quality signals, per document: 2-/3-gram
     * totals, the top-gram count, and the occurrences belonging to repeated
     * grams, plus the two derived fractions the published filters threshold
