@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: the JDK ships codecs (javax.imageio —
   * PNG/JPEG/BMP/GIF) so `imageFeatures` decodes, resizes
   * (deterministic nearest-neighbor) and extracts pixel statistics on
-  * executors. Audio/video frame decode remains a clearly-marked
-  * deterministic STUB (`decodeStub`) — the container has no AV codecs —
-  * with the schema, partitioning, batch shape and signature real: swap the
-  * stub for a JNI/codec call and nothing else changes.
+  * executors. AUDIO decode is REAL for RIFF/WAV PCM (8/16-bit): a direct
+  * byte-level chunk parse (`decodeWav`) — no library variance, bit-stable
+  * features. Only VIDEO frame decode remains a clearly-marked deterministic
+  * STUB (`decodeStub`) — the container has no video codecs — with the
+  * schema, partitioning, batch shape and signature real: swap the stub for
+  * a JNI/codec call and nothing else changes.
   */
 object Multimodal {
 
@@ -163,6 +165,112 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       rows.map(featuresOf(_, targetW, targetH))
     }
+  }
+
+  /** Decoded-audio statistics: what an audio training-data pipeline filters
+    * and dedups on (silence detection, clipping, duration buckets) before
+    * the expensive embed/transcribe step. Envelope = 16 equal time segments,
+    * mean |amplitude| per segment by exact integer division — the audio
+    * analog of the image luma histogram.
+    */
+  final case class AudioFeatures(
+      media_id: Long,
+      kind: String,
+      decoded: Boolean,
+      channels: Int,
+      sample_rate: Int,
+      bits: Int,
+      n_frames: Long,
+      duration_ms: Long,     // frames * 1000 / rate, exact integer math
+      peak: Int,             // max |sample| across all channels
+      rms: Double,           // sqrt of exact integer sum of squares / count
+      envelope: Seq[Long])   // 16-segment mean-|amplitude| signature
+
+  private def leInt(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def leShort(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)).toShort.toInt
+
+  /** RIFF/WAV PCM decode by direct chunk parse — pure byte math, no codec
+    * library, so features are bit-identical on any JVM. Walks the chunk
+    * list (tolerating extension chunks like LIST/fact), requires format tag
+    * 1 (integer PCM) at 8 or 16 bits, and clamps the data length to the
+    * payload so a truncated file decodes its intact prefix rather than
+    * failing. Returns None for anything that isn't a well-formed PCM WAV.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    if (bytes.length < 44 ||
+      !(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') ||
+      !(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
+      return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var data: Option[(Int, Int)] = None     // offset, len
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = leInt(bytes, pos + 4)
+      if (len < 0) return None
+      if (id == "fmt " && len >= 16 && pos + 8 + 16 <= bytes.length) {
+        val tag = leShort(bytes, pos + 8)
+        val ch = leShort(bytes, pos + 10)
+        val rate = leInt(bytes, pos + 12)
+        val bits = leShort(bytes, pos + 22)
+        if (tag != 1 || ch < 1 || rate <= 0 || (bits != 8 && bits != 16)) return None
+        fmt = Some((ch, rate, bits))
+      } else if (id == "data") {
+        data = Some((pos + 8, math.min(len, bytes.length - pos - 8)))
+      }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    for ((ch, rate, bits) <- fmt; (off, len) <- data) yield {
+      val bytesPerSample = bits / 8
+      val n = len / bytesPerSample
+      val samples = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        // 8-bit WAV is unsigned (centered at 128); 16-bit is signed LE
+        samples(i) =
+          if (bits == 8) (bytes(off + i) & 0xff) - 128
+          else leShort(bytes, off + i * 2)
+        i += 1
+      }
+      (ch, rate, bits, samples)
+    }
+  }
+
+  private def audioFeaturesOf(row: MediaRow): AudioFeatures =
+    decodeWav(row.payload) match {
+      case None =>
+        AudioFeatures(row.media_id, row.kind, decoded = false, -1, -1, -1, 0L, 0L, 0,
+          0.0, Seq.fill(16)(0L))
+      case Some((ch, rate, bits, samples)) =>
+        val frames = samples.length / ch
+        var peak = 0
+        var sumSq = 0L // 16-bit^2 * length fits a long far past any real file
+        val env = new Array[Long](16)
+        var i = 0
+        while (i < samples.length) {
+          val a = math.abs(samples(i))
+          if (a > peak) peak = a
+          sumSq += a.toLong * a
+          if (frames > 0) env((i / ch) * 16 / frames) += a
+          i += 1
+        }
+        val segLen = math.max(frames * ch / 16, 1)
+        AudioFeatures(row.media_id, row.kind, decoded = true, ch, rate, bits,
+          frames, frames * 1000L / rate, peak,
+          if (samples.isEmpty) 0.0
+          else BigDecimal(math.sqrt(sumSq.toDouble / samples.length))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          env.map(_ / segLen).toSeq)
+    }
+
+  /** Distributed WAV decode -> amplitude statistics: one pass per payload,
+    * bytes never leave the executors (mapPartitions like imageFeatures).
+    */
+  def audioFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(rows => rows.map(audioFeaturesOf))
   }
 
   /** Column-only metadata pass (no decode): portable to SQL oracles. */
