@@ -1,0 +1,238 @@
+package graft
+
+import graft.operators.{Clustering, Dedup, Layout, Retrieval, Sampling, Scrub, Sketches}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 curation operators: chunk-granularity substring dedup, BM25
+  * retrieval scoring, PII scrubbing, deterministic k-means + SemDeDup
+  * semantic dedup, Z-order layout, exactly-k group sampling, and
+  * bloom-filter join pruning — each oracle-checked against DuckDB like the
+  * core queries, each designed shuffle-minimal for the 100 TB posture.
+  */
+object CurationQueries {
+
+  // ---- chunk-level exact substring dedup ---------------------------------
+  val ChunkTokens = 8
+
+  def dedupChunk(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDupStats(Queries.table(s, dir, "documents"), ChunkTokens)
+      .orderBy("doc_id")
+
+  val dedupChunkSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM documents),
+       |ch AS (SELECT doc_id, unnest(range(CAST(ceil(len(t) / $ChunkTokens.0) AS BIGINT))) AS chunk_idx, t FROM toks),
+       |k AS (SELECT doc_id, chunk_idx,
+       |        md5(array_to_string(t[chunk_idx*$ChunkTokens+1 : chunk_idx*$ChunkTokens+$ChunkTokens], ' ')) AS k FROM ch),
+       |r AS (SELECT doc_id, chunk_idx, row_number() OVER (PARTITION BY k ORDER BY doc_id, chunk_idx) AS rn FROM k)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       |  round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+       |FROM r GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ---- BM25 ranked retrieval ---------------------------------------------
+  val Bm25Terms = Seq("hash", "merge", "scan")
+  val Bm25Limit = 20
+
+  def textBm25(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25(Queries.table(s, dir, "documents"), "doc_id", "text",
+      Bm25Terms, Bm25Limit)
+
+  val textBm25Sql: String = {
+    val k1p1 = Retrieval.K1 + 1.0
+    val oneMinusB = 1.0 - Retrieval.B
+    def term(i: Int) =
+      s"""ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0)
+         | * (CAST(tf$i AS DOUBLE) * $k1p1)
+         | / (CAST(tf$i AS DOUBLE) + (CAST(dl AS DOUBLE) / avgdl * ${Retrieval.B} + $oneMinusB) * ${Retrieval.K1})"""
+        .stripMargin.replace("\n", "")
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM documents),
+       |tf AS (SELECT doc_id, len(t) AS dl,
+       |         ${Bm25Terms.zipWithIndex.map { case (t, i) =>
+                    s"len(list_filter(t, x -> x = '$t')) AS tf${i + 1}" }.mkString(", ")}
+       |       FROM toks),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl,
+       |         ${Bm25Terms.indices.map { i =>
+                    s"CAST(SUM(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df${i + 1}" }.mkString(", ")}
+       |       FROM tf),
+       |av AS (SELECT *, CAST(sdl AS DOUBLE) / n AS avgdl FROM st),
+       |sc AS (SELECT doc_id, dl, ${Bm25Terms.indices.map(i => s"tf${i + 1}").mkString(", ")},
+       |         round(${Bm25Terms.indices.map(i => term(i + 1)).mkString(" + ")}, 6) AS score
+       |       FROM tf CROSS JOIN av)
+       |SELECT doc_id, dl, ${Bm25Terms.indices.map(i => s"tf${i + 1}").mkString(", ")}, score
+       |FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $Bm25Limit""".stripMargin
+  }
+
+  // ---- PII scrubbing -----------------------------------------------------
+  /** Demonstrated over a derived column that concatenates a synthetic email
+    * + IPv4 in front of the text (the corpus itself is clean token soup),
+    * so the redaction path is exercised on every row; ScrubSpec covers the
+    * messy edge cases on crafted strings.
+    */
+  def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.table(s, dir, "documents")
+      .withColumn("raw", concat(
+        col("source"), lit("@mail."), col("lang"), lit(" 192.168."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        (col("doc_id") % 100).cast("string"), lit(" "), col("text")))
+    val (clean, ne, ni) = Scrub.scrub(col("raw"))
+    docs.select(col("doc_id"), ne.as("n_email"), ni.as("n_ip"),
+        substring(clean, 1, 60).as("head"))
+      .orderBy("doc_id")
+  }
+
+  val textPiiScrubSql: String =
+    s"""WITH raw AS (SELECT doc_id,
+       |    source || '@mail.' || lang || ' 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+       |      || '.' || CAST(doc_id % 100 AS VARCHAR) || ' ' || text AS s
+       |  FROM documents),
+       |e AS (SELECT doc_id,
+       |        len(regexp_extract_all(s, '${Scrub.EmailRe}')) AS n_email,
+       |        regexp_replace(s, '${Scrub.EmailRe}', '<EMAIL>', 'g') AS s1 FROM raw),
+       |i AS (SELECT doc_id, n_email,
+       |        len(regexp_extract_all(s1, '${Scrub.Ipv4Re}')) AS n_ip,
+       |        regexp_replace(s1, '${Scrub.Ipv4Re}', '<IP>', 'g') AS s2 FROM e)
+       |SELECT doc_id, n_email, n_ip, substr(s2, 1, 60) AS head FROM i ORDER BY doc_id""".stripMargin
+
+  // ---- deterministic k-means + SemDeDup ----------------------------------
+  val KmeansK = 8
+  val KmeansIters = 2
+
+  private def embDouble(s: SparkSession, dir: String): DataFrame =
+    Queries.table(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  def embedKmeans(s: SparkSession, dir: String): DataFrame = {
+    val (assign, _) = Clustering.kmeans(embDouble(s, dir), "vec_id", "v",
+      KmeansK, KmeansIters)
+    assign.orderBy("vec_id")
+  }
+
+  /** The unrolled-iteration oracle: generated from the same constants; one
+    * CTE block per Lloyd iteration, then the final assignment.
+    */
+  private def kmeansIterCtes(it: Int, prev: String): String =
+    s"""d$it AS (SELECT ev.vec_id, c.cl,
+       |  ev.vv - 2.0 * list_inner_product(ev.v, c.c) + list_inner_product(c.c, c.c) AS d
+       |  FROM ev CROSS JOIN $prev c),
+       |a$it AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM d$it) WHERE rn = 1),
+       |x$it AS (SELECT a$it.cl, unnest(range(len(ev.v))) AS i, unnest(ev.v) AS x
+       |  FROM a$it JOIN ev USING (vec_id)),
+       |s$it AS (SELECT cl, i, SUM(CAST(round(x * 1000000.0) AS BIGINT)) AS sq,
+       |    CAST(COUNT(*) AS BIGINT) AS n FROM x$it GROUP BY 1, 2),
+       |c$it AS (SELECT cl, list(sq / (n * 1000000.0) ORDER BY i) AS c FROM s$it GROUP BY cl)""".stripMargin
+
+  private val kmeansPrefixSql: String = {
+    val iters = (1 to KmeansIters)
+      .map(it => kmeansIterCtes(it, s"c${it - 1}")).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |ev AS (SELECT vec_id, v, list_inner_product(v, v) AS vv FROM e),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v AS c
+       |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $KmeansK)),
+       |$iters""".stripMargin
+  }
+
+  val embedKmeansSql: String =
+    s"""$kmeansPrefixSql,
+       |df AS (SELECT ev.vec_id, c.cl,
+       |  ev.vv - 2.0 * list_inner_product(ev.v, c.c) + list_inner_product(c.c, c.c) AS d
+       |  FROM ev CROSS JOIN c$KmeansIters c)
+       |SELECT vec_id, cl AS cluster, round(d, 6) AS dist2
+       |FROM (SELECT vec_id, cl, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM df)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Clustering.semanticDedup(embDouble(s, dir), "vec_id", "v",
+        KmeansK, KmeansIters, PipelineQueries.CosineThreshold)
+      .orderBy("vec_id")
+
+  val dedupSemanticSql: String =
+    s"""$kmeansPrefixSql,
+       |fin AS (SELECT vec_id, cl FROM (
+       |  SELECT ev.vec_id, c.cl, row_number() OVER (PARTITION BY ev.vec_id ORDER BY
+       |    ev.vv - 2.0 * list_inner_product(ev.v, c.c) + list_inner_product(c.c, c.c), c.cl) AS rn
+       |  FROM ev CROSS JOIN c$KmeansIters c) WHERE rn = 1),
+       |drp AS (SELECT DISTINCT r.vec_id AS b
+       |        FROM fin l JOIN fin r ON l.cl = r.cl AND l.vec_id < r.vec_id
+       |        JOIN e ea ON ea.vec_id = l.vec_id JOIN e eb ON eb.vec_id = r.vec_id
+       |        WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= ${PipelineQueries.CosineThreshold})
+       |SELECT fin.vec_id, fin.cl AS cluster, (drp.b IS NOT NULL) AS dropped
+       |FROM fin LEFT JOIN drp ON fin.vec_id = drp.b ORDER BY fin.vec_id""".stripMargin
+
+  // ---- Z-order layout audit ----------------------------------------------
+  val ZBits = 8
+
+  /** Per-z-cell occupancy + raw-key min/max: the data-skipping evidence
+    * (each top-level z-cell covers ~1/16 of EACH key's range, so a filter
+    * on either key prunes ~15/16 of the files a range-partitioned layout
+    * would produce). Bounds come from one scalar aggregate, like the SQL's
+    * scalar subqueries.
+    */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val li = Queries.table(s, dir, "lineitem").select(col("l_partkey"), col("l_orderkey"))
+    val b = li.agg(min("l_partkey").cast("long"), max("l_partkey").cast("long"),
+      min("l_orderkey").cast("long"), max("l_orderkey").cast("long")).head()
+    Layout.zkey(li, "l_partkey", "l_orderkey",
+        b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3), ZBits)
+      .groupBy(shiftright(col("zkey"), ZBits).as("zcell"))
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
+      .orderBy("zcell")
+  }
+
+  val zorderLayoutSql: String =
+    s"""WITH b AS (SELECT CAST(MIN(l_partkey) AS BIGINT) AS xmn, CAST(MAX(l_partkey) AS BIGINT) AS xmx,
+       |    CAST(MIN(l_orderkey) AS BIGINT) AS ymn, CAST(MAX(l_orderkey) AS BIGINT) AS ymx FROM lineitem),
+       |c AS (SELECT l_partkey, l_orderkey,
+       |    ${Layout.cellSqlRef("l_partkey", "xmn", "xmx", ZBits)} AS px,
+       |    ${Layout.cellSqlRef("l_orderkey", "ymn", "ymx", ZBits)} AS py
+       |  FROM lineitem CROSS JOIN b),
+       |zk AS (SELECT l_partkey, l_orderkey, ${Layout.mortonSql("px", "py", ZBits)} AS zkey FROM c)
+       |SELECT zkey >> $ZBits AS zcell, COUNT(*) AS n,
+       |  MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+       |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+       |FROM zk GROUP BY 1 ORDER BY zcell""".stripMargin
+
+  // ---- exactly-k per-group sample ----------------------------------------
+  val GroupTopKK = 5
+  val GroupTopKSalt = "gtopk"
+
+  def sampleGroupTopk(s: SparkSession, dir: String): DataFrame =
+    Sampling.groupTopK(
+        Queries.table(s, dir, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"), GroupTopKK, GroupTopKSalt)
+      .orderBy("doc_id")
+
+  val sampleGroupTopkSql: String =
+    s"""WITH r AS (SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${Sampling.bucketOfSql("doc_id", GroupTopKSalt)}, doc_id) AS rk
+       |  FROM documents)
+       |SELECT doc_id, lang FROM r WHERE rk <= $GroupTopKK ORDER BY doc_id""".stripMargin
+
+  // ---- bloom-filter join pruning -----------------------------------------
+  /** Customers with at least one order, computed as bloom-prune (probe-side
+    * filter BEFORE the exchange) + exact semi-join. False positives are
+    * dropped by the join, so the result is identical to the plain
+    * semi-join the oracle runs — which is the point: the bloom is a
+    * runtime filter, not an approximation of the answer.
+    */
+  def bloomPruneJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = Queries.table(s, dir, "orders").select(col("o_custkey"))
+    val bits = Sketches.bloomBuild(orders, col("o_custkey").cast("string"))
+    Queries.table(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      .where(Sketches.bloomMightContain(bits, col("c_custkey").cast("string")))
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .orderBy("c_custkey")
+  }
+
+  val bloomPruneJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""".stripMargin
+}

@@ -336,4 +336,35 @@ object Dedup {
       .where(col("hamming") <= maxDist)
       .select(col("a"), col("b"), col("hamming"))
   }
+
+  /** Chunk-granularity exact substring dedup (the scalable stand-in for
+    * suffix-array substring dedup, Lee et al. 2021): cut each document
+    * into non-overlapping `c`-token chunks, hash each chunk (md5 — 128-bit,
+    * collision-safe at corpus scale, portable to the oracle), and mark
+    * every occurrence that is not the globally FIRST occurrence of its
+    * chunk (ordered by doc_id, then chunk index) as duplicated. Returns
+    * per-doc (n_chunks, dup_chunks, dup_frac) — the curation signal used
+    * to drop or trim boilerplate-heavy documents.
+    *
+    * Cost at scale: one shuffle on the chunk digest (window for
+    * first-occurrence), one groupBy(doc_id); chunks are non-overlapping so
+    * the exploded row count equals the corpus token count / c.
+    */
+  def chunkDupStats(docs: DataFrame, c: Int): DataFrame = {
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)
+    val chunks = docs
+      .select(col("doc_id"), toks.as("__t"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), ceil(size(col("__t")) / lit(c.toDouble)).cast("int") - 1),
+          i => md5(concat_ws(" ", slice(col("__t"), i * c + 1, lit(c))))))
+        .as(Seq("chunk_idx", "k")))
+    val firstW = Window.partitionBy(col("k")).orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .withColumn("__rn", row_number().over(firstW))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum((col("__rn") > 1).cast("long")).as("dup_chunks"))
+      .withColumn("dup_frac",
+        round(col("dup_chunks").cast("double") / col("n_chunks"), 6))
+  }
 }

@@ -74,4 +74,21 @@ object Sampling {
       .where(bucketOf(idCol, salt) < col("__thresh"))
       .drop("__g", "__thresh")
   }
+
+  /** Exactly-k-per-group deterministic sample (reservoir analog): rank each
+    * row within its group by the salted hash (id tiebreak) and keep the k
+    * smallest — a uniform without-replacement draw that is reproducible
+    * across runs, partitionings, and engines. One shuffle on the group key;
+    * the rank window never sees more than a group's rows. For severely
+    * hot groups at 100 TB, pre-filter with `stratified` at a rate that
+    * leaves O(k log k) survivors per group, then rank those.
+    */
+  def groupTopK(df: DataFrame, idCol: Column, groupCol: Column, k: Int,
+                salt: String = "gtopk"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(bucketOf(idCol, salt), idCol)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

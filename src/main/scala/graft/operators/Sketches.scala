@@ -149,4 +149,54 @@ object Sketches {
        |                  ELSE raw END, 4) AS $out
        |FROM est)""".stripMargin
   }
+
+  /** Bloom filter for join pruning: build a bit array over the build side's
+    * keys, broadcast it as a literal, and pre-filter the probe side BEFORE
+    * its shuffle — the classic runtime-filter pattern (false positives only
+    * re-admit rows the exact join drops later; never false negatives, so
+    * results are identical to the unpruned join).
+    *
+    * The build is one explode + groupBy(word) with map-side partial bit_or,
+    * so the shuffle is at most `BloomWords` rows regardless of build-side
+    * size, and the collected state is a bounded Array[Long] — the same
+    * driver-bounded discipline as the k-means centroids. This literal form
+    * tops out around a few-thousand-word filter (plan size); beyond that
+    * the same bits table joins broadcast on the word index instead.
+    */
+  val BloomWords = 4096 // 2^18 bits
+  val BloomHashes = 3
+
+  private val BitMasks: Array[Long] = Array.tabulate(64)(i => 1L << i)
+
+  private def bloomPos(r: Int, value: Column): Column =
+    pmod(Dedup.h32(concat(lit(s"bloom$r:"), value)), lit((BloomWords * 64).toLong))
+
+  def bloomBuild(df: DataFrame, value: Column): Array[Long] = {
+    val rows = df.select(value.as("__x")).where(col("__x").isNotNull)
+      .select(explode(array((0 until BloomHashes).map(r => bloomPos(r, col("__x"))): _*))
+        .as("__p"))
+      .select(shiftright(col("__p"), 6).cast("int").as("w"),
+        element_at(lit(BitMasks), col("__p").bitwiseAND(lit(63L)).cast("int") + 1).as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("bits"))
+      .collect()
+    val arr = new Array[Long](BloomWords)
+    rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Membership test against a built filter — pure codegen'd arithmetic
+    * (md5 + mask probes against two array literals), usable directly in a
+    * `where` before a join's exchange.
+    */
+  def bloomMightContain(bits: Array[Long], value: Column): Column =
+    (0 until BloomHashes).map { r =>
+      val p = bloomPos(r, value)
+      val word = element_at(lit(bits), shiftright(p, 6).cast("int") + 1)
+      val mask = element_at(lit(BitMasks), p.bitwiseAND(lit(63L)).cast("int") + 1)
+      word.bitwiseAND(mask) =!= lit(0L)
+    }.reduce(_ && _)
+
+  /** Merge two filters (bitwise OR) — shards/days combine associatively. */
+  def bloomMerge(a: Array[Long], b: Array[Long]): Array[Long] =
+    a.zip(b).map { case (x, y) => x | y }
 }
