@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators.{ChangeCapture, Graph, Quantiles, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 scale-path operator surface: each of these exists because the
+  * straightforward formulation stops working at 100 TB — PageRank needs
+  * exact fixed-point sums to be reproducible under distributed addition,
+  * histogram quantiles replace the per-group global sort, snapshot CDC
+  * reconciles nightly copies with one join, SCD-2 builds validity intervals
+  * with one window, and per-dimension embedding stats lean entirely on
+  * map-side combine. All oracle-checked like the core queries.
+  */
+object ScaleQueries {
+
+  // ---- fixed-point PageRank over the customer→supplier order graph ------
+  val PrIters = 3
+  val PrTopK = 100
+
+  /** Who are the load-bearing suppliers/customers in the order graph?
+    * Bipartite directed graph: customer --(ordered from)--> supplier,
+    * distinct edges from orders⋈lineitem. Node ids disambiguate the two
+    * namespaces arithmetically (cust → 2k, supp → 2k+1).
+    */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val orders = Queries.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Queries.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    Graph.pagerank(edges, PrIters)
+      .orderBy(col("rank").desc, col("n"))
+      .limit(PrTopK)
+      .select(col("n").as("node"), col("rank"))
+  }
+
+  val graphPagerankSql: String = {
+    val edgesSql =
+      """SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+    s"""${Graph.pagerankSql(edgesSql, PrIters)}
+       |SELECT n AS node, rank FROM r$PrIters
+       |ORDER BY rank DESC, n LIMIT $PrTopK""".stripMargin
+  }
+
+  // ---- histogram quantile estimation --------------------------------------
+  val HistBins = 128
+  val HistPcts = Seq(50, 90, 99)
+
+  def quantileHistogram(s: SparkSession, dir: String): DataFrame =
+    Quantiles.histogramQuantiles(
+      Queries.events(s, dir).select(col("event_type"), col("value").as("v")),
+      Seq("event_type"), col("v"), HistBins, HistPcts)
+      .orderBy("event_type")
+
+  val quantileHistogramSql: String =
+    s"""SELECT * FROM ${Quantiles.histogramQuantilesSql(
+      "(SELECT event_type, value AS v FROM events)", "event_type",
+      HistBins, HistPcts)}
+       |ORDER BY event_type""".stripMargin
+
+  // ---- snapshot CDC diff ---------------------------------------------------
+  /** Nightly-snapshot reconciliation: old/new snapshots of the orders table
+    * derived deterministically (new adds keys ≡0 mod 17, drops keys ≡0 mod
+    * 13, flips status on keys ≡0 mod 11), classified in one full-outer
+    * join, then rolled up per class with a key checksum.
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Queries.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val old = base.where(expr("o_orderkey % 17 != 0"))
+      .select(col("o_orderkey"), col("o_orderstatus").as("st"),
+        col("o_totalprice").as("tp"))
+    val nw = base.where(expr("o_orderkey % 13 != 0"))
+      .select(col("o_orderkey"),
+        when(expr("o_orderkey % 11 = 0"), lit("X"))
+          .otherwise(col("o_orderstatus")).as("st"),
+        col("o_totalprice").as("tp"))
+    ChangeCapture.snapshotDiff(old, nw, Seq("o_orderkey"), Seq("st", "tp"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("status")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
+      |           FROM orders WHERE o_orderkey % 17 <> 0),
+      |n AS (SELECT o_orderkey AS k,
+      |             CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS st,
+      |             o_totalprice AS tp
+      |      FROM orders WHERE o_orderkey % 13 <> 0),
+      |d AS (SELECT coalesce(o.k, n.k) AS k,
+      |             CASE WHEN o.k IS NULL THEN 'insert'
+      |                  WHEN n.k IS NULL THEN 'delete'
+      |                  WHEN o.st IS NOT DISTINCT FROM n.st
+      |                   AND o.tp IS NOT DISTINCT FROM n.tp THEN 'unchanged'
+      |                  ELSE 'update' END AS status
+      |      FROM o FULL JOIN n ON o.k = n.k)
+      |SELECT status, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM d GROUP BY 1 ORDER BY status""".stripMargin
+
+  // ---- SCD-2 validity intervals -------------------------------------------
+  /** Per-user event_type state history as SCD-2 rows: one interval per
+    * consecutive run of the same state, ordered by (µs, event_id) — the
+    * same total-order discipline as ts_rate.
+    */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.events(s, dir).select(
+      col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"),
+      col("event_type"))
+    ChangeCapture.scd2Intervals(ev, Seq("user_id"), col("us"),
+      Seq(col("event_id")), col("event_type"))
+      .orderBy("user_id", "valid_from", "state")
+  }
+
+  val scd2IntervalsSql: String =
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+      |            FROM events),
+      |ch AS (SELECT user_id, event_id, us, event_type AS st,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      |       FROM ev),
+      |flt AS (SELECT * FROM ch WHERE prev IS DISTINCT FROM st)
+      |SELECT user_id, st AS state, us AS valid_from,
+      |       lead(us) OVER w2 AS valid_to,
+      |       CAST(lead(us) OVER w2 IS NULL AS INT) AS is_current
+      |FROM flt WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+      |ORDER BY user_id, valid_from, state""".stripMargin
+
+  // ---- per-dimension embedding stats --------------------------------------
+  def embedDimStats(s: SparkSession, dir: String): DataFrame =
+    Similarity.dimStats(Queries.table(s, dir, "embeddings")
+      .select(col("embedding")))
+      .orderBy("dim")
+
+  val embedDimStatsSql: String =
+    s"""${Similarity.dimStatsSql}
+       |ORDER BY dim""".stripMargin
+}

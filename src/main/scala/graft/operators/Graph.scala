@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank over an arbitrary directed edge list — the graph
+  * centrality companion to the connected-components dedup operator
+  * ([[Dedup.clusterLabels]]): where CC answers "which docs are the same",
+  * PageRank answers "which nodes matter" (domain authority for crawl
+  * prioritization, user influence over an interaction graph).
+  *
+  * All arithmetic is FIXED-POINT INTEGER (ranks scaled by 1e12, floor
+  * division everywhere): float PageRank is non-deterministic under
+  * distributed summation (double addition is not associative, so partial
+  * aggregation order changes low bits every run), which would break both
+  * the cross-engine oracle and run-to-run reproducibility. Integer sums
+  * are exact and order-independent; the cost is a bounded (≤ 1e-12 per
+  * term) downward bias that is identical on every engine.
+  *
+  * Update rule per round, for damping d = 85/100 and N nodes:
+  * {{{
+  *   share(u)   = rank(u) DIV outdeg(u)              // per-node, exact
+  *   inbound(v) = Σ_{(u,v) ∈ E} share(u)             // exact integer sum
+  *   dangling   = Σ_{outdeg(u)=0} rank(u)            // exact integer sum
+  *   rank'(v)   = (15*SCALE) DIV (100*N)             // teleport
+  *              + (85*dangling) DIV (100*N)          // dangling mass
+  *              + (85*inbound(v)) DIV 100
+  * }}}
+  *
+  * Cost shape at scale: the node/rank table is graph-sized, so it is NEVER
+  * broadcast (unlike CC's bounded pair-graph labels) — each round is the
+  * canonical two-shuffle join+groupBy, with the edge and degree tables
+  * cached across rounds and each round's ranks localCheckpoint'ed so round
+  * k+1's plan does not re-analyze k stacked joins. Rounds are a fixed
+  * unroll so the DuckDB oracle can mirror them as materialized CTEs.
+  */
+object Graph {
+
+  val Scale = 1000000000000L // 1e12: 85*Scale fits a BIGINT with 5 digits spare
+
+  /** `iters` rounds of integer PageRank over `edges` (cols `src`, `dst`;
+    * duplicates allowed — they are weighted as parallel edges). Returns
+    * (node, rank) with rank on the 1e12 scale.
+    */
+  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src")).cache()
+    val nodes = e.select(col("src").as("n"))
+      .unionByName(e.select(col("dst").as("n"))).distinct().cache()
+    val deg = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg")).cache()
+    val nn = nodes.count() // one bounded driver scalar, reused every round
+    require(nn > 0, "pagerank: empty graph")
+    val init = nodes.select(col("n"), lit(Scale / nn).as("rank")).localCheckpoint()
+    val out = (1 to iters).foldLeft(init) { (ranks, _) =>
+      // dangling mass: one row, safe to broadcast at any scale
+      val dangling = ranks.join(deg, Seq("n"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dt"))
+      val shares = ranks.join(deg, Seq("n"))
+        .select(col("n"), expr("rank DIV deg").as("share"))
+      val inbound = e.join(shares.withColumnRenamed("n", "src"), "src")
+        .groupBy(col("dst").as("n")).agg(sum(col("share")).as("inb"))
+      nodes
+        .join(inbound, Seq("n"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("n"),
+          (lit((15L * Scale) / (100L * nn)) // teleport term: driver constant
+            + expr(s"(85 * dt) DIV (100 * $nn)")
+            + expr("(85 * coalesce(inb, 0)) DIV 100")).as("rank"))
+        .localCheckpoint()
+    }
+    out
+  }
+
+  /** Unrolled DuckDB mirror. `edgesSql` must yield (src, dst). */
+  def pagerankSql(edgesSql: String, iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""s$k AS (SELECT r.n, r.rank // d.deg AS share
+         |        FROM r${k - 1} r JOIN deg d USING (n)),
+         |dang$k AS (SELECT coalesce(SUM(r.rank), 0) AS dt
+         |           FROM r${k - 1} r LEFT JOIN deg d USING (n) WHERE d.n IS NULL),
+         |r$k AS MATERIALIZED (
+         |  SELECT nodes.n,
+         |         (15 * ${Scale}::BIGINT) // (100 * meta.nn)
+         |         + (85 * dang$k.dt) // (100 * meta.nn)
+         |         + (85 * coalesce(inb.s, 0)) // 100 AS rank
+         |  FROM nodes CROSS JOIN meta CROSS JOIN dang$k
+         |  LEFT JOIN (SELECT e.dst AS n, SUM(s.share) AS s
+         |             FROM e JOIN s$k s ON e.src = s.n GROUP BY 1) inb
+         |    ON inb.n = nodes.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT n FROM (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)),
+       |deg AS MATERIALIZED (SELECT src AS n, COUNT(*) AS deg FROM e GROUP BY 1),
+       |meta AS MATERIALIZED (SELECT COUNT(*) AS nn FROM nodes),
+       |r0 AS MATERIALIZED (
+       |  SELECT n, ${Scale}::BIGINT // meta.nn AS rank FROM nodes CROSS JOIN meta),
+       |$rounds""".stripMargin
+  }
+}

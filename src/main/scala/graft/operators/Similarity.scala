@@ -50,6 +50,53 @@ object Similarity {
     * (The round-1 linear-congruence mixer was parity-degenerate: every
     * component came out +1, collapsing all buckets to {0, 2^b-1}.)
     */
+  /** Per-dimension corpus statistics (the feature-normalization pass that
+    * precedes whitening/quantization at training time): mean, min, max and
+    * variance for every embedding dimension, computed on values QUANTIZED
+    * to 1e-6 resolution (`floor(x * 1e6)` — a fixed IEEE expression) so
+    * every aggregate is an exact integer sum: order-independent under any
+    * partitioning, bit-identical across engines. Float/double summation
+    * would make both properties false.
+    *
+    * Cost shape: posexplode emits n·dim rows, but groupBy(dim) partial
+    * aggregation combines them to `dim` rows per task BEFORE the exchange —
+    * the shuffle carries O(dim · parallelism), never O(n · dim). The
+    * squared sums ride as decimal(38,0): q ≤ ~1e6+ so q² ≤ ~1e13, and 38
+    * digits hold ~1e25 rows of headroom.
+    */
+  def dimStats(corpus: DataFrame): DataFrame = {
+    val q = floor(col("x").cast("double") * lit(1e6)).cast("long")
+    corpus
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), q.as("q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        sum(col("q").cast("decimal(38,0)") * col("q")).as("sq2"),
+        min(col("q")).as("mnq"), max(col("q")).as("mxq"))
+      .select(col("dim"), col("n"),
+        round(col("sq").cast("double") / (col("n") * lit(1e6)), 6).as("mean"),
+        // population variance on the quantized grid: (n·Σq² − (Σq)²)/n² /1e12;
+        // the big numerator stays exact (decimal), doubles only at the end
+        round((col("n").cast("decimal(38,0)") * col("sq2")
+          - col("sq").cast("decimal(38,0)") * col("sq")).cast("double")
+          / (col("n") * col("n")).cast("double") / lit(1e12), 6).as("variance"),
+        (col("mnq").cast("double") / lit(1e6)).as("min_q"),
+        (col("mxq").cast("double") / lit(1e6)).as("max_q"))
+  }
+
+  /** DuckDB mirror of [[dimStats]] (HUGEINT plays decimal(38,0)'s role). */
+  val dimStatsSql: String =
+    """SELECT dim, COUNT(*) AS n,
+      |       round(SUM(q)::DOUBLE / (COUNT(*) * 1e6), 6) AS mean,
+      |       round((COUNT(*)::HUGEINT * SUM(q::HUGEINT * q)
+      |              - SUM(q)::HUGEINT * SUM(q))::DOUBLE
+      |             / (COUNT(*) * COUNT(*))::DOUBLE / 1e12, 6) AS variance,
+      |       MIN(q)::DOUBLE / 1e6 AS min_q, MAX(q)::DOUBLE / 1e6 AS max_q
+      |FROM (SELECT CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS dim,
+      |             CAST(floor(unnest(embedding)::DOUBLE * 1e6) AS BIGINT) AS q
+      |      FROM embeddings)
+      |GROUP BY dim""".stripMargin
+
   private def fmix32(x: Int): Int = {
     var h = x
     h ^= h >>> 16; h *= 0x85ebca6b
