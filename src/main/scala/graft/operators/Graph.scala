@@ -45,30 +45,36 @@ object Graph {
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("src")).cache()
-    val nodes = e.select(col("src").as("n"))
-      .unionByName(e.select(col("dst").as("n"))).distinct().cache()
-    val deg = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg")).cache()
-    val nn = nodes.count() // one bounded driver scalar, reused every round
+    // static per-node state: out-degree, NULL for dangling nodes — carried
+    // WITH the rank through every round so no round re-joins a separate
+    // degree or node table
+    val nodeDeg = e.select(col("src").as("n"))
+      .unionByName(e.select(col("dst").as("n"))).distinct()
+      .join(e.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg")),
+        Seq("n"), "left")
+      .cache()
+    val nn = nodeDeg.count() // one bounded driver scalar, reused every round
     require(nn > 0, "pagerank: empty graph")
-    val init = nodes.select(col("n"), lit(Scale / nn).as("rank")).localCheckpoint()
+    val init = nodeDeg.select(col("n"), col("deg"), lit(Scale / nn).as("rank"))
+      .localCheckpoint()
     val out = (1 to iters).foldLeft(init) { (ranks, _) =>
       // dangling mass: one row, safe to broadcast at any scale
-      val dangling = ranks.join(deg, Seq("n"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("dt"))
-      val shares = ranks.join(deg, Seq("n"))
-        .select(col("n"), expr("rank DIV deg").as("share"))
-      val inbound = e.join(shares.withColumnRenamed("n", "src"), "src")
+      val dangling = ranks
+        .agg(coalesce(sum(when(col("deg").isNull, col("rank"))), lit(0L)).as("dt"))
+      val shares = ranks.where(col("deg").isNotNull)
+        .select(col("n").as("src"), expr("rank DIV deg").as("share"))
+      val inbound = e.join(shares, "src")
         .groupBy(col("dst").as("n")).agg(sum(col("share")).as("inb"))
-      nodes
+      ranks
         .join(inbound, Seq("n"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("n"),
+        .select(col("n"), col("deg"),
           (lit((15L * Scale) / (100L * nn)) // teleport term: driver constant
             + expr(s"(85 * dt) DIV (100 * $nn)")
             + expr("(85 * coalesce(inb, 0)) DIV 100")).as("rank"))
         .localCheckpoint()
     }
-    out
+    out.select(col("n"), col("rank"))
   }
 
   /** Unrolled DuckDB mirror. `edgesSql` must yield (src, dst). */
