@@ -130,6 +130,45 @@ object ScaleQueries {
       |FROM flt WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
       |ORDER BY user_id, valid_from, state""".stripMargin
 
+  // ---- temperature mixture sampling ---------------------------------------
+  val TempSalt = "tempr"
+
+  /** √-temperature (T=2) language rebalance over documents — the
+    * multilingual-pretraining mix, sitting between keep-everything and
+    * sample_rebalance's full uniform.
+    */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.rebalanceTemperature(
+      Queries.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source")),
+      col("doc_id"), col("lang"), TempSalt)
+      .orderBy("doc_id")
+
+  val sampleTemperatureSql: String =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+       |m AS (SELECT MIN(n) AS mn FROM c)
+       |SELECT d.doc_id, d.lang, d.source
+       |FROM documents d JOIN c USING (lang), m
+       |WHERE ${operators.Sampling.bucketOfSql("d.doc_id", TempSalt)}
+       |      < CAST(floor(${operators.Sampling.Den} * sqrt(mn::DOUBLE / n)) AS BIGINT)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- inverted index postings --------------------------------------------
+  val PostingsK = 5
+
+  /** Truncated inverted index over the document corpus: per token df/cf +
+    * top-5 postings by (tf desc, doc_id).
+    */
+  def invertedPostings(s: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.invertedPostings(
+      Queries.table(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", PostingsK)
+      .orderBy("token")
+
+  val invertedPostingsSql: String =
+    s"""SELECT * FROM ${operators.Retrieval.invertedPostingsSql(PostingsK)}
+       |ORDER BY token""".stripMargin
+
   // ---- per-dimension embedding stats --------------------------------------
   def embedDimStats(s: SparkSession, dir: String): DataFrame =
     Similarity.dimStats(Queries.table(s, dir, "embeddings")

@@ -57,4 +57,49 @@ object Retrieval {
       .orderBy(col("score").desc, col(idCol))
       .limit(limit)
   }
+
+  /** Static inverted index with TRUNCATED posting lists: per token, document
+    * frequency, collection frequency, and the top-`k` postings by (tf desc,
+    * doc_id) serialized as `doc:tf,doc:tf,...`. Truncation is what makes the
+    * index state bounded at 100 TB — a stopword's full posting list is
+    * corpus-sized, its top-k is k rows; df/cf stay exact because they
+    * aggregate BEFORE the rank filter.
+    *
+    * Shuffle shape: explode → groupBy(token, doc) benefits from map-side
+    * combine (per-doc tf collapses in the mapper), the rank window
+    * re-shuffles only one row per (token, doc), and the final per-token
+    * fold sees ≤ df rows of which ≤ k carry postings.
+    */
+  def invertedPostings(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("tf").desc, col(idCol))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__rk") <= k,
+              struct(col("__rk"), col(idCol).as("doc"), col("tf"))))),
+            x => concat(x.getField("doc").cast("string"), lit(":"),
+              x.getField("tf").cast("string"))),
+          ",").as("postings"))
+  }
+
+  /** DuckDB mirror of [[invertedPostings]] over the documents table. */
+  def invertedPostingsSql(k: Int): String =
+    s"""(WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS token
+       |  FROM documents),
+       |tf AS (SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY token
+       |         ORDER BY tf DESC, doc_id) AS rk FROM tf)
+       |SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+       |       coalesce(string_agg(CASE WHEN rk <= $k
+       |         THEN doc_id || ':' || tf END, ',' ORDER BY rk), '') AS postings
+       |FROM rk GROUP BY token)""".stripMargin
 }

@@ -75,6 +75,36 @@ object Sampling {
       .drop("__g", "__thresh")
   }
 
+  /** Temperature-smoothed mixture rebalance (the multilingual-pretraining
+    * mix: sampling share ∝ p^(1/T)): each group keeps, in expectation,
+    * rate (n_min/n_g)^(1/2) — T=2, the common smoothing that upweights
+    * small languages less brutally than full uniform rebalance
+    * ([[rebalanceUniform]] is the T=1 endpoint, keep-everything is T=∞).
+    *
+    * The exponent is fixed at 1/2 ON PURPOSE: IEEE-754 requires sqrt (and
+    * division) to be CORRECTLY ROUNDED, so `floor(Den*sqrt(mn/n))` is
+    * bit-identical on every engine — `pow(x, alpha)` carries no such
+    * guarantee and can land on either side of an integer floor boundary,
+    * which a hash-threshold gate turns into a row-level diff. Other
+    * temperatures need a rational-power ladder of sqrt calls or a
+    * pre-rounded threshold table.
+    *
+    * Same cost shape as [[rebalanceUniform]]: two bounded broadcast
+    * aggregates, corpus path stays ONE narrow filter.
+    */
+  def rebalanceTemperature(df: DataFrame, idCol: Column, groupCol: Column,
+                           salt: String = "tempr"): DataFrame = {
+    val counts = df.groupBy(groupCol.as("__g")).agg(count(lit(1)).as("__n"))
+    val thresh = counts
+      .crossJoin(broadcast(counts.agg(min(col("__n")).as("__mn"))))
+      .select(col("__g"),
+        floor(lit(Den) * sqrt(col("__mn").cast("double") / col("__n")))
+          .cast("long").as("__thresh"))
+    df.join(broadcast(thresh), groupCol === col("__g"))
+      .where(bucketOf(idCol, salt) < col("__thresh"))
+      .drop("__g", "__thresh")
+  }
+
   /** Exactly-k-per-group deterministic sample (reservoir analog): rank each
     * row within its group by the salted hash (id tiebreak) and keep the k
     * smallest — a uniform without-replacement draw that is reproducible

@@ -56,4 +56,23 @@ class SamplingSpec extends AnyFunSuite {
       col("lang"), Seq(), 0.5).select("doc_id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("temperature rebalance keeps sqrt(min/n) of each group, within 4%") {
+    // groups 15k "de" / 5k "en": min=5k → de keep rate = sqrt(1/3) ≈ 0.5774
+    val kept = Sampling.rebalanceTemperature(docs, col("doc_id"), col("lang"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept("de") / 15000.0 - math.sqrt(1.0 / 3)) < 0.04)
+    assert(math.abs(kept("en") / 5000.0 - 1.0) < 0.04)
+  }
+
+  test("temperature sits between uniform rebalance and keep-all (same salt)") {
+    // thresholds are pointwise monotone (sqrt(x) >= x on [0,1]), so with a
+    // shared salt the uniform sample is a SUBSET of the temperature sample
+    val uni = Sampling.rebalanceUniform(docs, col("doc_id"), col("lang"), "s1")
+      .select("doc_id").as[Long].collect().toSet
+    val temp = Sampling.rebalanceTemperature(docs, col("doc_id"), col("lang"), "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(uni.subsetOf(temp) && temp.size < 20000)
+  }
 }
