@@ -97,22 +97,46 @@ object Clustering {
     * (SemDeDup uses k ~ sqrt(N); the blocking argument mirrors the LSH
     * bucket caps elsewhere in this package). Pairs travel as slim
     * (a, b) ids; vectors re-join only for the cosine refine.
+    *
+    * BIT-IDENTICAL vectors are canonicalized before the self-join (the
+    * same exact-dup preamble as `Dedup.canonicalize` /
+    * `Similarity.cosineNearDupPairs`): for threshold <= 1, every non-rep
+    * copy is a near-dup of its group's min-id rep by definition
+    * (cosine = 1), and any near-dup witness through a copy is also a
+    * witness through its rep (same vector, id <= copy's id) — so pairing
+    * only DISTINCT (cluster, vector) reps is semantics-preserving. Without
+    * this, an m-way duplicated corpus pays m² in the self-join: the
+    * round-2 10x experiment measured exactly that blowup shape (this
+    * operator went 2.9s → 30.1s for 10x data before the preamble).
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int, threshold: Double): DataFrame = {
+    require(threshold <= 1.0,
+      "semanticDedup: threshold > 1 breaks the identical-vector fast path")
     val (assign, _) = kmeans(emb, idCol, vecCol, k, iters)
     val a = assign.select(col(idCol).as("__id"), col("cluster"))
     val vecs = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val pairs = a.as("l").join(a.as("r"),
-        col("l.cluster") === col("r.cluster") && col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("a"), col("r.__id").as("b"))
-    val dropped = pairs
-      .join(vecs.withColumnRenamed("__id", "a").withColumnRenamed("__v", "__va"), "a")
-      .join(vecs.withColumnRenamed("__id", "b").withColumnRenamed("__v", "__vb"), "b")
-      .where(round(VecOps.vecDot(col("__va"), col("__vb"))
-        / (VecOps.vecNorm(col("__va")) * VecOps.vecNorm(col("__vb"))), 6)
+    // one row per distinct (cluster, vector): min-id rep + all member ids
+    val groups = a.join(vecs, "__id")
+      .groupBy(col("cluster"), col("__v"))
+      .agg(min(col("__id")).as("__rep"), collect_list(col("__id")).as("__members"))
+      .cache()
+    // copies drop unconditionally (cosine 1 vs their smaller-id rep)
+    val copyDrops = groups
+      .select(explode(col("__members")).as("__id"), col("__rep"))
+      .where(col("__id") =!= col("__rep"))
+      .select(col("__id"))
+    // reps pair only against other DISTINCT vectors in the cluster
+    val reps = groups.select(col("cluster"), col("__rep"), col("__v"))
+    val repDrops = reps.as("l").join(reps.as("r"),
+        col("l.cluster") === col("r.cluster") && col("l.__rep") < col("r.__rep"))
+      .where(round(VecOps.vecDot(col("l.__v"), col("r.__v"))
+        / (VecOps.vecNorm(col("l.__v")) * VecOps.vecNorm(col("r.__v"))), 6)
         >= threshold)
-      .select(col("b").as("__id")).distinct()
+      .select(col("r.__rep").as("__id")).distinct()
+    // disjoint by construction (copyDrops: non-reps only; repDrops: reps
+    // only) and individually duplicate-free — union needs no distinct
+    val dropped = copyDrops.unionByName(repDrops)
     a.join(dropped.withColumn("__hit", lit(true)), Seq("__id"), "left")
       .select(col("__id").as(idCol), col("cluster"),
         coalesce(col("__hit"), lit(false)).as("dropped"))
