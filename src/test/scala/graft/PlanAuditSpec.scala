@@ -197,4 +197,53 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"),
       s"the corpus must never shuffle for mixture control:\n$plan")
   }
+
+  test("embed_dim_stats partial-aggregates the exploded rows before the exchange") {
+    // the shuffle must carry O(dim · parallelism) rows, never O(n · dim):
+    // partial_ sum/count on the map side is the load-bearing property
+    val plan = planOf(ScaleQueries.embedDimStats(spark, sfDir))
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"dim stats must map-side combine the exploded rows:\n$plan")
+  }
+
+  test("histogram quantiles never window over raw rows, only over binned counts") {
+    val plan = planOf(ScaleQueries.quantileHistogram(spark, sfDir))
+    // both corpus passes are aggregates (partial'd); the only Window sits
+    // above the per-(group, bin) table, AFTER a HashAggregate — a Window
+    // directly over the scan would be the per-group global sort this
+    // operator exists to avoid
+    assert(plan.contains("partial_"), s"bin counts must partial-aggregate:\n$plan")
+    val lines = plan.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0, s"expected the cumulative-bin window:\n$plan")
+    assert(lines.drop(winIdx).exists(_.contains("HashAggregate")),
+      s"the window must consume aggregated bins, not raw rows:\n$plan")
+  }
+
+  test("pagerank never broadcasts the rank table and builds no cartesian product") {
+    val edges = (1L to 200L).map(i => (i, i % 23 + 1)).toDF("src", "dst")
+    val out = graft.operators.Graph.pagerank(edges, 2)
+    // the final round's plan: ranks join inbound must be a shuffle join
+    // (rank table is graph-sized at scale); only the 1-row dangling
+    // aggregate may broadcast
+    val plan = planOf(out)
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+  }
+
+  test("snapshot diff is ONE full-outer shuffle join over pruned snapshots") {
+    val plan = planOf(ScaleQueries.snapshotDiff(spark, sfDir))
+    assert(plan.contains("FullOuter"), s"expected a full-outer join:\n$plan")
+    // o_orderdate/o_comment etc. must be pruned from the scan
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_comment") && !readSchema.contains("o_orderdate"),
+      readSchema)
+  }
+
+  test("scd2 intervals plan a single exchange for both window passes") {
+    val plan = planOf(ScaleQueries.scd2Intervals(spark, sfDir))
+    val dataExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(dataExchanges == 1,
+      s"both windows share partitioning — expected exactly 1 hash exchange, got $dataExchanges:\n$plan")
+  }
 }
