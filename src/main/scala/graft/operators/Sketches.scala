@@ -168,8 +168,16 @@ object Sketches {
 
   private val BitMasks: Array[Long] = Array.tabulate(64)(i => 1L << i)
 
+  /** Probe positions use NATIVE xxhash64 (one codegen'd hash per probe),
+    * not the md5-derived h32 the oracle-portable operators use: bloom
+    * decisions never cross the engine boundary — false-positive sets can
+    * differ freely because the exact join refines them away — so there is
+    * nothing to keep portable, and md5 here would triple-hash every probe
+    * row for no property. (Measured: the md5 form made the probe scan the
+    * dominant cost of bloom_prune_join at the 10x scale run.)
+    */
   private def bloomPos(r: Int, value: Column): Column =
-    pmod(Dedup.h32(concat(lit(s"bloom$r:"), value)), lit((BloomWords * 64).toLong))
+    pmod(xxhash64(lit(r), value), lit((BloomWords * 64).toLong))
 
   def bloomBuild(df: DataFrame, value: Column): Array[Long] = {
     val rows = df.select(value.as("__x")).where(col("__x").isNotNull)
