@@ -198,6 +198,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the corpus must never shuffle for mixture control:\n$plan")
   }
 
+  test("temperature rebalance keeps the corpus side shuffle-free too") {
+    val plan = planOf(ScaleQueries.sampleTemperature(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"threshold join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for mixture control:\n$plan")
+  }
+
   test("embed_dim_stats partial-aggregates the exploded rows before the exchange") {
     // the shuffle must carry O(dim · parallelism) rows, never O(n · dim):
     // partial_ sum/count on the map side is the load-bearing property
