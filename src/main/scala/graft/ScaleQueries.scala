@@ -169,6 +169,20 @@ object ScaleQueries {
     s"""SELECT * FROM ${operators.Retrieval.invertedPostingsSql(PostingsK)}
        |ORDER BY token""".stripMargin
 
+  // ---- token entropy (lexical diversity) ----------------------------------
+  /** Shannon entropy of the per-doc token distribution — the boilerplate /
+    * keyword-stuffing quality signal. Transcendentals come from ONE shared
+    * ln literal table indexed by both engines (TextAnalysis.LnTable).
+    */
+  def textEntropy(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.tokenEntropy(
+      Queries.table(s, dir, "documents").select(col("doc_id"), col("text")))
+      .orderBy("doc_id")
+
+  val textEntropySql: String =
+    s"""SELECT * FROM ${operators.TextAnalysis.tokenEntropySql}
+       |ORDER BY doc_id""".stripMargin
+
   // ---- per-dimension embedding stats --------------------------------------
   def embedDimStats(s: SparkSession, dir: String): DataFrame =
     Similarity.dimStats(Queries.table(s, dir, "embeddings")

@@ -185,4 +185,72 @@ object TextAnalysis {
 
   def fingerprint32(text: Column): Column =
     conv(substring(fingerprint(text), 1, 8), 16, 10).cast("long")
+
+  /** ln(1..EntropyCap) as a SHARED literal table: both the Spark plan and
+    * the DuckDB oracle index the SAME constants (Double.toString round-trips
+    * exactly), so no transcendental function ever evaluates per-row in
+    * either engine and the 1-ulp Java-vs-C ln() divergence can't reach the
+    * result. Docs longer than EntropyCap tokens index past the table and
+    * yield NULL entropy — identically in both engines (element_at and list
+    * indexing both return NULL out of range).
+    */
+  val EntropyCap = 1024
+  private[graft] val LnTable: Array[Double] =
+    Array.tabulate(EntropyCap)(i => math.log(i + 1.0))
+  // try_element_at: under ANSI mode a past-the-cap index must yield NULL
+  // (matching DuckDB list indexing), not throw
+  private def lnAt(idx: Column): Column = try_element_at(lit(LnTable), idx.cast("int"))
+  private[graft] def lnTableSql: String =
+    LnTable.map(_.toString).mkString("[", ", ", "]")
+
+  /** Token-frequency Shannon entropy per document (nats) — the lexical-
+    * diversity quality signal (boilerplate and keyword-stuffed documents
+    * score low even when length/punctuation filters pass). Uses
+    * H = ln(n) − (Σ_t tf_t·ln tf_t)/n, computed over the COUNTS-OF-COUNTS
+    * histogram: one row per distinct tf value per doc (≤ √(2n) rows), with
+    * the float accumulation as an ORDERED running window sum over that
+    * bounded histogram — a defined evaluation order both engines share,
+    * where a plain aggregate's partial-sum order is partition-dependent.
+    * All tf/n values index [[LnTable]], so every arithmetic step is either
+    * exact integer or a fixed IEEE expression over shared constants.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("tf")).agg(count(lit(1)).as("cnt"))
+    val wAll = Window.partitionBy(col("doc_id"))
+    val wOrd = wAll.orderBy(col("tf"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n", sum(col("cnt") * col("tf")).over(wAll))
+      .withColumn("nd", sum(col("cnt")).over(wAll))
+      .withColumn("s",
+        sum((col("cnt") * col("tf")).cast("double") * lnAt(col("tf"))).over(wOrd))
+      .withColumn("__rn", row_number().over(wAll.orderBy(col("tf").desc)))
+      .where(col("__rn") === 1)
+      .select(col("doc_id"), col("n").as("n_tokens"), col("nd").as("n_distinct"),
+        round(lnAt(col("n")) - col("s") / col("n").cast("double"), 6).as("entropy"))
+  }
+
+  /** DuckDB mirror of [[tokenEntropy]] over the documents table. */
+  def tokenEntropySql: String =
+    s"""(WITH lnt AS (SELECT ${lnTableSql}::DOUBLE[] AS t),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |tfs AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |hist AS (SELECT doc_id, tf, COUNT(*) AS cnt FROM tfs GROUP BY 1, 2),
+       |r AS (SELECT doc_id, tf, cnt,
+       |        SUM(cnt * tf) OVER (PARTITION BY doc_id) AS n,
+       |        SUM(cnt) OVER (PARTITION BY doc_id) AS nd,
+       |        SUM((cnt * tf)::DOUBLE * lnt.t[CAST(tf AS BIGINT)])
+       |          OVER (PARTITION BY doc_id ORDER BY tf
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+       |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC) AS rn
+       |      FROM hist CROSS JOIN lnt)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(nd AS BIGINT) AS n_distinct,
+       |       round(lnt.t[CAST(n AS BIGINT)] - s / n::DOUBLE, 6) AS entropy
+       |FROM r CROSS JOIN lnt WHERE rn = 1)""".stripMargin
 }
