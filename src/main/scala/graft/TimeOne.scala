@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time a comma-separated subset of SparkEntry.queries under
+  * the bench protocol (sf0.001 warm-up compile pass, noop sink, cache
+  * clear, two timed runs) without paying for the whole suite — for
+  * before/after checks while optimizing one query. Not part of the driver
+  * contract.
+  */
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",")

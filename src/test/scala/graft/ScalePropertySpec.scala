@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.{ChangeCapture, Graph, Quantiles}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property invariants for the round-4 scale-path operators: each
+  * distributed implementation must agree with a naive in-memory reference
+  * on randomized inputs (fixed seeds so failures replay).
+  */
+class ScalePropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  def gen[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  // ---- snapshotDiff vs brute force ---------------------------------------
+
+  val snapGen: Gen[(List[(Long, String)], List[(Long, String)])] = for {
+    no <- Gen.chooseNum(0, 80)
+    nn <- Gen.chooseNum(0, 80)
+    o <- Gen.listOfN(no, for {
+      k <- Gen.chooseNum(1L, 40L); v <- Gen.oneOf("a", "b", "c")
+    } yield (k, v))
+    n <- Gen.listOfN(nn, for {
+      k <- Gen.chooseNum(1L, 40L); v <- Gen.oneOf("a", "b", "c")
+    } yield (k, v))
+  } yield (o.distinctBy(_._1), n.distinctBy(_._1))
+
+  test("snapshotDiff agrees with the naive set-algebra reference (8 seeds)") {
+    (1L to 8L).foreach { seed =>
+      val (o, n) = gen(snapGen, seed)
+      val om = o.toMap; val nm = n.toMap
+      val expected = (om.keySet ++ nm.keySet).map { k =>
+        k -> ((om.get(k), nm.get(k)) match {
+          case (None, Some(_)) => "insert"
+          case (Some(_), None) => "delete"
+          case (Some(a), Some(b)) if a == b => "unchanged"
+          case _ => "update"
+        })
+      }.toMap
+      val got = ChangeCapture.snapshotDiff(
+        o.toDF("k", "v"), n.toDF("k", "v"), Seq("k"), Seq("v"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  // ---- histogram quantiles: bin-width error bound on random data ---------
+
+  val histGen: Gen[List[(String, Double)]] = for {
+    n <- Gen.chooseNum(50, 400)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.oneOf("x", "y")
+      v <- Gen.chooseNum(-5000, 5000).map(_ / 7.0)
+    } yield (g, v))
+  } yield rows
+
+  test("histogram quantile error stays within one bin width of exact (6 seeds)") {
+    val bins = 32
+    (1L to 6L).foreach { seed =>
+      val rows = gen(histGen, seed)
+      val df = rows.toDF("g", "v")
+      val est = Quantiles.histogramQuantiles(df, Seq("g"), col("v"), bins, Seq(50, 90))
+        .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+      for ((g, vs0) <- rows.groupBy(_._1)) {
+        val vs = vs0.map(_._2).sorted
+        val binW = (vs.last - vs.head) / bins
+        def exact(p: Int) = vs(math.max(1, (p * vs.size + 99) / 100) - 1)
+        assert(math.abs(est(g)._1 - exact(50)) <= binW + 1e-9, s"seed=$seed g=$g p50")
+        assert(math.abs(est(g)._2 - exact(90)) <= binW + 1e-9, s"seed=$seed g=$g p90")
+      }
+    }
+  }
+
+  // ---- pagerank vs driver reference on random graphs ---------------------
+
+  val graphGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.chooseNum(1, 120)
+    edges <- Gen.listOfN(n, for {
+      s <- Gen.chooseNum(1L, 30L); d <- Gen.chooseNum(1L, 30L)
+    } yield (s, d))
+  } yield edges
+
+  test("pagerank agrees with the exact integer reference on random graphs (5 seeds)") {
+    (1L to 5L).foreach { seed =>
+      val edges = gen(graphGen, seed)
+      // reference: same exact integer update rule, computed sequentially
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val nn = nodes.length.toLong
+      val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      var rank = nodes.map(v => v -> Graph.Scale / nn).toMap
+      for (_ <- 1 to 3) {
+        val dang = nodes.filterNot(deg.contains).map(rank).sum
+        val inb = edges.groupBy(_._2).view.mapValues(
+          _.map { case (u, _) => rank(u) / deg(u) }.sum).toMap
+        rank = nodes.map { v =>
+          v -> ((15L * Graph.Scale) / (100L * nn)
+            + (85L * dang) / (100L * nn)
+            + (85L * inb.getOrElse(v, 0L)) / 100L)
+        }.toMap
+      }
+      val got = Graph.pagerank(edges.toDF("src", "dst"), 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === rank, s"seed=$seed")
+    }
+  }
+}
