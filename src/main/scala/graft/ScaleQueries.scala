@@ -169,6 +169,23 @@ object ScaleQueries {
     s"""SELECT * FROM ${operators.Retrieval.invertedPostingsSql(PostingsK)}
        |ORDER BY token""".stripMargin
 
+  // ---- ordered-step funnel -------------------------------------------------
+  val FunnelSteps = Seq("view", "click", "purchase")
+
+  /** view → click → purchase conversion over the event stream: per-step
+    * reach, conversion rate, and mean µs latency; strict-after ordering.
+    */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame =
+    operators.Funnel.report(
+      Queries.events(s, dir)
+        .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_type")),
+      col("user_id"), col("us"), col("event_type"), FunnelSteps)
+      .orderBy("step")
+
+  val eventFunnelSql: String =
+    s"""${operators.Funnel.reportSql(FunnelSteps)}
+       |ORDER BY step""".stripMargin
+
   // ---- token entropy (lexical diversity) ----------------------------------
   /** Shannon entropy of the per-doc token distribution — the boilerplate /
     * keyword-stuffing quality signal. Transcendentals come from ONE shared
