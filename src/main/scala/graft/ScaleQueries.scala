@@ -9,8 +9,12 @@ import org.apache.spark.sql.functions._
   * exact fixed-point sums to be reproducible under distributed addition,
   * histogram quantiles replace the per-group global sort, snapshot CDC
   * reconciles nightly copies with one join, SCD-2 builds validity intervals
-  * with one window, and per-dimension embedding stats lean entirely on
-  * map-side combine. All oracle-checked like the core queries.
+  * with one window, per-dimension embedding stats lean entirely on
+  * map-side combine, temperature rebalance keeps the corpus path a single
+  * narrow filter, inverted postings bound stopword state by truncation,
+  * token entropy moves transcendentals into a shared literal table, and
+  * the funnel avoids any per-entity event sort. All oracle-checked like
+  * the core queries.
   */
 object ScaleQueries {
 
