@@ -66,6 +66,81 @@ object AnalyticsQueries {
        |  RANGE BETWEEN $MavgRange PRECEDING AND CURRENT ROW)
        |ORDER BY metric, ts""".stripMargin
 
+  // ---- trailing z-score anomaly flags -----------------------------------
+  val AnomRange = 540L
+  val AnomZ = 2.0
+  val AnomMinSlots = 3
+
+  /** Slots deviating > 2σ from their own trailing-window baseline (window
+    * ends at the previous slot so a spike can't damp its own baseline).
+    * Decimal-exact sums/squared-sums; doubles only in the final closed
+    * form (divide, IEEE-correctly-rounded sqrt, one compare).
+    */
+  def tsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val v = col("value").cast("decimal(18,2)")
+    val roll = Queries.metricStream(s, dir)
+      .groupBy(col("metric"), Queries.alignSec(MavgStep))
+      .agg(sum(v).as("sv"), sum(v * v).as("sq"), count(lit(1)).as("n"))
+    SeriesOps.anomalyFlags(roll, Seq("metric"), "ts", "sv", "sq", "n",
+      AnomRange, AnomZ, AnomMinSlots)
+      .select(col("metric"), col("ts"), col("n"),
+        col("base_mean"), col("base_std"), col("z"), col("is_anom"))
+      .orderBy("metric", "ts")
+  }
+
+  val tsAnomalySql: String =
+    s"""WITH r AS (SELECT metric, ${Queries.alignSecSql(MavgStep)} AS ts,
+       |             SUM(CAST(value AS DECIMAL(18,2))) AS sv,
+       |             SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sq,
+       |             COUNT(*) AS n
+       |           FROM (${Queries.MetricBaseSql}) GROUP BY 1, 2),
+       |w AS (SELECT metric, ts, n, sv,
+       |        SUM(n) OVER tw AS wn, SUM(sv) OVER tw AS ws, SUM(sq) OVER tw AS ws2
+       |      FROM r WINDOW tw AS (PARTITION BY metric ORDER BY ts
+       |        RANGE BETWEEN $AnomRange PRECEDING AND 1 PRECEDING)),
+       |f AS (SELECT metric, ts, n,
+       |        ws::DOUBLE / wn AS mean,
+       |        sqrt((wn * ws2 - ws * ws)::DOUBLE / (wn * wn)::DOUBLE) AS std,
+       |        sv::DOUBLE / n AS slot_mean, wn
+       |      FROM w)
+       |SELECT metric, ts, n,
+       |  CASE WHEN wn >= $AnomMinSlots THEN round(mean, 6) END AS base_mean,
+       |  CASE WHEN wn >= $AnomMinSlots THEN round(std, 6) END AS base_std,
+       |  CASE WHEN wn >= $AnomMinSlots AND std > 0
+       |       THEN round((slot_mean - mean) / std, 6) END AS z,
+       |  CASE WHEN wn >= $AnomMinSlots AND std > 0
+       |       THEN CAST(abs(slot_mean - mean) > CAST($AnomZ AS DOUBLE) * std AS INT) END AS is_anom
+       |FROM f ORDER BY metric, ts""".stripMargin
+
+  // ---- top-k series by windowed total -------------------------------------
+  val TopSeriesK = 3
+
+  /** The sortByTotal serving transform: the 3 heaviest metrics by exact
+    * decimal total, with their full slot series and rank.
+    */
+  def tsTopkSeries(s: SparkSession, dir: String): DataFrame = {
+    val roll = Queries.metricStream(s, dir)
+      .groupBy(col("metric"), Queries.alignSec(MavgStep))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sv"), count(lit(1)).as("n"))
+    SeriesOps.topKByTotal(roll, "metric", "ts", "sv", TopSeriesK)
+      .select(col("metric"), col("ts"), col("n"),
+        col("sv").cast("double").as("slot_sum"),
+        col("rank").as("rnk"), col("total"))
+      .orderBy("rnk", "ts")
+  }
+
+  val tsTopkSeriesSql: String =
+    s"""WITH r AS (SELECT metric, ${Queries.alignSecSql(MavgStep)} AS ts,
+       |             SUM(CAST(value AS DECIMAL(18,2))) AS sv, COUNT(*) AS n
+       |           FROM (${Queries.MetricBaseSql}) GROUP BY 1, 2),
+       |t AS (SELECT metric, SUM(sv) AS total FROM r GROUP BY 1),
+       |top AS (SELECT metric, total,
+       |          ROW_NUMBER() OVER (ORDER BY total DESC, metric) AS rnk
+       |        FROM t QUALIFY rnk <= $TopSeriesK)
+       |SELECT r.metric, r.ts, r.n, CAST(r.sv AS DOUBLE) AS slot_sum,
+       |       top.rnk, CAST(top.total AS DOUBLE) AS total
+       |FROM r JOIN top USING (metric) ORDER BY rnk, ts""".stripMargin
+
   // ---- TF-IDF top terms --------------------------------------------------
   val TfidfK = 3
 

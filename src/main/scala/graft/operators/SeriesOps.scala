@@ -65,4 +65,72 @@ object SeriesOps {
       .withColumn("mavg", round(col("mov_sum").cast("double") / col("mov_n"), 6))
       .drop("mov_sum")
   }
+
+  /** Trailing z-score anomaly flags over a rolled-up slot table — the
+    * holtWintersAberration-flavored serving transform: a slot is anomalous
+    * when it deviates from the mean of its own trailing window by more than
+    * `zThresh` standard deviations. The window ends at the PREVIOUS slot
+    * (`[ts - rangeLen, ts - 1]`): a spike must not damp its own baseline.
+    *
+    * Exactness: slot sums and squared sums ride as decimals, so the
+    * trailing mean/variance numerators are exact integers scaled by the
+    * decimal scale — order-free under any partitioning; doubles appear
+    * only in the final closed form (variance cast, IEEE-correctly-rounded
+    * sqrt, one compare), identically in both engines. Slots with fewer
+    * than `minSlots` predecessors report NULL (no baseline, not "normal").
+    *
+    * Input contract as [[movingAvg]], plus `sqCol` = decimal slot sum of
+    * squares. Window math runs over bounded slot counts, never raw points.
+    */
+  def anomalyFlags(rollup: DataFrame, keys: Seq[String], tsCol: String,
+                   sumCol: String, sqCol: String, nCol: String,
+                   rangeLen: Long, zThresh: Double, minSlots: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+      .rangeBetween(-rangeLen, -1)
+    val n = sum(col(nCol)).over(w)
+    val s = sum(col(sumCol)).over(w)
+    val s2 = sum(col(sqCol)).over(w)
+    val slotMean = col(sumCol).cast("double") / col(nCol)
+    // population variance over the trailing points: (n·Σx² − (Σx)²)/n² —
+    // numerator exact in decimal, one double division at the end
+    val mean = s.cast("double") / col("__wn")
+    val variance = (col("__wn") * s2 - s * s).cast("double") /
+      (col("__wn") * col("__wn")).cast("double")
+    rollup
+      .withColumn("__wn", n)
+      .withColumn("base_mean", round(mean, 6))
+      .withColumn("base_std", round(sqrt(variance), 6))
+      .withColumn("z",
+        when(col("__wn") >= minSlots && sqrt(variance) > 0,
+          round((slotMean - mean) / sqrt(variance), 6)))
+      .withColumn("is_anom",
+        when(col("__wn") >= minSlots && sqrt(variance) > 0,
+          (abs(slotMean - mean) > lit(zThresh) * sqrt(variance)).cast("int")))
+      .withColumn("base_mean", when(col("__wn") >= minSlots, col("base_mean")))
+      .withColumn("base_std", when(col("__wn") >= minSlots, col("base_std")))
+      .drop("__wn")
+  }
+
+  /** Top-k series by windowed integral (the sortByTotal/highestMax family
+    * of serving-side series selection): rank keys by their exact decimal
+    * total over the window, keep the top `k` (total desc, key asc), and
+    * return those keys' full slot series tagged with the rank. Totals are
+    * ONE partial-aggregated pass; the rank table is k rows and broadcasts
+    * back onto the slot table — series data never shuffles for selection.
+    */
+  def topKByTotal(rollup: DataFrame, keyCol: String, tsCol: String,
+                  sumCol: String, k: Int): DataFrame = {
+    val totals = rollup.groupBy(col(keyCol))
+      .agg(sum(col(sumCol)).as("__total"))
+    // orderBy+limit plans a distributed TakeOrderedAndProject (per-partition
+    // top-k then a k-row merge) — a bare row_number window over the totals
+    // would drag EVERY key's total into one partition; the rank window here
+    // only ever sees the k survivors
+    val w = Window.orderBy(col("__total").desc, col(keyCol))
+    val top = totals.orderBy(col("__total").desc, col(keyCol)).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("total", col("__total").cast("double"))
+      .drop("__total")
+    rollup.join(broadcast(top), keyCol)
+  }
 }

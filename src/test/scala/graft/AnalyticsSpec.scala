@@ -148,4 +148,50 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(mavg.where(col("mavg").isNull).count() == 0, "every slot has a mean")
     assert(mavg.where(col("mov_n") < col("n")).count() == 0, "frame includes current slot")
   }
+
+  test("anomalyFlags: a planted spike flags, steady slots don't, baseline excludes self") {
+    import graft.operators.SeriesOps
+    // slots 0..9 at value 10 (n=1 each), slot 10 spikes to 100
+    val slots = ((0 to 9).map(i => ("m", i * 60L, 10.0)) :+ ("m", 600L, 100.0))
+      .toDF("metric", "ts", "v")
+      .select(col("metric"), col("ts"),
+        col("v").cast("decimal(18,2)").as("sv"),
+        (col("v").cast("decimal(18,2)") * col("v").cast("decimal(18,2)")).as("sq"),
+        lit(1L).as("n"))
+    val got = SeriesOps.anomalyFlags(slots, Seq("metric"), "ts", "sv", "sq", "n",
+      540L, 2.0, 3).orderBy("ts").collect()
+    // first 3 slots: no baseline (wn < 3) → NULLs
+    assert(got.take(3).forall(r => r.isNullAt(r.fieldIndex("is_anom"))))
+    // steady mid-series slots: zero variance → NULL flag (std > 0 gate)
+    assert(got(5).isNullAt(got(5).fieldIndex("is_anom")))
+    // the spike: its baseline is the 9 preceding 10.0 slots — but their
+    // variance is 0, so gate... plant variance: shift to a jittered series
+    val jit = ((0 to 9).map(i => ("m", i * 60L, 10.0 + (i % 2))) :+ ("m", 600L, 100.0))
+      .toDF("metric", "ts", "v")
+      .select(col("metric"), col("ts"),
+        col("v").cast("decimal(18,2)").as("sv"),
+        (col("v").cast("decimal(18,2)") * col("v").cast("decimal(18,2)")).as("sq"),
+        lit(1L).as("n"))
+    val g2 = SeriesOps.anomalyFlags(jit, Seq("metric"), "ts", "sv", "sq", "n",
+      540L, 2.0, 3).orderBy("ts").collect()
+    val spike = g2.last
+    assert(spike.getInt(spike.fieldIndex("is_anom")) === 1, "spike must flag")
+    assert(g2(8).getInt(g2(8).fieldIndex("is_anom")) === 0, "jittered steady slot must not")
+  }
+
+  test("topKByTotal: selects exactly k keys by decimal total with rank, keeps full series") {
+    import graft.operators.SeriesOps
+    val slots = Seq(
+      ("a", 0L, 5.0), ("a", 60L, 5.0),   // total 10
+      ("b", 0L, 30.0),                    // total 30
+      ("c", 0L, 7.0), ("c", 60L, 7.0), ("c", 120L, 7.0)) // total 21
+      .toDF("metric", "ts", "v")
+      .select(col("metric"), col("ts"), col("v").cast("decimal(18,2)").as("sv"))
+    val got = SeriesOps.topKByTotal(slots, "metric", "ts", "sv", 2)
+      .select("metric", "rank", "total").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).sortBy(_._2)
+    assert(got.toSeq === Seq(("b", 1, 30.0), ("c", 2, 21.0)))
+    val rows = SeriesOps.topKByTotal(slots, "metric", "ts", "sv", 2).count()
+    assert(rows === 4L, "b's 1 slot + c's 3 slots")
+  }
 }
