@@ -246,6 +246,28 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       readSchema)
   }
 
+  test("ts_topk_series plans a distributed TakeOrdered and broadcasts the k survivors") {
+    val plan = planOf(AnalyticsQueries.tsTopkSeries(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k selection must be TakeOrdered, not a global rank window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the k-row rank table must broadcast onto the slot table:\n$plan")
+  }
+
+  test("text_entropy's float accumulation windows over the bounded histogram, not tokens") {
+    val plan = planOf(ScaleQueries.textEntropy(spark, sfDir))
+    val lines = plan.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0 && lines.drop(winIdx).exists(_.contains("HashAggregate")),
+      s"the running sum must consume the counts-of-counts aggregate:\n$plan")
+  }
+
+  test("inverted postings partial-aggregate tf before any exchange") {
+    val plan = planOf(ScaleQueries.invertedPostings(spark, sfDir))
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"per-(token, doc) tf must map-side combine:\n$plan")
+  }
+
   test("scd2 intervals plan a single exchange for both window passes") {
     val plan = planOf(ScaleQueries.scd2Intervals(spark, sfDir))
     val dataExchanges = plan.linesIterator.count(l =>
