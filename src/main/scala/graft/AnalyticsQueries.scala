@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{SeriesOps, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-4 extended operator surface: derived time series (rates, moving
@@ -238,6 +238,50 @@ object AnalyticsQueries {
       |                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
       |       COUNT(*) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, flag, status""".stripMargin
+
+  // ---- OLAP cube ----------------------------------------------------------
+  /** Full CUBE over (returnflag, linestatus) — all four grouping sets, by
+    * the same base-group derivation as [[olapRollup]]: Spark's cube() would
+    * Expand every raw row 4x before partial aggregation; deriving the
+    * flag-only, status-only, and grand totals from the base group table
+    * re-aggregates a handful of rows instead. Decimal sum-of-sums keeps
+    * every level bit-identical to the single-pass CUBE the oracle runs.
+    */
+  def olapCube(s: SparkSession, dir: String): DataFrame = {
+    val revDec = sum(Queries.decPrice(col("l_extendedprice"))
+      * (lit(1).cast("decimal(3,2)") - Queries.decRate(col("l_discount"))))
+    val base = Queries.table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(revDec.as("__rev"), count(lit(1)).as("n"))
+    def level(flagCol: Column, statusCol: Column, gf: Int, gs: Int,
+              grouped: DataFrame): DataFrame =
+      grouped.select(flagCol.as("flag"), statusCol.as("status"),
+        lit(gf).as("g_flag"), lit(gs).as("g_status"), col("__rev"), col("n"))
+    val leaf = level(col("l_returnflag"), col("l_linestatus"), 0, 0, base)
+    val byFlag = level(col("l_returnflag"), lit("ALL"), 0, 1,
+      base.groupBy(col("l_returnflag"))
+        .agg(sum(col("__rev")).as("__rev"), sum(col("n")).as("n")))
+    val byStatus = level(lit("ALL"), col("l_linestatus"), 1, 0,
+      base.groupBy(col("l_linestatus"))
+        .agg(sum(col("__rev")).as("__rev"), sum(col("n")).as("n")))
+    val grand = level(lit("ALL"), lit("ALL"), 1, 1,
+      base.agg(sum(col("__rev")).as("__rev"), sum(col("n")).as("n")))
+    leaf.unionByName(byFlag).unionByName(byStatus).unionByName(grand)
+      .select(col("flag"), col("status"), col("g_flag"), col("g_status"),
+        col("__rev").cast("double").as("revenue"), col("n"))
+      .orderBy("g_flag", "g_status", "flag", "status")
+  }
+
+  val olapCubeSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY g_flag, g_status, flag, status""".stripMargin
 
   // ---- Unicode canonicalization -------------------------------------------

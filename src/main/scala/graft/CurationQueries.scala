@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Clustering, Dedup, Layout, Retrieval, Sampling, Scrub, Sketches}
+import graft.operators.{Clustering, Dedup, Layout, Packing, Retrieval, Sampling, Scrub, Sketches}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,6 +31,21 @@ object CurationQueries {
        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
        |  round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_frac
        |FROM r GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ---- sliding overlap chunking (RAG layout) -------------------------------
+  val SlideChunk = 32
+  val SlideStride = 16
+
+  /** 32-token chunks at stride 16 (50% overlap) with per-chunk hashes. */
+  def chunkSliding(s: SparkSession, dir: String): DataFrame =
+    Packing.slidingChunks(
+      Queries.table(s, dir, "documents").select(col("doc_id"), col("text")),
+      col("text"), SlideChunk, SlideStride)
+      .orderBy("doc_id", "chunk_idx")
+
+  val chunkSlidingSql: String =
+    s"""SELECT * FROM ${Packing.slidingChunksSql(SlideChunk, SlideStride)}
+       |ORDER BY doc_id, chunk_idx""".stripMargin
 
   // ---- BM25 ranked retrieval ---------------------------------------------
   val Bm25Terms = Seq("hash", "merge", "scan")

@@ -43,4 +43,44 @@ object Packing {
         ((col("__cum") - 1) / lit(budget)).cast("long").as("end_pack"),
         pmod(col("__prev"), lit(budget)).as("pack_offset"))
   }
+
+  /** Sliding-window chunking with overlap — the RAG/embedding-prep layout
+    * (chunk c tokens, stride s <= c, so consecutive chunks share c−s tokens
+    * of context), versus [[packChunks]]' disjoint pretraining packing and
+    * `Dedup.chunkDupStats`' disjoint dedup chunks. Chunk count per doc is
+    * closed-form integer math (1 + ceil((n−c)/s) for n > c), so the explode
+    * is exactly chunk-count-sized — no windows, no shuffle beyond the
+    * output sort; chunk hashes are (doc, index)-deterministic.
+    */
+  def slidingChunks(docs: DataFrame, textCol: Column, c: Int, stride: Int)
+      : DataFrame = {
+    require(stride > 0 && stride <= c, s"need 0 < stride <= chunk: $stride/$c")
+    val toks = filter(split(lower(trim(textCol)), "\\s+"), t => length(t) > 0)
+    docs
+      .withColumn("__t", toks)
+      .withColumn("__n", size(col("__t")))
+      .where(col("__n") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0),
+        when(col("__n") <= c, lit(0))
+          .otherwise(expr(s"(__n - $c + $stride - 1) DIV $stride")))))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        least(lit(c), col("__n") - col("chunk_idx") * stride).cast("int").as("n_in_chunk"),
+        md5(concat_ws(" ", slice(col("__t"), (col("chunk_idx") * stride + 1).cast("int"), lit(c))))
+          .as("chunk_md5"))
+  }
+
+  /** DuckDB mirror of [[slidingChunks]] over the documents table. */
+  def slidingChunksSql(c: Int, stride: Int): String =
+    s"""(WITH toks AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM documents),
+       |nn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+       |idx AS (SELECT doc_id, t, n,
+       |          unnest(generate_series(0,
+       |            CASE WHEN n <= $c THEN 0 ELSE (n - $c + $stride - 1) // $stride END)) AS chunk_idx
+       |        FROM nn)
+       |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       |       CAST(LEAST($c, n - chunk_idx * $stride) AS INT) AS n_in_chunk,
+       |       md5(array_to_string(t[chunk_idx*$stride+1 : chunk_idx*$stride+$c], ' ')) AS chunk_md5
+       |FROM idx)""".stripMargin
 }

@@ -149,6 +149,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(mavg.where(col("mov_n") < col("n")).count() == 0, "frame includes current slot")
   }
 
+  test("olap_cube: both one-dim margins sum to the grand total; 4 grouping sets present") {
+    val r = AnalyticsQueries.olapCube(spark, Sf).collect()
+    val grand = r.filter(x => x.getInt(2) == 1 && x.getInt(3) == 1)
+    assert(grand.length === 1)
+    val gRev = grand.head.getDouble(4)
+    val byFlag = r.filter(x => x.getInt(2) == 0 && x.getInt(3) == 1).map(_.getDouble(4)).sum
+    val byStatus = r.filter(x => x.getInt(2) == 1 && x.getInt(3) == 0).map(_.getDouble(4)).sum
+    assert(math.abs(byFlag - gRev) < 1e-6 && math.abs(byStatus - gRev) < 1e-6)
+    assert(r.map(x => (x.getInt(2), x.getInt(3))).distinct.sorted.toSeq
+      === Seq((0, 0), (0, 1), (1, 0), (1, 1)))
+  }
+
   test("anomalyFlags: a planted spike flags, steady slots don't, baseline excludes self") {
     import graft.operators.SeriesOps
     // slots 0..9 at value 10 (n=1 each), slot 10 spikes to 100

@@ -204,6 +204,28 @@ class CurationSpec extends AnyFunSuite {
     assert(Sampling.groupTopK(df, col("id"), col("g"), 5).count() == 3)
   }
 
+  // ---- sliding chunks ------------------------------------------------------
+
+  test("slidingChunks: 50% overlap shares tokens, counts and tails exact") {
+    import graft.operators.Packing
+    // 10 tokens, c=4, s=2 → chunks at 0,2,4,6 → 4 chunks (1 + ceil(6/2))
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
+    val got = Packing.slidingChunks(df, col("text"), 4, 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = got.filter(_.getLong(0) == 1L)
+    assert(d1.length === 4)
+    assert(d1.map(_.getInt(2)).toSeq === Seq(4, 4, 4, 4))
+    // short doc: one chunk, truncated length
+    val d2 = got.filter(_.getLong(0) == 2L)
+    assert(d2.length === 1 && d2.head.getInt(2) === 2)
+    // consecutive chunk hashes differ but overlap is real: chunk 0 = a b c d,
+    // chunk 1 = c d e f (hand md5 of the joined strings)
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(d1(0).getString(3) === m("a b c d"))
+    assert(d1(1).getString(3) === m("c d e f"))
+  }
+
   // ---- bloom filter --------------------------------------------------------
 
   test("bloom filter has no false negatives and a bounded FP rate") {
