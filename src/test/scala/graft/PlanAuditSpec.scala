@@ -268,6 +268,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-(token, doc) tf must map-side combine:\n$plan")
   }
 
+  test("rollup/cube levels derive from base groups: no Expand over raw rows") {
+    // Spark's native rollup()/cube() replicate every scan row once per
+    // grouping set through an Expand operator; the rewrite must never
+    assert(!planOf(AnalyticsQueries.olapRollup(spark, sfDir)).contains("Expand"))
+    assert(!planOf(AnalyticsQueries.olapCube(spark, sfDir)).contains("Expand"))
+  }
+
   test("scd2 intervals plan a single exchange for both window passes") {
     val plan = planOf(ScaleQueries.scd2Intervals(spark, sfDir))
     val dataExchanges = plan.linesIterator.count(l =>
