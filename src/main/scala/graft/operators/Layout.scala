@@ -69,4 +69,29 @@ object Layout {
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions("zkey")
   }
+
+  /** The sink half: materialize the z-ordered layout as parquet. Each file
+    * covers one contiguous z-range, so parquet footer min/max on the raw
+    * key columns stays tight and predicates on EITHER dimension prune
+    * files — this is the write-side product the `zorder_layout` audit
+    * query models.
+    */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                  numFiles: Int, path: String): Unit =
+    zorderLayout(df, xCol, yCol, bits, numFiles)
+      .write.mode("overwrite").parquet(path)
+
+  /** Audit a written layout: per physical file, row count and the z/raw-key
+    * envelopes — the direct evidence that files are disjoint in z and tight
+    * on both raw keys (what makes skipping work). Runs as one grouped scan,
+    * no footer parsing.
+    */
+  def fileAudit(spark: org.apache.spark.sql.SparkSession, path: String,
+                xCol: String, yCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n"),
+        min(col("zkey")).as("z_min"), max(col("zkey")).as("z_max"),
+        min(col(xCol)).as("x_min"), max(col(xCol)).as("x_max"),
+        min(col(yCol)).as("y_min"), max(col(yCol)).as("y_max"))
 }
