@@ -173,6 +173,54 @@ object ScaleQueries {
     s"""SELECT * FROM ${operators.Retrieval.invertedPostingsSql(PostingsK)}
        |ORDER BY token""".stripMargin
 
+  // ---- data-quality validation report --------------------------------------
+  /** Pre-promotion constraint report over the relational snapshot: pk
+    * uniqueness, lineitem→orders referential coverage, null and range
+    * bounds. The range rule is deliberately tight enough to fail on real
+    * data so the report's violation path is exercised, not just zeros.
+    */
+  def dataValidate(s: SparkSession, dir: String): DataFrame = {
+    val orders = Queries.table(s, dir, "orders")
+    val li = Queries.table(s, dir, "lineitem")
+    operators.Validate.report(Seq(
+      operators.Validate.pkUnique(orders, "orders_pk_unique", Seq("o_orderkey")),
+      operators.Validate.fkCovered(li, orders, "lineitem_fk_orders",
+        "l_orderkey", "o_orderkey"),
+      operators.Validate.predicate(orders, "orders_status_domain",
+        col("o_orderstatus").isin("F", "O", "P")),
+      operators.Validate.predicate(li, "lineitem_qty_range",
+        col("l_quantity").isNotNull && col("l_quantity") >= 1 && col("l_quantity") <= 50),
+      operators.Validate.predicate(orders, "orders_price_cap",
+        col("o_totalprice") < 300000.0)))
+      .orderBy("rule")
+  }
+
+  val dataValidateSql: String =
+    """WITH r AS (
+      |  SELECT 'orders_pk_unique' AS rule, COUNT(*) AS n_checked,
+      |         COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem_fk_orders', (SELECT COUNT(*) FROM lineitem),
+      |         (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+      |            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+      |  UNION ALL
+      |  SELECT 'orders_status_domain', COUNT(*),
+      |         CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem_qty_range', COUNT(*),
+      |         CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+      |                        AND l_quantity >= 1 AND l_quantity <= 50
+      |                   THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders_price_cap', COUNT(*),
+      |         CAST(SUM(CASE WHEN o_totalprice < CAST(300000.0 AS DOUBLE) THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM orders)
+      |SELECT rule, n_checked, n_violations,
+      |       CAST(n_violations = 0 AS INT) AS pass
+      |FROM r ORDER BY rule""".stripMargin
+
   // ---- ordered-step funnel -------------------------------------------------
   val FunnelSteps = Seq("view", "click", "purchase")
 
