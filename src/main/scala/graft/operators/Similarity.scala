@@ -152,7 +152,7 @@ object Similarity {
     * standard multi-table candidate generator.
     */
   private def withCells(df: DataFrame, vec: Column, tables: Seq[Seq[Seq[Double]]]): DataFrame =
-    df.select(df.columns.map(col) :+
+    df.select(df.columns.toIndexedSeq.map(col) :+
         posexplode(array(tables.map(t => lshBucket(vec, t)): _*)).as(Seq("tbl", "bucket")): _*)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
