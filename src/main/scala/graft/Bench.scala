@@ -76,7 +76,16 @@ object Bench {
     val errs = results.collect { case (k, (_, Some(e))) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // also persist beside the run: the driver captures stdout with a tail
+    // window, which truncated the first 13 per-query entries in round 4 —
+    // the on-disk copy keeps the artifact self-contained regardless
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
     if (results.values.exists(_._2.isDefined)) sys.exit(1)
   }

@@ -114,16 +114,27 @@ object CurationQueries {
        |SELECT doc_id, n_email, n_ip, substr(s2, 1, 60) AS head FROM i ORDER BY doc_id""".stripMargin
 
   // ---- deterministic k-means + SemDeDup ----------------------------------
-  val KmeansK = 8
+  val KmeansMinK = 8
   val KmeansIters = 2
 
   private def embDouble(s: SparkSession, dir: String): DataFrame =
     Queries.table(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
 
+  /** Corpus-adaptive cluster count — k = max(8, ceil(sqrt(distinct
+    * vectors))), the [[Clustering.adaptiveK]] build rule. The oracle SQL
+    * derives the SAME k in its `kk` CTE, so Spark and DuckDB block
+    * identically at every scale factor (the fixed k=8 this replaces was the
+    * one quadratic-at-100x shape left: cluster occupancy grew linearly with
+    * the corpus while k stood still).
+    */
+  private def adaptiveKmeansK(s: SparkSession, dir: String): Int =
+    Clustering.adaptiveK(
+      embDouble(s, dir).select(col("v")).distinct().count(), KmeansMinK)
+
   def embedKmeans(s: SparkSession, dir: String): DataFrame = {
     val (assign, _) = Clustering.kmeans(embDouble(s, dir), "vec_id", "v",
-      KmeansK, KmeansIters)
+      adaptiveKmeansK(s, dir), KmeansIters)
     assign.orderBy("vec_id")
   }
 
@@ -145,10 +156,16 @@ object CurationQueries {
   private val kmeansPrefixSql: String = {
     val iters = (1 to KmeansIters)
       .map(it => kmeansIterCtes(it, s"c${it - 1}")).mkString(",\n")
+    // kk mirrors Clustering.adaptiveK: k = max(minK, ceil(sqrt(#distinct
+    // vectors))) — data-derived in BOTH engines, so the blocking matches at
+    // any scale factor without regenerating the SQL
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |ev AS (SELECT vec_id, v, list_inner_product(v, v) AS vv FROM e),
-       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v AS c
-       |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $KmeansK)),
+       |kk AS (SELECT GREATEST($KmeansMinK,
+       |         CAST(ceil(sqrt(CAST(COUNT(DISTINCT v) AS DOUBLE))) AS INT)) AS k FROM e),
+       |c0 AS (SELECT CAST(rn - 1 AS INT) AS cl, v AS c
+       |       FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+       |       CROSS JOIN kk WHERE rn <= kk.k),
        |$iters""".stripMargin
   }
 
@@ -163,7 +180,7 @@ object CurationQueries {
 
   def dedupSemantic(s: SparkSession, dir: String): DataFrame =
     Clustering.semanticDedup(embDouble(s, dir), "vec_id", "v",
-        KmeansK, KmeansIters, PipelineQueries.CosineThreshold)
+        adaptiveKmeansK(s, dir), KmeansIters, PipelineQueries.CosineThreshold)
       .orderBy("vec_id")
 
   val dedupSemanticSql: String =

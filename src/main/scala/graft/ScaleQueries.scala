@@ -205,17 +205,17 @@ object ScaleQueries {
       |            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
       |  UNION ALL
       |  SELECT 'orders_status_domain', COUNT(*),
-      |         CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS BIGINT)
+      |         CAST(COALESCE(SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END), 0) AS BIGINT)
       |  FROM orders
       |  UNION ALL
       |  SELECT 'lineitem_qty_range', COUNT(*),
-      |         CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+      |         CAST(COALESCE(SUM(CASE WHEN l_quantity IS NOT NULL
       |                        AND l_quantity >= 1 AND l_quantity <= 50
-      |                   THEN 0 ELSE 1 END) AS BIGINT)
+      |                   THEN 0 ELSE 1 END), 0) AS BIGINT)
       |  FROM lineitem
       |  UNION ALL
       |  SELECT 'orders_price_cap', COUNT(*),
-      |         CAST(SUM(CASE WHEN o_totalprice < CAST(300000.0 AS DOUBLE) THEN 0 ELSE 1 END) AS BIGINT)
+      |         CAST(COALESCE(SUM(CASE WHEN o_totalprice < CAST(300000.0 AS DOUBLE) THEN 0 ELSE 1 END), 0) AS BIGINT)
       |  FROM orders)
       |SELECT rule, n_checked, n_violations,
       |       CAST(n_violations = 0 AS INT) AS pass

@@ -16,14 +16,17 @@ object ChangeCapture {
   /** Classify `newDf` vs `oldDf` by `keys`: rows only in `newDf` are
     * `insert`, only in `oldDf` are `delete`, in both with any difference in
     * `compareCols` are `update`, else `unchanged`. One full-outer shuffle
-    * join on the key columns; comparison is null-safe (`<=>`), so NULL →
-    * value transitions classify as updates rather than vanishing.
+    * join on the key columns. Keys join with PLAIN equality: a NULL key is
+    * never an identity (consistent with primary-key semantics and with the
+    * SQL mirrors' `o.k = n.k`) — a null-keyed old row reads as `delete`, a
+    * null-keyed new row as `insert`. Value comparison IS null-safe (`<=>`),
+    * so NULL → value transitions classify as updates rather than vanishing.
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
                    compareCols: Seq[String]): DataFrame = {
     val o = oldDf.select((keys ++ compareCols).map(col): _*).alias("o")
     val n = newDf.select((keys ++ compareCols).map(col): _*).alias("n")
-    val on = keys.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)
+    val on = keys.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
     val same = compareCols.map(c => col(s"o.$c") <=> col(s"n.$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
     val oldKey = col(s"o.${keys.head}")

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.VecOps
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic Lloyd's k-means over embedding columns, and the
@@ -25,6 +26,25 @@ import org.apache.spark.sql.functions._
   * dropped, matching the unrolled SQL oracle exactly.
   */
 object Clustering {
+
+  /** Cluster count sized to the corpus: k = max(minK, ceil(sqrt(n))) over
+    * DISTINCT vectors — the SemDeDup build rule (k ~ sqrt(N) keeps expected
+    * cluster size ~sqrt(N), so the within-cluster self-join stays ~N total
+    * pairs instead of N²/k). The same grow-the-index-with-the-data rule as
+    * [[Similarity.adaptivePlanesPerTable]]: a fixed k saturates — cluster
+    * occupancy grows linearly with the corpus and the pairing re-quadratizes
+    * (the round-4 10x run measured exactly that residue at fixed k=8).
+    */
+  def adaptiveK(nDistinctVectors: Long, minK: Int = 8): Int =
+    math.max(minK, math.ceil(math.sqrt(nDistinctVectors.toDouble)).toInt)
+
+  /** Above this k, assignment switches from k·dim centroid literals (one
+    * codegen'd projection — unbeatable for small k, but the plan text and
+    * the per-iteration driver collect both grow with k) to a broadcast
+    * centroid FRAME: k rows shipped once per iteration, argmin via
+    * map-side-combined min(struct(dist, cl)), centroids never collected.
+    */
+  val LiteralAssignMax = 100
 
   /** One k-means distance: squared L2 via dot products, computed as
     * v.v - 2 v.c + c.c with the centroid dot precomputed on the driver.
@@ -60,10 +80,40 @@ object Clustering {
     * `vecCol` must already be ARRAY<DOUBLE>.
     */
   def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int)
+      : (DataFrame, Seq[(Int, Seq[Double])]) =
+    kmeansImpl(emb, idCol, vecCol, k, iters, useFrame = k > LiteralAssignMax)
+
+  /** `useFrame` exposed for the spec that pins literal- and frame-path
+    * equivalence (same assignments, centroids, tie-breaks) on one corpus.
+    */
+  private[graft] def kmeansImpl(emb: DataFrame, idCol: String, vecCol: String,
+                                k: Int, iters: Int, useFrame: Boolean)
       : (DataFrame, Seq[(Int, Seq[Double])]) = {
-    val spark = emb.sparkSession
+    // the corpus frame is scanned by EVERY Lloyd iteration plus the final
+    // assignment — cache it once (projected: id, v, v·v only), same rule as
+    // Graph.pagerank's cached edges; without this, `iters + 1` full source
+    // scans at 100 TB
     val e = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__vv", VecOps.vecDot(col("__v"), col("__v")))
+      .cache()
+    val (out, cents) =
+      if (useFrame) kmeansFrame(e, k, iters)
+      else kmeansLiteral(e, k, iters)
+    // the result is slim (id, cluster, dist2): materialize it eagerly so the
+    // corpus cache can be released before returning — callers' downstream
+    // plans then read the checkpoint, not a re-scan
+    val result = out.select(col("__id").as(idCol), col("__cl").as("cluster"),
+      round(col("__d"), 6).as("dist2")).localCheckpoint()
+    e.unpersist()
+    (result, cents)
+  }
+
+  /** Small-k path: centroids as driver literals, assignment is ONE narrow
+    * codegen'd projection, per-iteration centroid sums collected (k·dim
+    * rows, bounded).
+    */
+  private def kmeansLiteral(e: DataFrame, k: Int, iters: Int)
+      : (DataFrame, Seq[(Int, Seq[Double])]) = {
     // init: the k smallest-id vectors, cluster id = rank (0-based). A tiny
     // bounded driver collect, same as any broadcast dimension table.
     var cents: Seq[(Int, Seq[Double])] = e.orderBy("__id").limit(k)
@@ -85,9 +135,51 @@ object Clustering {
       }.sortBy(_._1)
     }
     val (cl, d) = assignExpr(col("__vv"), col("__v"), cents)
-    val out = e.select(col("__id").as(idCol), cl.as("cluster"),
-      round(d, 6).as("dist2"))
-    (out, cents)
+    (e.select(col("__id"), cl.as("__cl"), d.as("__d")), cents)
+  }
+
+  /** Large-k path: centroids stay a k-row DataFrame for the whole run —
+    * broadcast into each assignment, localCheckpoint'ed between iterations
+    * (k rows, tiny), never collected to the driver. Arithmetic is
+    * bit-identical to the literal path: same scaled-integer numerators,
+    * same `sum / (n * 1e6)` double division, same left-to-right dot fold,
+    * and min(struct(dist, cl)) reproduces the smallest-id tie-break.
+    */
+  private def kmeansFrame(e: DataFrame, k: Int, iters: Int)
+      : (DataFrame, Seq[(Int, Seq[Double])]) = {
+    def assign(cents: DataFrame): DataFrame = {
+      val d = col("__vv") - lit(2.0) * VecOps.vecDot(col("__v"), col("__c")) + col("__cc")
+      // crossJoin(broadcast) fans k rows per vector, but partial aggregation
+      // collapses them map-side: the shuffle is one slim row per vector
+      e.crossJoin(broadcast(cents))
+        .select(col("__id"), col("__v"), struct(d.as("__d"), col("__cl")).as("__s"))
+        .groupBy("__id")
+        .agg(min(col("__s")).as("__m"), first(col("__v")).as("__v"))
+        .select(col("__id"), col("__v"),
+          col("__m.__cl").as("__cl"), col("__m.__d").as("__d"))
+    }
+    val w = Window.orderBy("__id")
+    var cents = e.orderBy("__id").limit(k)
+      .select((row_number().over(w) - 1).cast("int").as("__cl"), col("__v").as("__c"))
+      .withColumn("__cc", VecOps.vecDot(col("__c"), col("__c")))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val sums = assign(cents)
+        .select(col("__cl"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy("__cl", "__d")
+        .agg(sum(scaled(col("__x"))).as("__sq"), count(lit(1)).as("__n"))
+      cents = sums
+        .groupBy("__cl")
+        .agg(array_sort(collect_list(struct(col("__d"),
+          (col("__sq") / (col("__n") * 1000000.0)).as("__x")))).as("__a"))
+        .select(col("__cl"), transform(col("__a"), p => p.getField("__x")).as("__c"))
+        .withColumn("__cc", VecOps.vecDot(col("__c"), col("__c")))
+        .localCheckpoint()
+    }
+    val fin = assign(cents)
+    val centsSeq = cents.orderBy("__cl").collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    (fin.select(col("__id"), col("__cl"), col("__d")), centsSeq)
   }
 
   /** SemDeDup: k-means-cluster, then inside each cluster mark every vector
@@ -135,8 +227,11 @@ object Clustering {
         >= threshold)
       .select(col("r.__rep").as("__id")).distinct()
     // disjoint by construction (copyDrops: non-reps only; repDrops: reps
-    // only) and individually duplicate-free — union needs no distinct
-    val dropped = copyDrops.unionByName(repDrops)
+    // only) and individually duplicate-free — union needs no distinct.
+    // Eagerly materialize the slim dropped-id frame so the cached groups can
+    // be released here rather than pinned until a caller clearCache()s.
+    val dropped = copyDrops.unionByName(repDrops).localCheckpoint()
+    groups.unpersist()
     a.join(dropped.withColumn("__hit", lit(true)), Seq("__id"), "left")
       .select(col("__id").as(idCol), col("cluster"),
         coalesce(col("__hit"), lit(false)).as("dropped"))

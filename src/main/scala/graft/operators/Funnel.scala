@@ -63,7 +63,12 @@ object Funnel {
       else f.agg(count(lit(1)).as(s"n${i + 1}"),
         sum(col(s"t${i + 1}") - col(s"t$i")).as(s"lag${i + 1}"))
     }
-    val one = aggs.reduce(_.crossJoin(_))
+    // the cross-joined aggregate is ONE bounded row: materialize it eagerly
+    // so every cached stage frame can be released here — otherwise each
+    // report() call in a long-lived session pins steps × calls frames in
+    // executor storage until someone clearCache()s
+    val one = aggs.reduce(_.crossJoin(_)).localCheckpoint()
+    frames.foreach(_.unpersist())
     val rows = steps.indices.map { i =>
       val n = col(s"n${i + 1}")
       val conv =

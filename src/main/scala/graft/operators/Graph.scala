@@ -74,23 +74,31 @@ object Graph {
             + expr("(85 * coalesce(inb, 0)) DIV 100")).as("rank"))
         .localCheckpoint()
     }
+    // every round's ranks are EAGER localCheckpoints, so the final frame no
+    // longer reads e/nodeDeg — release them instead of pinning executor
+    // storage for the session's lifetime
+    e.unpersist()
+    nodeDeg.unpersist()
     out.select(col("n"), col("rank"))
   }
 
   /** Unrolled DuckDB mirror. `edgesSql` must yield (src, dst). */
   def pagerankSql(edgesSql: String, iters: Int): String = {
     val rounds = (1 to iters).map { k =>
+      // every SUM is cast back to BIGINT: DuckDB promotes SUM(BIGINT) to
+      // HUGEINT, which the comparison layer reads as float64 and the
+      // driver's type-sensitive hash then diverges on value-identical rows
       s"""s$k AS (SELECT r.n, r.rank // d.deg AS share
          |        FROM r${k - 1} r JOIN deg d USING (n)),
-         |dang$k AS (SELECT coalesce(SUM(r.rank), 0) AS dt
+         |dang$k AS (SELECT CAST(coalesce(SUM(r.rank), 0) AS BIGINT) AS dt
          |           FROM r${k - 1} r LEFT JOIN deg d USING (n) WHERE d.n IS NULL),
          |r$k AS MATERIALIZED (
          |  SELECT nodes.n,
-         |         (15 * ${Scale}::BIGINT) // (100 * meta.nn)
+         |         CAST((15 * ${Scale}::BIGINT) // (100 * meta.nn)
          |         + (85 * dang$k.dt) // (100 * meta.nn)
-         |         + (85 * coalesce(inb.s, 0)) // 100 AS rank
+         |         + (85 * coalesce(inb.s, 0)) // 100 AS BIGINT) AS rank
          |  FROM nodes CROSS JOIN meta CROSS JOIN dang$k
-         |  LEFT JOIN (SELECT e.dst AS n, SUM(s.share) AS s
+         |  LEFT JOIN (SELECT e.dst AS n, CAST(SUM(s.share) AS BIGINT) AS s
          |             FROM e JOIN s$k s ON e.src = s.n GROUP BY 1) inb
          |    ON inb.n = nodes.n)""".stripMargin
     }.mkString(",\n")

@@ -42,11 +42,13 @@ object Validate {
 
   /** Generic predicate rule: violations = rows where `ok` is not true
     * (NULL counts as a violation — an unevaluable constraint is not a
-    * passing one).
+    * passing one). SUM over zero rows is NULL, so the empty-table case is
+    * coalesced to 0 — an empty-but-valid table must report pass, not a
+    * NULL pass flag.
     */
   def predicate(df: DataFrame, rule: String, ok: Column): DataFrame =
     df.agg(count(lit(1)).as("n_checked"),
-        sum(when(ok, 0L).otherwise(1L)).as("n_violations"))
+        coalesce(sum(when(ok, 0L).otherwise(1L)), lit(0L)).as("n_violations"))
       .select(lit(rule).as("rule"), col("n_checked"), col("n_violations"))
 
   /** Stack rule results into one report with a pass flag. */

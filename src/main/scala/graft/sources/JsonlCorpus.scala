@@ -54,10 +54,16 @@ object JsonlCorpus {
       .drop(Corrupt)
 
   /** The reject side, for dead-letter audit: one row per unparseable or
-    * id-less line.
+    * id-less line, always with the offending payload. Malformed lines carry
+    * the raw text from the corrupt column; lines that PARSED but lack a
+    * doc_id have a NULL corrupt column, so their payload is reconstructed
+    * from the parsed fields (to_json omits the NULL ones) — without this the
+    * id-less audit row would be contentless.
     */
   def rejects(spark: SparkSession, path: String): DataFrame =
     read(spark, path)
       .where(col(Corrupt).isNotNull || col("doc_id").isNull)
-      .select(col(Corrupt).as("raw_line"))
+      .select(coalesce(col(Corrupt),
+        to_json(struct(Schema.fieldNames.filterNot(_ == Corrupt).map(col): _*)))
+        .as("raw_line"))
 }

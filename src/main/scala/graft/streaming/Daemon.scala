@@ -1,0 +1,168 @@
+package graft.streaming
+
+import graft.core.{AggMethod, StorageSchema}
+import graft.storage.{Catalog, MetricStore}
+import java.io.{BufferedReader, InputStreamReader}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The runnable cache daemon — the analog of the reference's
+  * `bin/rurouni-cache.py` service wiring (rurouni/service.py:27-52): ONE
+  * process that listens for line-protocol points on a TCP socket, parses
+  * and admits them through the streaming ingest into the hot cache,
+  * watermark-flushes closed slots into the archive cascade, and serves both
+  * the pre-flush cache view and the merged hot ∪ historical read over HTTP.
+  *
+  * Wiring (each arrow is a component that exists and is specced on its own;
+  * the daemon is the missing one-process composition):
+  * {{{
+  *   TCP line listener  ──>  MemoryStream[String]
+  *       (protocols.MetricLineReceiver, service.py:31-45)
+  *   MemoryStream  ──Ingest.start──>  parse -> admit -> HotCache append
+  *       (cache service wiring, service.py:55-61)
+  *   HotCache  ──watermark flush──>  MetricStore cascade (level 0..n)
+  *       (WriterService, service.py:69-71)
+  *   HotCache  ──CacheQueryServer──>  GET /query, GET /fetch
+  *       (CacheManagementHandler, service.py:63-67)
+  * }}}
+  *
+  * Shutdown mirrors the reference's stop hook
+  * (rurouni/writer.py:73-83 writeCachedDataPointsWhenStop): the listener
+  * closes, buffered lines drain through one final micro-batch, and the
+  * WHOLE hot cache flushes to the store with the watermark gate disabled —
+  * a clean stop loses no committed point.
+  *
+  * The TCP listener is a driver-side socket (like [[CacheQueryServer]]'s
+  * HTTP endpoint): the ingest protocol edge is inherently a single
+  * network endpoint in the reference deployment too. Parsing, alignment,
+  * admission, cache maintenance, and flush all stay distributed Spark jobs;
+  * the listener only enqueues raw lines. At production scale the same
+  * daemon shape runs with the MemoryStream swapped for a Kafka source —
+  * `Ingest.start` is source-agnostic — and the listener retired.
+  */
+final class Daemon(val store: MetricStore, cacheRetention: Long, waitTime: Long,
+                   checkpoint: String, linePort: Int = 0, httpPort: Int = 0,
+                   nowFn: () => Long = () => System.currentTimeMillis() / 1000,
+                   instr: Option[Instrumentation] = None)
+                  (implicit spark: SparkSession) {
+
+  val hot = new HotCache(store, cacheRetention, waitTime)
+  private val httpServer = new CacheQueryServer(hot, httpPort, instr)
+  private var listener: ServerSocket = _
+  private var ingest: StreamingQuery = _
+  private var mem: MemoryStream[String] = _
+  @volatile private var running = false
+
+  /** Start every service; returns (line port, http port) — pass 0s to the
+    * constructor for ephemeral ports (tests), fixed ports in production.
+    */
+  def start(): (Int, Int) = synchronized {
+    require(!running, "daemon already running")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    mem = MemoryStream[String]
+    ingest = Ingest.start(mem.toDF().withColumnRenamed("value", "line"),
+      hot, checkpoint, nowFn, instr)
+    listener = new ServerSocket(linePort, 64, InetAddress.getByName("127.0.0.1"))
+    running = true
+    val t = new Thread(() => acceptLoop(), "graft-line-listener")
+    t.setDaemon(true)
+    t.start()
+    (listener.getLocalPort, httpServer.start())
+  }
+
+  private def acceptLoop(): Unit =
+    while (running) {
+      try {
+        val sock = listener.accept()
+        val t = new Thread(() => handleConn(sock), "graft-line-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: java.io.IOException => () // listener closed by stop()
+      }
+    }
+
+  /** One client connection: newline-delimited `"metric value timestamp"`
+    * lines enqueue raw — validation happens in the distributed parse
+    * (malformed lines drop there, never kill the stream or the socket).
+    */
+  private def handleConn(sock: Socket): Unit = {
+    try {
+      val rd = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+      var line = rd.readLine()
+      while (line != null && running) {
+        if (line.nonEmpty) mem.addData(line)
+        line = rd.readLine()
+      }
+    } catch {
+      case _: java.io.IOException => () // client went away: drop the conn
+    } finally sock.close()
+  }
+
+  /** Deterministic drain for tests and ops probes: block until every line
+    * received so far has been parsed, admitted, and flushed-if-closed.
+    */
+  def processAllAvailable(): Unit = ingest.processAllAvailable()
+
+  /** Clean stop with the reference's shutdown flush: stop accepting, drain
+    * buffered lines through a final micro-batch, then flush the ENTIRE hot
+    * cache past the watermark (writeCachedDataPointsWhenStop,
+    * rurouni/writer.py:73-83) and stop serving.
+    */
+  def stop(): Unit = synchronized {
+    if (!running) return
+    running = false
+    listener.close()
+    ingest.processAllAvailable()
+    ingest.stop()
+    hot.flushAll(nowFn())
+    httpServer.stop()
+  }
+}
+
+/** CLI entrypoint: `graft.Daemon <root> <retentions> [linePort] [httpPort]`
+  * — e.g. `run /var/lib/graft "10s:1d,60s:30d" 2003 8080`. Storage schema
+  * uses the given retention cascade for all metrics (`.*`), average
+  * aggregation, with a catalog for registration/throttle like the
+  * reference's create path. Runs until SIGTERM/Ctrl-C; the shutdown hook
+  * performs the full cache flush.
+  */
+object Daemon {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Daemon <root> <retentions> [linePort] [httpPort]")
+    val root = args(0)
+    val archives = graft.core.RetentionParser.parseRetentions(args(1))
+    val linePort = if (args.length > 2) args(2).toInt else 2003
+    val httpPort = if (args.length > 3) args(3).toInt else 8080
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-daemon")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val schema = StorageSchema("default", ".*".r, 0.5, AggMethod.Average,
+      archives, cacheRetention = archives.head.retention / 2, metricsPerFile = 40)
+    val schemas = new graft.core.StorageSchemas(Seq(schema))
+    val catalog = new Catalog(root, schemas)
+    val store = new MetricStore(root, schema, Some(catalog))
+    val instr = new Instrumentation()
+    val daemon = new Daemon(store, cacheRetention = schema.cacheRetention,
+      waitTime = 10L, checkpoint = s"$root/_checkpoint",
+      linePort = linePort, httpPort = httpPort, instr = Some(instr))
+    val (lp, hp) = daemon.start()
+    // scalastyle:off println
+    println(s"graft-daemon: lines on 127.0.0.1:$lp, http on 127.0.0.1:$hp, root=$root")
+    // scalastyle:on println
+    sys.addShutdownHook(daemon.stop())
+    Thread.currentThread().join() // serve until killed
+  }
+}

@@ -98,8 +98,16 @@ final class HotCache(val store: MetricStore, val cacheRetention: Long, val waitT
     * kenshin.update, which routes by age — rurouni/writer.py:33-45 →
     * kenshin/storage.py:397-419), then the hot table drops them.
     */
-  def flush(now: Long): Unit = {
-    val boundary = flushBoundary(now)
+  def flush(now: Long): Unit = flushBelow(flushBoundary(now), now)
+
+  /** Shutdown drain: flush EVERY cached slot to the store regardless of the
+    * watermark — the reference's stop-time writer pops the whole cache with
+    * the canWrite gate disabled (rurouni/writer.py:73-83), so no committed
+    * point is lost when the daemon exits.
+    */
+  def flushAll(now: Long): Unit = flushBelow(Long.MaxValue, now)
+
+  private def flushBelow(boundary: Long, now: Long): Unit = {
     if (!store.hasData(hotPath)) return
     val raw = rawHot().cache()
     try {

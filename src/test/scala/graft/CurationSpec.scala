@@ -122,6 +122,32 @@ class CurationSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("kmeans frame path (broadcast centroids) matches the literal path exactly") {
+    // the large-k path must be bit-identical to the small-k path: same
+    // scaled-integer sums, same double division, same smallest-id tie-break
+    // via min(struct(dist, cl)). Run both on one corpus, same k.
+    val rnd = new scala.util.Random(11)
+    val data = vecDf((0L until 150L).map(i =>
+      (i, Seq.fill(6)(rnd.nextDouble() - 0.5))) ++
+      Seq(150L -> Seq(0.25, 0.25, 0.25, 0.25, 0.25, 0.25),
+          151L -> Seq(0.25, 0.25, 0.25, 0.25, 0.25, 0.25))) // exact dup pair
+    val (al, cl) = Clustering.kmeansImpl(data, "vec_id", "v", 6, 2, useFrame = false)
+    val (af, cf) = Clustering.kmeansImpl(data, "vec_id", "v", 6, 2, useFrame = true)
+    val ml = al.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val mf = af.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(ml == mf)
+    assert(cl == cf)
+  }
+
+  test("adaptiveK follows the sqrt build rule with a floor") {
+    assert(Clustering.adaptiveK(0) == 8)
+    assert(Clustering.adaptiveK(63) == 8)
+    assert(Clustering.adaptiveK(65) == 9)
+    assert(Clustering.adaptiveK(100) == 10)
+    assert(Clustering.adaptiveK(1000000) == 1000)
+    assert(Clustering.adaptiveK(1000001) == 1001)
+  }
+
   test("kmeans drops emptied clusters instead of carrying stale centroids") {
     // id 1's seed is immediately outvoted: every point sits at (0,0)-ish, so
     // after iteration 1 cluster 1 may lose all members -> it must disappear

@@ -1,0 +1,131 @@
+package graft
+
+import graft.core.{AggMethod, Archive, StorageSchema}
+import graft.storage.MetricStore
+import graft.streaming.Daemon
+import java.io.OutputStreamWriter
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** End-to-end daemon test — the `bin/rurouni-cache.py` lifecycle: points
+  * written over a REAL TCP socket flow through parse → hot cache →
+  * watermark flush → archive cascade, serve over the REAL HTTP endpoint
+  * (pre-flush cache view and merged hot ∪ historical fetch), and the
+  * shutdown flush drains every cached slot into the store
+  * (rurouni/service.py:27-52 wiring; rurouni/writer.py:73-83 stop hook).
+  */
+class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
+  implicit lazy val spark = SparkTestBase.spark
+
+  var root: java.nio.file.Path = _
+  override def beforeAll(): Unit = { root = java.nio.file.Files.createTempDirectory("graft-daemon") }
+  override def afterAll(): Unit = {
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(root.toString)).deleteRecursively()
+    ()
+  }
+
+  val Now = 1700000000L // fixed clock: deterministic watermark behavior
+  val Step = 10
+
+  def mkDaemon(name: String): Daemon = {
+    val schema = StorageSchema(name, ".*".r, 1.0, AggMethod.Last,
+      Seq(Archive(Step, 720), Archive(60, 1440)), 600, 8)
+    val store = new MetricStore(s"$root/$name", schema)
+    // flush boundary = Now - (120 + 30) = Now - 150 (10s-aligned).
+    // Checkpoint is unique per daemon instance: a MemoryStream source can't
+    // resume another stream's checkpoint (Kafka checkpoints can — that
+    // resume path is what production uses).
+    new Daemon(store, cacheRetention = 120L, waitTime = 30L,
+      checkpoint = s"$root/$name-ckpt-${System.nanoTime()}", nowFn = () => Now)
+  }
+
+  def send(port: Int, lines: Seq[String]): Unit = {
+    val sock = new Socket("127.0.0.1", port)
+    try {
+      val w = new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8)
+      lines.foreach(l => w.write(l + "\n"))
+      w.flush()
+    } finally sock.close()
+  }
+
+  def httpGet(port: Int, path: String): String = {
+    val in = new java.net.URI(s"http://127.0.0.1:$port$path").toURL.openStream()
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  /** The socket handler consumes lines asynchronously: retry the
+    * drain+check loop until the condition holds (bounded).
+    */
+  def drainUntil(d: Daemon, timeoutMs: Long = 20000)(cond: => Boolean): Unit = {
+    val t0 = System.currentTimeMillis()
+    var ok = false
+    while (!ok && System.currentTimeMillis() - t0 < timeoutMs) {
+      d.processAllAvailable()
+      ok = cond
+      if (!ok) Thread.sleep(100)
+    }
+    assert(ok, s"condition not reached within ${timeoutMs}ms")
+  }
+
+  test("socket ingest -> hot cache -> HTTP query/fetch -> shutdown flush (e2e)") {
+    val d = mkDaemon("e2e")
+    val (linePort, httpPort) = d.start()
+    try {
+      send(linePort, Seq(
+        s"sys.cpu.a 0.5 ${Now - 20}",        // recent -> hot cache
+        s"sys.cpu.a 0.75 ${Now - 40}",       // recent -> hot cache
+        s"sys.cpu.a 0.25 ${Now - 500}",      // below boundary -> straggler, store
+        s"sys.mem.b 123 ${Now - 20}",        // second metric
+        "garbage line with too many fields 1 2 3",
+        "sys.bad notanumber 1700000000"))    // malformed: dropped, not fatal
+      drainUntil(d) {
+        val q = httpGet(httpPort, "/query?metric=sys.cpu.a")
+        q.contains(s"[${Now - 20},0.5]") && q.contains(s"[${Now - 40},0.75]")
+      }
+      // the straggler bypassed the cache into the store (age-routed upsert)
+      val hist = d.store.fetch(Some("sys.cpu.a"), Now - 600, Now - 400, Now)
+      assert(hist.exists { case (_, df) =>
+        df.where(col("value") === 0.25).count() == 1 })
+      // hot view has ONLY the pre-flush window (straggler not in it)
+      val q = httpGet(httpPort, "/query?metric=sys.cpu.a")
+      assert(!q.contains("0.25"))
+      // merged fetch stitches hot over historical in one series
+      val f = httpGet(httpPort,
+        s"/fetch?metric=sys.cpu.a&from=${Now - 600}&until=$Now&now=$Now")
+      assert(f.contains(s"""\"step\":$Step"""))
+      assert(f.contains(s"[${Now - 20},0.5]") && f.contains(s"[${Now - 500},0.25]"))
+      // malformed lines were dropped without killing the stream: the good
+      // second metric made it
+      assert(httpGet(httpPort, "/query?metric=sys.mem.b").contains(s"[${Now - 20},123.0]"))
+    } finally d.stop()
+    // shutdown flush: EVERY cached slot is now in the store, none lost
+    val afterStop = d.store.fetch(Some("sys.cpu.a"), Now - 600, Now, Now)
+    assert(afterStop.exists { case (_, df) =>
+      Set(0.5, 0.75, 0.25).forall(v => df.where(col("value") === v).count() == 1) })
+    assert(d.hot.hotView().count() === 0, "hot cache fully drained on stop")
+  }
+
+  test("stop is idempotent and a second daemon can reuse the store") {
+    val d = mkDaemon("restart")
+    val (lp, _) = d.start()
+    send(lp, Seq(s"m.x 1.0 ${Now - 20}")) // step-aligned ts
+    drainUntil(d) { d.hot.hotView().count() == 1 }
+    d.stop()
+    d.stop() // second stop: no-op, no throw
+    // restart against the same root: flushed point is in the store
+    val d2 = mkDaemon("restart")
+    val (lp2, hp2) = d2.start()
+    try {
+      send(lp2, Seq(s"m.x 2.0 ${Now - 30}"))
+      drainUntil(d2) {
+        httpGet(hp2, "/query?metric=m.x").contains(s"[${Now - 30},2.0]")
+      }
+      val f = httpGet(hp2, s"/fetch?metric=m.x&from=${Now - 60}&until=$Now&now=$Now")
+      assert(f.contains(s"[${Now - 20},1.0]") && f.contains(s"[${Now - 30},2.0]"))
+    } finally d2.stop()
+  }
+}

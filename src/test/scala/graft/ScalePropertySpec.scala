@@ -108,4 +108,39 @@ class ScalePropertySpec extends AnyFunSuite {
       assert(got === rank, s"seed=$seed")
     }
   }
+
+  test("pagerank conserves total mass per round up to the floor-division deficit (5 seeds)") {
+    // Each round's floors lose at most: N (teleport) + N (dangling term)
+    // + N (inbound 85/100) + E (share = rank DIV deg forfeits < deg per
+    // node), and the initial split loses < N — so after r rounds
+    //   Scale >= sum(rank) >= Scale - N - r*(E + 3N).
+    // This is the exact-integer contract the BIGINT oracle cast relies on:
+    // total mass can never overflow because it never exceeds Scale.
+    (1L to 5L).foreach { seed =>
+      val edges = gen(graphGen, seed)
+      val nn = (edges.map(_._1) ++ edges.map(_._2)).distinct.length.toLong
+      val ee = edges.length.toLong
+      (1 to 3).foreach { iters =>
+        val total = Graph.pagerank(edges.toDF("src", "dst"), iters)
+          .agg(sum(col("rank"))).head().getLong(0)
+        assert(total <= Graph.Scale, s"seed=$seed iters=$iters: mass grew")
+        assert(total >= Graph.Scale - nn - iters * (ee + 3 * nn),
+          s"seed=$seed iters=$iters: deficit beyond the floor bound")
+      }
+    }
+  }
+
+  test("pagerank is invariant to edge-list order and partitioning (3 seeds)") {
+    (1L to 3L).foreach { seed =>
+      val edges = gen(graphGen, seed)
+      val base = Graph.pagerank(edges.toDF("src", "dst"), 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reversed order, different partition count: identical ranks required
+      // (integer sums are order-independent; float PageRank would fail this)
+      val perm = Graph.pagerank(
+        edges.reverse.toDF("src", "dst").repartition(7), 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(perm === base, s"seed=$seed")
+    }
+  }
 }

@@ -39,6 +39,10 @@ class SourceSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rejects = JsonlCorpus.rejects(spark, p).collect()
     assert(rejects.length === 2)
     assert(rejects.exists(r => !r.isNullAt(0) && r.getString(0).contains("not json")))
+    // id-less-but-parseable lines must carry a reconstructed payload, not a
+    // contentless NULL — the dead-letter row is useless without the line
+    assert(rejects.forall(r => !r.isNullAt(0)), "every reject row carries its payload")
+    assert(rejects.exists(r => r.getString(0).contains("no id")))
   }
 
   test("zorder sink: files disjoint in z, counts preserved, raw-key envelopes tight") {

@@ -36,4 +36,11 @@ class ValidateSpec extends AnyFunSuite {
       && rep(0).getInt(3) === 0)
     assert(rep(1).getLong(2) === 1L && rep(1).getInt(3) === 0)
   }
+
+  test("predicate on an empty table reports 0 violations and pass=1, not NULL") {
+    val df = Seq.empty[Double].toDF("v")
+    val rep = Validate.report(Seq(
+      Validate.predicate(df, "empty_ok", col("v") < 100.0))).collect().head
+    assert(rep.getLong(1) === 0L && rep.getLong(2) === 0L && rep.getInt(3) === 1)
+  }
 }
