@@ -55,19 +55,27 @@ object Clustering {
   }
 
   /** Argmin over the (clusterId, centroid) list; ties -> smallest id.
-    * Emitted as least() + a first-match CASE so the whole assignment stays
-    * one codegen'd projection.
+    * Staged as three stacked narrow projections (distances once, then the
+    * min, then the first-match CASE) that whole-stage codegen fuses into
+    * one pass: each centroid distance is computed EXACTLY ONCE per row and
+    * the argmin compares column references. The single-projection
+    * `least(d…) + CASE(d === least…)` form re-evaluates every distance ~k
+    * times per row — O(k² · dim) flops — invisible at k=8 but a measured
+    * 10x slowdown once the corpus-adaptive rule pushed k to 71 at sf0.1.
+    * Output columns: `__cl` (cluster), `__d` (squared distance).
     */
-  private def assignExpr(vv: Column, v: Column, cents: Seq[(Int, Seq[Double])])
-      : (Column, Column) = {
-    val ds = cents.map { case (id, c) => (id, distSq(vv, v, c)) }
-    val best = least(ds.map(_._2): _*)
+  private def withAssign(e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val dcols = cents.map { case (id, c) =>
+      distSq(col("__vv"), col("__v"), c).as(s"__dist$id") }
+    val ds = cents.map { case (id, _) => (id, col(s"__dist$id")) }
+    val staged = e.select(col("__id") +: col("__v") +: dcols: _*)
+      .withColumn("__d", least(ds.map(_._2): _*))
     // nested CASE with the smallest cluster id as the OUTERMOST branch, so
     // the first (smallest id) match wins on exact-distance ties
     val cl = ds.reverse.foldLeft(lit(ds.last._1)) { case (acc, (id, d)) =>
-      when(d === best, id).otherwise(acc)
+      when(d === col("__d"), id).otherwise(acc)
     }
-    (cl, best)
+    staged.select(col("__id"), col("__v"), cl.as("__cl"), col("__d"))
   }
 
   /** Scaled exact numerator: round(x * 1e6) as BIGINT. Portable: round()
@@ -120,13 +128,12 @@ object Clustering {
       .select("__v").collect().toSeq.zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0)) }
     for (_ <- 1 to iters) {
-      val (cl, _) = assignExpr(col("__vv"), col("__v"), cents)
       // exact per-(cluster, dim) numerators; the posexplode fans out dim
       // rows per vector but partial aggregation collapses them map-side,
       // so the shuffle is k*dim rows regardless of corpus size
-      val sums = e.withColumn("__cl", cl)
-        .select(col("__cl"), posexplode(col("__v")).as(Seq("__d", "__x")))
-        .groupBy("__cl", "__d")
+      val sums = withAssign(e, cents)
+        .select(col("__cl"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+        .groupBy("__cl", "__dim")
         .agg(sum(scaled(col("__x"))).as("__sq"), count(lit(1)).as("__n"))
         .collect()
       cents = sums.groupBy(_.getInt(0)).toSeq.map { case (clId, rows) =>
@@ -134,8 +141,7 @@ object Clustering {
         (clId, dim.sortBy(_._1).map(_._2).toSeq)
       }.sortBy(_._1)
     }
-    val (cl, d) = assignExpr(col("__vv"), col("__v"), cents)
-    (e.select(col("__id"), cl.as("__cl"), d.as("__d")), cents)
+    (withAssign(e, cents).select(col("__id"), col("__cl"), col("__d")), cents)
   }
 
   /** Large-k path: centroids stay a k-row DataFrame for the whole run —

@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   * (deterministic nearest-neighbor) and extracts pixel statistics on
   * executors. AUDIO decode is REAL for RIFF/WAV PCM (8/16-bit): a direct
   * byte-level chunk parse (`decodeWav`) — no library variance, bit-stable
-  * features. Only VIDEO frame decode remains a clearly-marked deterministic
-  * STUB (`decodeStub`) — the container has no video codecs — with the
-  * schema, partitioning, batch shape and signature real: swap the stub for
-  * a JNI/codec call and nothing else changes.
+  * features. VIDEO container metadata is REAL for AVI (RIFF again — the
+  * same chunk parser family: `decodeAviMeta` reads width/height/fps/
+  * frame-count/codec from avih/strh headers); only frame PIXEL decode
+  * remains a clearly-marked deterministic STUB (`decodeStub`) — the
+  * container has no video codecs — with the schema, partitioning, batch
+  * shape and signature real: swap the stub for a JNI/codec call and
+  * nothing else changes.
   */
 object Multimodal {
 
@@ -271,6 +274,90 @@ object Multimodal {
   def audioFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[AudioFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(rows => rows.map(audioFeaturesOf))
+  }
+
+  /** Video container metadata — REAL for AVI (an AVI file is a RIFF
+    * container, the same chunk grammar as WAV, parsed by the same byte
+    * math): width/height/fps/frame-count/stream-count/codec fourcc from the
+    * `avih` main header and the first `vids` stream header. Only FRAME
+    * PIXEL decode stays out of reach (no video codecs in this
+    * environment); everything a corpus curation pass filters on
+    * (resolution buckets, duration, fps sanity, codec allowlist) is
+    * extracted for real.
+    */
+  final case class VideoFeatures(
+      media_id: Long,
+      kind: String,
+      decoded: Boolean,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      n_streams: Int,
+      fps_milli: Long,    // frames/sec * 1000, exact: dwRate*1000 / dwScale
+      duration_ms: Long,  // totalFrames * usPerFrame / 1000, exact
+      codec: String)      // vids stream handler fourcc (e.g. "mjpg")
+
+  /** AVI (RIFF) container metadata by direct chunk-list walk: the outer
+    * form must be `RIFF….AVI `; `LIST` chunks recurse (hdrl holds avih,
+    * strl holds strh); `avih` yields dwMicroSecPerFrame/dwTotalFrames/
+    * dwStreams/dwWidth/dwHeight (offsets 0/16/24/32/36 —
+    * AVIMAINHEADER layout); the first `strh` with fccType `vids` yields
+    * the codec fourcc and dwScale/dwRate (offsets 4/20/24 —
+    * AVISTREAMHEADER). Truncated chunk bodies are clamped like decodeWav.
+    */
+  def decodeAviMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long, Long, String)] = {
+    if (bytes.length < 12 ||
+      !(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') ||
+      !(bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '))
+      return None
+    var avih: Option[(Int, Int, Int, Int, Int)] = None // usPerFrame, frames, streams, w, h
+    var vids: Option[(String, Int, Int)] = None        // handler, scale, rate
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val len = leInt(bytes, pos + 4)
+        if (len < 0) return
+        val body = pos + 8
+        val bodyEnd = math.min(body + len, end)
+        if (id == "LIST" && body + 4 <= bodyEnd)
+          walk(body + 4, bodyEnd) // skip the 4-byte list type, recurse
+        else if (id == "avih" && avih.isEmpty && body + 40 <= bodyEnd)
+          avih = Some((leInt(bytes, body), leInt(bytes, body + 16),
+            leInt(bytes, body + 24), leInt(bytes, body + 32), leInt(bytes, body + 36)))
+        else if (id == "strh" && vids.isEmpty && body + 28 <= bodyEnd &&
+          new String(bytes, body, 4, java.nio.charset.StandardCharsets.US_ASCII) == "vids")
+          vids = Some((new String(bytes, body + 4, 4,
+            java.nio.charset.StandardCharsets.US_ASCII).toLowerCase,
+            leInt(bytes, body + 20), leInt(bytes, body + 24)))
+        pos = body + len + (len & 1) // chunks are word-aligned, like WAV
+      }
+    }
+    walk(12, bytes.length)
+    avih.map { case (usPf, frames, streams, w, h) =>
+      val (codec, fpsMilli) = vids match {
+        case Some((hdl, scale, rate)) if scale > 0 => (hdl, rate.toLong * 1000L / scale)
+        case _ => ("", if (usPf > 0) 1000000000L / usPf else 0L)
+      }
+      (w, h, frames, streams, fpsMilli, frames.toLong * usPf / 1000L, codec)
+    }
+  }
+
+  private def videoFeaturesOf(row: MediaRow): VideoFeatures =
+    decodeAviMeta(row.payload) match {
+      case None =>
+        VideoFeatures(row.media_id, row.kind, decoded = false, -1, -1, 0, 0, 0L, 0L, "")
+      case Some((w, h, frames, streams, fpsMilli, durMs, codec)) =>
+        VideoFeatures(row.media_id, row.kind, decoded = true, w, h, frames,
+          streams, fpsMilli, durMs, codec)
+    }
+
+  /** Distributed AVI metadata pass (mapPartitions like the image/audio
+    * paths; payload bytes never leave the executors).
+    */
+  def videoFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(rows => rows.map(videoFeaturesOf))
   }
 
   /** Column-only metadata pass (no decode): portable to SQL oracles. */
