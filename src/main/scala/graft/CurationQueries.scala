@@ -122,21 +122,16 @@ object CurationQueries {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
 
   /** Corpus-adaptive cluster count — k = max(8, ceil(sqrt(distinct
-    * vectors))), the [[Clustering.adaptiveK]] build rule. The oracle SQL
-    * derives the SAME k in its `kk` CTE, so Spark and DuckDB block
-    * identically at every scale factor (the fixed k=8 this replaces was the
-    * one quadratic-at-100x shape left: cluster occupancy grew linearly with
-    * the corpus while k stood still).
+    * vectors))), the [[Clustering.adaptiveK]] build rule, with the
+    * distinct count computed on the operator's cached corpus frame (no
+    * second source scan). The oracle SQL derives the SAME k in its `kk`
+    * CTE, so Spark and DuckDB block identically at every scale factor (the
+    * fixed k=8 this replaces was the one quadratic-at-100x shape left:
+    * cluster occupancy grew linearly with the corpus while k stood still).
     */
-  private def adaptiveKmeansK(s: SparkSession, dir: String): Int =
-    Clustering.adaptiveK(
-      embDouble(s, dir).select(col("v")).distinct().count(), KmeansMinK)
-
-  def embedKmeans(s: SparkSession, dir: String): DataFrame = {
-    val (assign, _) = Clustering.kmeans(embDouble(s, dir), "vec_id", "v",
-      adaptiveKmeansK(s, dir), KmeansIters)
-    assign.orderBy("vec_id")
-  }
+  def embedKmeans(s: SparkSession, dir: String): DataFrame =
+    Clustering.kmeansAdaptive(embDouble(s, dir), "vec_id", "v",
+      KmeansIters, KmeansMinK)._1.orderBy("vec_id")
 
   /** The unrolled-iteration oracle: generated from the same constants; one
     * CTE block per Lloyd iteration, then the final assignment.
@@ -179,8 +174,8 @@ object CurationQueries {
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   def dedupSemantic(s: SparkSession, dir: String): DataFrame =
-    Clustering.semanticDedup(embDouble(s, dir), "vec_id", "v",
-        adaptiveKmeansK(s, dir), KmeansIters, PipelineQueries.CosineThreshold)
+    Clustering.semanticDedupAdaptive(embDouble(s, dir), "vec_id", "v",
+        KmeansIters, PipelineQueries.CosineThreshold, KmeansMinK)
       .orderBy("vec_id")
 
   val dedupSemanticSql: String =

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * id — Abbas et al. 2023's recipe for pruning web-scale training sets).
   *
   * Engine shape: centroids are a k x dim table, bounded and tiny, so they
-  * live on the driver and enter each iteration as broadcast literals — the
-  * corpus-side work per iteration is ONE narrow codegen'd projection
-  * (k dot products per row) plus one (cluster, dim)-grouped aggregation
-  * whose partial aggregates make the shuffle k*dim rows, independent of
-  * corpus size. No iteration ever shuffles the vectors themselves.
+  * live on the driver and enter each iteration as broadcast literals (k <=
+  * 100) or as a broadcast k-row frame (above that) — the corpus-side work
+  * per iteration is ONE fused codegen pass (each of the k distances
+  * computed exactly once per row) plus the `vec_sum_scaled` aggregate
+  * kernel, whose partial aggregates make the shuffle k array rows,
+  * independent of corpus size. No iteration ever shuffles the vectors
+  * themselves.
   *
   * Determinism (the oracle contract): per-dimension centroid numerators
   * are accumulated as 1e6-scaled BIGINTs, so sums are exact integers and
@@ -68,8 +70,11 @@ object Clustering {
     val dcols = cents.map { case (id, c) =>
       distSq(col("__vv"), col("__v"), c).as(s"__dist$id") }
     val ds = cents.map { case (id, _) => (id, col(s"__dist$id")) }
+    // least() rejects a single argument — a corpus that collapses to one
+    // surviving cluster must still assign, not throw
+    val best = if (ds.size == 1) ds.head._2 else least(ds.map(_._2): _*)
     val staged = e.select(col("__id") +: col("__v") +: dcols: _*)
-      .withColumn("__d", least(ds.map(_._2): _*))
+      .withColumn("__d", best)
     // nested CASE with the smallest cluster id as the OUTERMOST branch, so
     // the first (smallest id) match wins on exact-distance ties
     val cl = ds.reverse.foldLeft(lit(ds.last._1)) { case (acc, (id, d)) =>
@@ -78,32 +83,51 @@ object Clustering {
     staged.select(col("__id"), col("__v"), cl.as("__cl"), col("__d"))
   }
 
-  /** Scaled exact numerator: round(x * 1e6) as BIGINT. Portable: round()
-    * is half-away-from-zero for doubles in both engines.
-    */
-  private def scaled(x: Column): Column = round(x * 1000000.0).cast("long")
+  // scaled numerators (round(x * 1e6) as BIGINT, half away from zero in
+  // both engines) live in the vec_sum_scaled kernel: VecAgg.scaledLong
 
   /** Run `iters` Lloyd iterations from the k smallest-id vectors.
     * Returns (assignments: id, cluster, dist2; final centroids by id).
     * `vecCol` must already be ARRAY<DOUBLE>.
     */
   def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int)
-      : (DataFrame, Seq[(Int, Seq[Double])]) =
-    kmeansImpl(emb, idCol, vecCol, k, iters, useFrame = k > LiteralAssignMax)
+      : (DataFrame, Seq[(Int, Seq[Double])]) = {
+    val e = buildCorpus(emb, idCol, vecCol)
+    finishKmeans(e, idCol, k, iters, useFrame = k > LiteralAssignMax)
+  }
+
+  /** Corpus-adaptive k-means: k = [[adaptiveK]] of the DISTINCT-vector
+    * count, computed on the already-cached corpus frame — one in-memory
+    * distinct instead of the second full source scan a caller-side count
+    * would pay.
+    */
+  def kmeansAdaptive(emb: DataFrame, idCol: String, vecCol: String, iters: Int,
+                     minK: Int = 8): (DataFrame, Seq[(Int, Seq[Double])]) = {
+    val e = buildCorpus(emb, idCol, vecCol)
+    val k = adaptiveK(e.select(col("__v")).distinct().count(), minK)
+    finishKmeans(e, idCol, k, iters, useFrame = k > LiteralAssignMax)
+  }
 
   /** `useFrame` exposed for the spec that pins literal- and frame-path
     * equivalence (same assignments, centroids, tie-breaks) on one corpus.
     */
   private[graft] def kmeansImpl(emb: DataFrame, idCol: String, vecCol: String,
                                 k: Int, iters: Int, useFrame: Boolean)
-      : (DataFrame, Seq[(Int, Seq[Double])]) = {
-    // the corpus frame is scanned by EVERY Lloyd iteration plus the final
-    // assignment — cache it once (projected: id, v, v·v only), same rule as
-    // Graph.pagerank's cached edges; without this, `iters + 1` full source
-    // scans at 100 TB
-    val e = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      : (DataFrame, Seq[(Int, Seq[Double])]) =
+    finishKmeans(buildCorpus(emb, idCol, vecCol), idCol, k, iters, useFrame)
+
+  /** The corpus frame is scanned by EVERY Lloyd iteration plus the final
+    * assignment (and the adaptive-k distinct) — cache it once (projected:
+    * id, v, v·v only), same rule as Graph.pagerank's cached edges; without
+    * this, `iters + 1` full source scans at 100 TB.
+    */
+  private def buildCorpus(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__vv", VecOps.vecDot(col("__v"), col("__v")))
       .cache()
+
+  private def finishKmeans(e: DataFrame, idCol: String, k: Int, iters: Int,
+                           useFrame: Boolean): (DataFrame, Seq[(Int, Seq[Double])]) = {
     val (out, cents) =
       if (useFrame) kmeansFrame(e, k, iters)
       else kmeansLiteral(e, k, iters)
@@ -128,18 +152,21 @@ object Clustering {
       .select("__v").collect().toSeq.zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0)) }
     for (_ <- 1 to iters) {
-      // exact per-(cluster, dim) numerators; the posexplode fans out dim
-      // rows per vector but partial aggregation collapses them map-side,
-      // so the shuffle is k*dim rows regardless of corpus size
+      // exact per-cluster numerators via the vec_sum_scaled aggregate
+      // kernel: one pass over each unsafe array, k buffer rows per
+      // partition map-side, so the shuffle is k ARRAY rows (the
+      // posexplode+groupBy(cl,dim) form paid dim hash-agg probes per
+      // vector — the dominant linear cost of an iteration once
+      // assignment is O(k·dim))
       val sums = withAssign(e, cents)
-        .select(col("__cl"), posexplode(col("__v")).as(Seq("__dim", "__x")))
-        .groupBy("__cl", "__dim")
-        .agg(sum(scaled(col("__x"))).as("__sq"), count(lit(1)).as("__n"))
+        .groupBy("__cl")
+        .agg(graft.functions.VecAgg.vecSumScaled(col("__v")).as("__sums"),
+          count(lit(1)).as("__n"))
         .collect()
-      cents = sums.groupBy(_.getInt(0)).toSeq.map { case (clId, rows) =>
-        val dim = rows.map(r => (r.getInt(1), r.getLong(2) / (r.getLong(3) * 1000000.0)))
-        (clId, dim.sortBy(_._1).map(_._2).toSeq)
-      }.sortBy(_._1)
+      cents = sums.map { r =>
+        val n = r.getLong(2)
+        (r.getInt(0), r.getSeq[Long](1).map(_ / (n * 1000000.0)))
+      }.toSeq.sortBy(_._1)
     }
     (withAssign(e, cents).select(col("__id"), col("__cl"), col("__d")), cents)
   }
@@ -170,15 +197,14 @@ object Clustering {
       .withColumn("__cc", VecOps.vecDot(col("__c"), col("__c")))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val sums = assign(cents)
-        .select(col("__cl"), posexplode(col("__v")).as(Seq("__d", "__x")))
-        .groupBy("__cl", "__d")
-        .agg(sum(scaled(col("__x"))).as("__sq"), count(lit(1)).as("__n"))
-      cents = sums
+      // same vec_sum_scaled kernel as the literal path: k array rows
+      // shuffle, centroids derived without ever leaving the cluster
+      cents = assign(cents)
         .groupBy("__cl")
-        .agg(array_sort(collect_list(struct(col("__d"),
-          (col("__sq") / (col("__n") * 1000000.0)).as("__x")))).as("__a"))
-        .select(col("__cl"), transform(col("__a"), p => p.getField("__x")).as("__c"))
+        .agg(graft.functions.VecAgg.vecSumScaled(col("__v")).as("__sums"),
+          count(lit(1)).as("__n"))
+        .select(col("__cl"),
+          expr("transform(__sums, s -> s / (__n * 1000000.0D))").as("__c"))
         .withColumn("__cc", VecOps.vecDot(col("__c"), col("__c")))
         .localCheckpoint()
     }
@@ -208,10 +234,22 @@ object Clustering {
     * operator went 2.9s → 30.1s for 10x data before the preamble).
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-                    k: Int, iters: Int, threshold: Double): DataFrame = {
+                    k: Int, iters: Int, threshold: Double): DataFrame =
+    dropPass(emb, idCol, vecCol, kmeans(emb, idCol, vecCol, k, iters)._1, threshold)
+
+  /** SemDeDup with the corpus-adaptive k rule ([[kmeansAdaptive]]) — the
+    * production form: blocking grows with the corpus, so within-cluster
+    * pairing stays ~linear overall.
+    */
+  def semanticDedupAdaptive(emb: DataFrame, idCol: String, vecCol: String,
+                            iters: Int, threshold: Double, minK: Int = 8): DataFrame =
+    dropPass(emb, idCol, vecCol,
+      kmeansAdaptive(emb, idCol, vecCol, iters, minK)._1, threshold)
+
+  private def dropPass(emb: DataFrame, idCol: String, vecCol: String,
+                       assign: DataFrame, threshold: Double): DataFrame = {
     require(threshold <= 1.0,
       "semanticDedup: threshold > 1 breaks the identical-vector fast path")
-    val (assign, _) = kmeans(emb, idCol, vecCol, k, iters)
     val a = assign.select(col(idCol).as("__id"), col("cluster"))
     val vecs = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     // one row per distinct (cluster, vector): min-id rep + all member ids

@@ -139,6 +139,33 @@ class CurationSpec extends AnyFunSuite {
     assert(cl == cf)
   }
 
+  test("vec_sum_scaled kernel: scaledLong tracks Spark's round() on half/edge cases") {
+    // the kernel's rounding must be indistinguishable from the
+    // round(x*1e6)+cast the oracle SQL uses — decimal-string HALF_UP,
+    // including the values where float +0.5 tricks go wrong
+    val xs = Seq(0.5, -0.5, 1.5, -1.5, 2.675, -2.675, 0.49999999999999994,
+      -0.49999999999999994, 1e-7, -1e-7, 123456.789012, -123456.789012, 0.0)
+    val viaSpark = xs.toDF("x")
+      .select(round(col("x") * 1000000.0).cast("long")).as[Long].collect().toSeq
+    val viaKernel = xs.map(x => graft.functions.VecAgg.scaledLong(x * 1000000.0))
+    assert(viaKernel == viaSpark)
+  }
+
+  test("vec_sum_scaled aggregate equals the posexplode+sum formulation") {
+    val rnd = new scala.util.Random(13)
+    val data = (0L until 200L).map(i => (i % 7, Seq.fill(5)(rnd.nextDouble() * 2 - 1)))
+      .toDF("g", "v")
+    val viaKernel = data.groupBy("g")
+      .agg(graft.functions.VecAgg.vecSumScaled(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaExplode = data
+      .select(col("g"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("g", "d").agg(sum(round(col("x") * 1000000.0).cast("long")).as("s"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (g, rows) => g -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(viaKernel == viaExplode)
+  }
+
   test("adaptiveK follows the sqrt build rule with a floor") {
     assert(Clustering.adaptiveK(0) == 8)
     assert(Clustering.adaptiveK(63) == 8)
@@ -146,6 +173,16 @@ class CurationSpec extends AnyFunSuite {
     assert(Clustering.adaptiveK(100) == 10)
     assert(Clustering.adaptiveK(1000000) == 1000)
     assert(Clustering.adaptiveK(1000001) == 1001)
+  }
+
+  test("kmeans survives total collapse to one cluster (least() single-arg guard)") {
+    // every vector identical: after iteration 1 only cluster 0 survives;
+    // the next assignment runs against a single centroid and must not
+    // throw (Spark's least() requires >1 args)
+    val data = vecDf((0L until 6L).map(i => (i, Seq(1.0, 2.0))))
+    val (assign, cents) = Clustering.kmeans(data, "vec_id", "v", 3, 2)
+    assert(cents.map(_._1) == Seq(0))
+    assert(assign.select("cluster").as[Int].collect().toSet == Set(0))
   }
 
   test("kmeans drops emptied clusters instead of carrying stale centroids") {
