@@ -46,7 +46,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
 final class Daemon(val store: MetricStore, cacheRetention: Long, waitTime: Long,
                    checkpoint: String, linePort: Int = 0, httpPort: Int = 0,
                    nowFn: () => Long = () => System.currentTimeMillis() / 1000,
-                   instr: Option[Instrumentation] = None)
+                   instr: Option[Instrumentation] = None,
+                   metricInterval: Long = 60L)
                   (implicit spark: SparkSession) {
 
   val hot = new HotCache(store, cacheRetention, waitTime)
@@ -72,8 +73,35 @@ final class Daemon(val store: MetricStore, cacheRetention: Long, waitTime: Long,
     val t = new Thread(() => acceptLoop(), "graft-line-listener")
     t.setDaemon(true)
     t.start()
+    // self-metrics loop (the reference's InstrumentationService: a
+    // LoopingCall draining counters every RUROUNI_METRIC_INTERVAL,
+    // rurouni/state/instrumentation.py:115-130): drained stats re-enter as
+    // ordinary line-protocol points through the SAME ingest stream — no
+    // second writer races the micro-batch, the engine monitors itself
+    // with itself
+    instr.foreach { _ =>
+      val m = new Thread(() => {
+        while (running) {
+          try Thread.sleep(metricInterval * 1000L)
+          catch { case _: InterruptedException => () }
+          if (running) recordSelfMetrics()
+        }
+      }, "graft-self-metrics")
+      m.setDaemon(true)
+      m.start()
+    }
     (listener.getLocalPort, httpServer.start())
   }
+
+  /** Drain instrumentation counters into the ingest stream as
+    * `rurouni.<host>.<instance>.<stat>` points (cache_record,
+    * rurouni/state/instrumentation.py:105-113). Public so ops probes and
+    * tests can force a deterministic drain between intervals.
+    */
+  def recordSelfMetrics(): Unit =
+    instr.foreach(_.drain(nowFn()).foreach { case (metric, ts, value, _) =>
+      mem.addData(s"$metric $value $ts")
+    })
 
   private def acceptLoop(): Unit =
     while (running) {
@@ -119,6 +147,7 @@ final class Daemon(val store: MetricStore, cacheRetention: Long, waitTime: Long,
     if (!running) return
     running = false
     listener.close()
+    recordSelfMetrics() // tail counters ride the final micro-batch
     ingest.processAllAvailable()
     ingest.stop()
     hot.flushAll(nowFn())
