@@ -134,18 +134,23 @@ object CurationQueries {
       KmeansIters, KmeansMinK)._1.orderBy("vec_id")
 
   /** The unrolled-iteration oracle: generated from the same constants; one
-    * CTE block per Lloyd iteration, then the final assignment.
+    * CTE block per Lloyd iteration, then the final assignment. Iterations
+    * run over the CANONICAL `ec` table (one row per distinct vector with
+    * its multiplicity) with cnt-weighted sums — exactly the Spark
+    * implementation's shape, and exactly equal to iterating every copy:
+    * `round(x·1e6)·cnt` = the sum of cnt copies of the rounded integer.
     */
   private def kmeansIterCtes(it: Int, prev: String): String =
-    s"""d$it AS (SELECT ev.vec_id, c.cl,
-       |  ev.vv - 2.0 * list_inner_product(ev.v, c.c) + list_inner_product(c.c, c.c) AS d
-       |  FROM ev CROSS JOIN $prev c),
-       |a$it AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM d$it) WHERE rn = 1),
-       |x$it AS (SELECT a$it.cl, unnest(range(len(ev.v))) AS i, unnest(ev.v) AS x
-       |  FROM a$it JOIN ev USING (vec_id)),
-       |s$it AS (SELECT cl, i, SUM(CAST(round(x * 1000000.0) AS BIGINT)) AS sq,
-       |    CAST(COUNT(*) AS BIGINT) AS n FROM x$it GROUP BY 1, 2),
+    s"""d$it AS (SELECT ecv.rep, ecv.cnt, c.cl,
+       |  ecv.vv - 2.0 * list_inner_product(ecv.v, c.c) + list_inner_product(c.c, c.c) AS d
+       |  FROM ecv CROSS JOIN $prev c),
+       |a$it AS (SELECT rep, cnt, cl FROM (SELECT rep, cnt, cl,
+       |    row_number() OVER (PARTITION BY rep ORDER BY d, cl) AS rn FROM d$it) WHERE rn = 1),
+       |x$it AS (SELECT a$it.cl, a$it.cnt, unnest(range(len(ec.v))) AS i, unnest(ec.v) AS x
+       |  FROM a$it JOIN ec USING (rep)),
+       |s$it AS (SELECT cl, i,
+       |    CAST(SUM(CAST(round(x * 1000000.0) AS BIGINT) * cnt) AS BIGINT) AS sq,
+       |    CAST(SUM(cnt) AS BIGINT) AS n FROM x$it GROUP BY 1, 2),
        |c$it AS (SELECT cl, list(sq / (n * 1000000.0) ORDER BY i) AS c FROM s$it GROUP BY cl)""".stripMargin
 
   private val kmeansPrefixSql: String = {
@@ -153,11 +158,16 @@ object CurationQueries {
       .map(it => kmeansIterCtes(it, s"c${it - 1}")).mkString(",\n")
     // kk mirrors Clustering.adaptiveK: k = max(minK, ceil(sqrt(#distinct
     // vectors))) — data-derived in BOTH engines, so the blocking matches at
-    // any scale factor without regenerating the SQL
+    // any scale factor without regenerating the SQL. Initialization stays
+    // over the FULL corpus e (duplicated seed ids give twin centroids,
+    // matching the Spark init rule).
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |ev AS (SELECT vec_id, v, list_inner_product(v, v) AS vv FROM e),
+       |ec AS MATERIALIZED (SELECT MIN(vec_id) AS rep, v, CAST(COUNT(*) AS BIGINT) AS cnt
+       |      FROM e GROUP BY v),
+       |ecv AS (SELECT rep, v, cnt, list_inner_product(v, v) AS vv FROM ec),
        |kk AS (SELECT GREATEST($KmeansMinK,
-       |         CAST(ceil(sqrt(CAST(COUNT(DISTINCT v) AS DOUBLE))) AS INT)) AS k FROM e),
+       |         CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS INT)) AS k FROM ec),
        |c0 AS (SELECT CAST(rn - 1 AS INT) AS cl, v AS c
        |       FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
        |       CROSS JOIN kk WHERE rn <= kk.k),

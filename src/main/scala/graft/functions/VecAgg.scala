@@ -38,6 +38,17 @@ object VecAgg {
     ColumnBridge.column(
       VecSumAggExpr(ColumnBridge.expression(v)).toAggregateExpression())
 
+  /** Weighted form: each vector contributes `round(x_i*1e6) * weight` —
+    * EXACTLY the sum of `weight` copies (integer multiplication distributes
+    * over the rounded value), which is what lets k-means run over
+    * canonicalized distinct vectors with multiplicities and stay
+    * bit-identical to the all-copies run.
+    */
+  def vecSumScaledWeighted(v: Column, weight: Column): Column =
+    ColumnBridge.column(
+      VecSumAggExpr(ColumnBridge.expression(v),
+        Some(ColumnBridge.expression(weight))).toAggregateExpression())
+
   /** Exactly Spark's round(x, 0) for doubles (decimal-string HALF_UP =
     * half away from zero), then the long cast — must stay in lockstep with
     * the `round(x * 1000000.0)` the DuckDB k-means oracles use; pinned
@@ -49,21 +60,22 @@ object VecAgg {
 }
 
 case class VecSumAggExpr(child: Expression,
+                         weight: Option[Expression] = None,
                          mutableAggBufferOffset: Int = 0,
                          inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = child +: weight.toSeq
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(DoubleType, _) =>
+    (child.dataType, weight.map(_.dataType)) match {
+      case (ArrayType(DoubleType, _), None | Some(LongType)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"vec_sum_scaled requires array<double> input, got $other")
+          s"vec_sum_scaled requires (array<double>[, bigint weight]), got $other")
     }
 
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
@@ -76,12 +88,17 @@ case class VecSumAggExpr(child: Expression,
     val v = child.eval(input)
     if (v == null) buffer
     else {
+      val w = weight.map(_.eval(input)) match {
+        case Some(null) => return buffer // null weight: contributes nothing
+        case Some(x) => x.asInstanceOf[Long]
+        case None => 1L
+      }
       val a = v.asInstanceOf[ArrayData]
       val n = a.numElements()
       val b = grown(buffer, n)
       var i = 0
       while (i < n) {
-        if (!a.isNullAt(i)) b(i) += VecAgg.scaledLong(a.getDouble(i) * 1000000.0)
+        if (!a.isNullAt(i)) b(i) += VecAgg.scaledLong(a.getDouble(i) * 1000000.0) * w
         i += 1
       }
       b
@@ -113,7 +130,8 @@ case class VecSumAggExpr(child: Expression,
   override def withNewInputAggBufferOffset(newOffset: Int): VecSumAggExpr =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren.head)
+    copy(child = newChildren.head,
+      weight = if (newChildren.length > 1) Some(newChildren(1)) else None)
 
   override def prettyName: String = "vec_sum_scaled"
 }

@@ -66,21 +66,23 @@ object Clustering {
     * 10x slowdown once the corpus-adaptive rule pushed k to 71 at sf0.1.
     * Output columns: `__cl` (cluster), `__d` (squared distance).
     */
-  private def withAssign(e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+  private def withAssign(e: DataFrame, cents: Seq[(Int, Seq[Double])],
+                         carry: Seq[String] = Nil): DataFrame = {
     val dcols = cents.map { case (id, c) =>
       distSq(col("__vv"), col("__v"), c).as(s"__dist$id") }
     val ds = cents.map { case (id, _) => (id, col(s"__dist$id")) }
     // least() rejects a single argument — a corpus that collapses to one
     // surviving cluster must still assign, not throw
     val best = if (ds.size == 1) ds.head._2 else least(ds.map(_._2): _*)
-    val staged = e.select(col("__id") +: col("__v") +: dcols: _*)
+    val staged = e.select(col("__id") +: col("__v") +: carry.map(col) ++: dcols: _*)
       .withColumn("__d", best)
     // nested CASE with the smallest cluster id as the OUTERMOST branch, so
     // the first (smallest id) match wins on exact-distance ties
     val cl = ds.reverse.foldLeft(lit(ds.last._1)) { case (acc, (id, d)) =>
       when(d === col("__d"), id).otherwise(acc)
     }
-    staged.select(col("__id"), col("__v"), cl.as("__cl"), col("__d"))
+    staged.select(col("__id") +: col("__v") +: carry.map(col) ++:
+      Seq(cl.as("__cl"), col("__d")): _*)
   }
 
   // scaled numerators (round(x * 1e6) as BIGINT, half away from zero in
@@ -96,16 +98,62 @@ object Clustering {
     finishKmeans(e, idCol, k, iters, useFrame = k > LiteralAssignMax)
   }
 
-  /** Corpus-adaptive k-means: k = [[adaptiveK]] of the DISTINCT-vector
-    * count, computed on the already-cached corpus frame — one in-memory
-    * distinct instead of the second full source scan a caller-side count
-    * would pay.
+  /** Corpus-adaptive k-means over CANONICALIZED vectors: exact duplicates
+    * collapse to one weighted row before any Lloyd work, so iterations and
+    * assignment cost O(distinct vectors), not O(rows) — on a heavily
+    * duplicated corpus (the web-crawl norm, and exactly the 10x
+    * duplication-stress corpus) the clustering cost stops growing with the
+    * copy count. Results are BIT-IDENTICAL to running over every copy:
+    * `round(x·1e6) · cnt` equals the sum of cnt copies of the rounded
+    * integer exactly, the weighted member count matches, initialization
+    * still takes the k smallest FULL-corpus ids (twin centroids from
+    * duplicated seeds included), and every copy inherits its rep's
+    * assignment — pinned by spec against the explicit-k all-copies run.
+    * k = [[adaptiveK]] of the canonical row count (no separate distinct
+    * scan).
     */
   def kmeansAdaptive(emb: DataFrame, idCol: String, vecCol: String, iters: Int,
                      minK: Int = 8): (DataFrame, Seq[(Int, Seq[Double])]) = {
-    val e = buildCorpus(emb, idCol, vecCol)
-    val k = adaptiveK(e.select(col("__v")).distinct().count(), minK)
-    finishKmeans(e, idCol, k, iters, useFrame = k > LiteralAssignMax)
+    val (out, cents, repFrame) = kmeansCanonical(emb, idCol, vecCol, iters, minK)
+    repFrame.unpersist()
+    (out, cents)
+  }
+
+  /** Canonical weighted run; also returns the rep-level frame
+    * (cluster, __rep, __v, __members), CACHED — callers that don't need it
+    * must unpersist it ([[kmeansAdaptive]]), [[semanticDedupAdaptive]]
+    * reuses it as its pairing groups.
+    */
+  private def kmeansCanonical(emb: DataFrame, idCol: String, vecCol: String,
+                              iters: Int, minK: Int)
+      : (DataFrame, Seq[(Int, Seq[Double])], DataFrame) = {
+    val full = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val canon = full.groupBy("__v")
+      .agg(min(col("__id")).as("__rep"), count(lit(1)).as("__cnt"),
+        collect_list(col("__id")).as("__members"))
+      .cache()
+    val k = adaptiveK(canon.count(), minK)
+    val ew = canon.select(col("__rep").as("__id"), col("__v"), col("__cnt"))
+      .withColumn("__vv", VecOps.vecDot(col("__v"), col("__v")))
+    // init = the k smallest ids of the FULL corpus (copies included), same
+    // rule as the unweighted path; limit-k plans a TakeOrdered, no full sort
+    val initFrom = canon.select(explode(col("__members")).as("__id"), col("__v"))
+    val (assignRep, cents) =
+      if (k > LiteralAssignMax) kmeansFrame(ew, k, iters, weighted = true, initFrom)
+      else kmeansLiteral(ew, k, iters, weighted = true, initFrom)
+    val chkRep = assignRep.select(col("__id").as("__rep"), col("__cl"), col("__d"))
+      .localCheckpoint()
+    val perId = chkRep.join(canon.select(col("__rep"), col("__members")), "__rep")
+      .select(explode(col("__members")).as(idCol), col("__cl").as("cluster"),
+        round(col("__d"), 6).as("dist2"))
+      .localCheckpoint()
+    val repFrame = chkRep.join(
+        canon.select(col("__rep"), col("__v"), col("__members")), "__rep")
+      .select(col("__cl").as("cluster"), col("__rep"), col("__v"), col("__members"))
+      .cache()
+    repFrame.count() // materialize before releasing canon
+    canon.unpersist()
+    (perId, cents, repFrame)
   }
 
   /** `useFrame` exposed for the spec that pins literal- and frame-path
@@ -129,8 +177,8 @@ object Clustering {
   private def finishKmeans(e: DataFrame, idCol: String, k: Int, iters: Int,
                            useFrame: Boolean): (DataFrame, Seq[(Int, Seq[Double])]) = {
     val (out, cents) =
-      if (useFrame) kmeansFrame(e, k, iters)
-      else kmeansLiteral(e, k, iters)
+      if (useFrame) kmeansFrame(e, k, iters, weighted = false, e)
+      else kmeansLiteral(e, k, iters, weighted = false, e)
     // the result is slim (id, cluster, dist2): materialize it eagerly so the
     // corpus cache can be released before returning — callers' downstream
     // plans then read the checkpoint, not a re-scan
@@ -140,29 +188,35 @@ object Clustering {
     (result, cents)
   }
 
+  /** Per-cluster centroid numerators: the vec_sum_scaled aggregate kernel —
+    * one pass over each unsafe array, k buffer rows per partition map-side,
+    * so the shuffle is k ARRAY rows (the posexplode+groupBy(cl,dim) form
+    * paid dim hash-agg probes per vector). Weighted rows multiply each
+    * rounded element by `__cnt` — exactly the sum over that many copies.
+    */
+  private def clusterSums(assigned: DataFrame, weighted: Boolean): DataFrame =
+    assigned.groupBy("__cl").agg(
+      (if (weighted)
+        graft.functions.VecAgg.vecSumScaledWeighted(col("__v"), col("__cnt"))
+      else graft.functions.VecAgg.vecSumScaled(col("__v"))).as("__sums"),
+      (if (weighted) sum(col("__cnt")) else count(lit(1))).as("__n"))
+
   /** Small-k path: centroids as driver literals, assignment is ONE narrow
     * codegen'd projection, per-iteration centroid sums collected (k·dim
-    * rows, bounded).
+    * values, bounded). `initFrom` supplies the init vectors — the corpus
+    * itself, or the exploded full-id view of a canonicalized corpus.
     */
-  private def kmeansLiteral(e: DataFrame, k: Int, iters: Int)
+  private def kmeansLiteral(e: DataFrame, k: Int, iters: Int,
+                            weighted: Boolean, initFrom: DataFrame)
       : (DataFrame, Seq[(Int, Seq[Double])]) = {
+    val carry = if (weighted) Seq("__cnt") else Nil
     // init: the k smallest-id vectors, cluster id = rank (0-based). A tiny
     // bounded driver collect, same as any broadcast dimension table.
-    var cents: Seq[(Int, Seq[Double])] = e.orderBy("__id").limit(k)
+    var cents: Seq[(Int, Seq[Double])] = initFrom.orderBy("__id").limit(k)
       .select("__v").collect().toSeq.zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0)) }
     for (_ <- 1 to iters) {
-      // exact per-cluster numerators via the vec_sum_scaled aggregate
-      // kernel: one pass over each unsafe array, k buffer rows per
-      // partition map-side, so the shuffle is k ARRAY rows (the
-      // posexplode+groupBy(cl,dim) form paid dim hash-agg probes per
-      // vector — the dominant linear cost of an iteration once
-      // assignment is O(k·dim))
-      val sums = withAssign(e, cents)
-        .groupBy("__cl")
-        .agg(graft.functions.VecAgg.vecSumScaled(col("__v")).as("__sums"),
-          count(lit(1)).as("__n"))
-        .collect()
+      val sums = clusterSums(withAssign(e, cents, carry), weighted).collect()
       cents = sums.map { r =>
         val n = r.getLong(2)
         (r.getInt(0), r.getSeq[Long](1).map(_ / (n * 1000000.0)))
@@ -178,37 +232,40 @@ object Clustering {
     * same `sum / (n * 1e6)` double division, same left-to-right dot fold,
     * and min(struct(dist, cl)) reproduces the smallest-id tie-break.
     */
-  private def kmeansFrame(e: DataFrame, k: Int, iters: Int)
+  private def kmeansFrame(e: DataFrame, k: Int, iters: Int,
+                          weighted: Boolean, initFrom: DataFrame)
       : (DataFrame, Seq[(Int, Seq[Double])]) = {
-    def assign(cents: DataFrame): DataFrame = {
+    def assign(cents: DataFrame, withCnt: Boolean): DataFrame = {
       val d = col("__vv") - lit(2.0) * VecOps.vecDot(col("__v"), col("__c")) + col("__cc")
       // crossJoin(broadcast) fans k rows per vector, but partial aggregation
       // collapses them map-side: the shuffle is one slim row per vector
-      e.crossJoin(broadcast(cents))
-        .select(col("__id"), col("__v"), struct(d.as("__d"), col("__cl")).as("__s"))
-        .groupBy("__id")
-        .agg(min(col("__s")).as("__m"), first(col("__v")).as("__v"))
-        .select(col("__id"), col("__v"),
-          col("__m.__cl").as("__cl"), col("__m.__d").as("__d"))
+      val fanned = e.crossJoin(broadcast(cents))
+        .select(col("__id") +: col("__v") +:
+          (if (withCnt) Seq(col("__cnt")) else Nil) ++:
+          Seq(struct(d.as("__d"), col("__cl")).as("__s")): _*)
+      val aggs = Seq(first(col("__v")).as("__v")) ++
+        (if (withCnt) Seq(first(col("__cnt")).as("__cnt")) else Nil)
+      fanned.groupBy("__id")
+        .agg(min(col("__s")).as("__m"), aggs: _*)
+        .select(col("__id") +: col("__v") +:
+          (if (withCnt) Seq(col("__cnt")) else Nil) ++:
+          Seq(col("__m.__cl").as("__cl"), col("__m.__d").as("__d")): _*)
     }
     val w = Window.orderBy("__id")
-    var cents = e.orderBy("__id").limit(k)
+    var cents = initFrom.orderBy("__id").limit(k)
       .select((row_number().over(w) - 1).cast("int").as("__cl"), col("__v").as("__c"))
       .withColumn("__cc", VecOps.vecDot(col("__c"), col("__c")))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       // same vec_sum_scaled kernel as the literal path: k array rows
       // shuffle, centroids derived without ever leaving the cluster
-      cents = assign(cents)
-        .groupBy("__cl")
-        .agg(graft.functions.VecAgg.vecSumScaled(col("__v")).as("__sums"),
-          count(lit(1)).as("__n"))
+      cents = clusterSums(assign(cents, weighted), weighted)
         .select(col("__cl"),
           expr("transform(__sums, s -> s / (__n * 1000000.0D))").as("__c"))
         .withColumn("__cc", VecOps.vecDot(col("__c"), col("__c")))
         .localCheckpoint()
     }
-    val fin = assign(cents)
+    val fin = assign(cents, withCnt = false)
     val centsSeq = cents.orderBy("__cl").collect().toSeq
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
     (fin.select(col("__id"), col("__cl"), col("__d")), centsSeq)
@@ -239,12 +296,36 @@ object Clustering {
 
   /** SemDeDup with the corpus-adaptive k rule ([[kmeansAdaptive]]) — the
     * production form: blocking grows with the corpus, so within-cluster
-    * pairing stays ~linear overall.
+    * pairing stays ~linear overall. Reuses the canonical run's rep-level
+    * frame directly as the pairing groups (one row per distinct vector
+    * with its cluster, min-id rep and member list — exactly what
+    * [[dropPass]] rebuilds with a second vector shuffle for the
+    * explicit-k path), so the whole operator does ONE groupBy over the
+    * vectors total.
     */
   def semanticDedupAdaptive(emb: DataFrame, idCol: String, vecCol: String,
-                            iters: Int, threshold: Double, minK: Int = 8): DataFrame =
-    dropPass(emb, idCol, vecCol,
-      kmeansAdaptive(emb, idCol, vecCol, iters, minK)._1, threshold)
+                            iters: Int, threshold: Double, minK: Int = 8): DataFrame = {
+    require(threshold <= 1.0,
+      "semanticDedup: threshold > 1 breaks the identical-vector fast path")
+    val (assign, _, repFrame) = kmeansCanonical(emb, idCol, vecCol, iters, minK)
+    val copyDrops = repFrame
+      .select(explode(col("__members")).as("__id"), col("__rep"))
+      .where(col("__id") =!= col("__rep"))
+      .select(col("__id"))
+    val reps = repFrame.select(col("cluster"), col("__rep"), col("__v"))
+    val repDrops = reps.as("l").join(reps.as("r"),
+        col("l.cluster") === col("r.cluster") && col("l.__rep") < col("r.__rep"))
+      .where(round(VecOps.vecDot(col("l.__v"), col("r.__v"))
+        / (VecOps.vecNorm(col("l.__v")) * VecOps.vecNorm(col("r.__v"))), 6)
+        >= threshold)
+      .select(col("r.__rep").as("__id")).distinct()
+    val dropped = copyDrops.unionByName(repDrops).localCheckpoint()
+    repFrame.unpersist()
+    assign.select(col(idCol).as("__id"), col("cluster"))
+      .join(dropped.withColumn("__hit", lit(true)), Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("cluster"),
+        coalesce(col("__hit"), lit(false)).as("dropped"))
+  }
 
   private def dropPass(emb: DataFrame, idCol: String, vecCol: String,
                        assign: DataFrame, threshold: Double): DataFrame = {

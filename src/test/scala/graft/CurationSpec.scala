@@ -166,6 +166,26 @@ class CurationSpec extends AnyFunSuite {
     assert(viaKernel == viaExplode)
   }
 
+  test("canonical weighted kmeans equals the explicit-k all-copies run on a duplicated corpus") {
+    // 40 distinct vectors, each duplicated 1-4x with larger ids, including
+    // duplicates among the k smallest ids (twin-centroid seeds). The
+    // canonical path must reproduce the all-copies run bit-for-bit:
+    // weighted integer sums, full-corpus init, copies inheriting their
+    // rep's assignment.
+    val rnd = new scala.util.Random(23)
+    val base = (0L until 40L).map(i => (i, Seq.fill(4)(rnd.nextDouble() - 0.5)))
+    val copies = base.flatMap { case (i, v) =>
+      (1 to (i % 4).toInt).map(c => (100L + i * 10 + c, v)) }
+    val data = vecDf(base ++ copies)
+    val k = Clustering.adaptiveK(40L) // distinct vectors = 40 -> k = 8
+    val (ae, ce) = Clustering.kmeans(data, "vec_id", "v", k, 2)
+    val (ac, cc) = Clustering.kmeansAdaptive(data, "vec_id", "v", 2)
+    val me = ae.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val mc = ac.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(mc == me)
+    assert(cc == ce)
+  }
+
   test("adaptiveK follows the sqrt build rule with a floor") {
     assert(Clustering.adaptiveK(0) == 8)
     assert(Clustering.adaptiveK(63) == 8)

