@@ -43,11 +43,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * daemon shape runs with the MemoryStream swapped for a Kafka source —
   * `Ingest.start` is source-agnostic — and the listener retired.
   */
+/** @param spoolDir when set, lines are ALSO journaled to this directory
+  *   and the streaming source is Spark's file source over it instead of
+  *   the in-memory stream: the file source checkpoints consumed files, so
+  *   a restarted daemon with the same checkpoint resumes EXACTLY where it
+  *   stopped (the durability MemoryStream cannot give; the same property a
+  *   Kafka source provides in a full deployment). The TCP listener then
+  *   plays the role of the journal writer.
+  */
 final class Daemon(val store: MetricStore, cacheRetention: Long, waitTime: Long,
                    checkpoint: String, linePort: Int = 0, httpPort: Int = 0,
                    nowFn: () => Long = () => System.currentTimeMillis() / 1000,
                    instr: Option[Instrumentation] = None,
-                   metricInterval: Long = 60L)
+                   metricInterval: Long = 60L,
+                   spoolDir: Option[String] = None)
                   (implicit spark: SparkSession) {
 
   val hot = new HotCache(store, cacheRetention, waitTime)
@@ -65,9 +74,15 @@ final class Daemon(val store: MetricStore, cacheRetention: Long, waitTime: Long,
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     implicit val enc: org.apache.spark.sql.Encoder[String] =
       org.apache.spark.sql.Encoders.STRING
-    mem = MemoryStream[String]
-    ingest = Ingest.start(mem.toDF().withColumnRenamed("value", "line"),
-      hot, checkpoint, nowFn, instr)
+    val lines = spoolDir match {
+      case Some(dir) =>
+        new java.io.File(dir).mkdirs()
+        spark.readStream.text(dir).withColumnRenamed("value", "line")
+      case None =>
+        mem = MemoryStream[String]
+        mem.toDF().withColumnRenamed("value", "line")
+    }
+    ingest = Ingest.start(lines, hot, checkpoint, nowFn, instr)
     listener = new ServerSocket(linePort, 64, InetAddress.getByName("127.0.0.1"))
     running = true
     val t = new Thread(() => acceptLoop(), "graft-line-listener")
@@ -99,9 +114,10 @@ final class Daemon(val store: MetricStore, cacheRetention: Long, waitTime: Long,
     * tests can force a deterministic drain between intervals.
     */
   def recordSelfMetrics(): Unit =
-    instr.foreach(_.drain(nowFn()).foreach { case (metric, ts, value, _) =>
-      mem.addData(s"$metric $value $ts")
-    })
+    instr.foreach { ins =>
+      enqueue(ins.drain(nowFn()).map { case (metric, ts, value, _) =>
+        s"$metric $value $ts" })
+    }
 
   private def acceptLoop(): Unit =
     while (running) {
@@ -115,22 +131,52 @@ final class Daemon(val store: MetricStore, cacheRetention: Long, waitTime: Long,
       }
     }
 
+  private val spoolSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Hand a batch of raw lines to the stream: straight into the
+    * MemoryStream, or — in spool mode — as one atomically-renamed closed
+    * file (the file source only picks up NEW files, so append-in-place
+    * would silently lose lines; nanoTime+seq in the name keeps restarted
+    * daemons from colliding with already-checkpointed file names).
+    */
+  private def enqueue(batch: Seq[String]): Unit =
+    if (batch.nonEmpty) spoolDir match {
+      case None => batch.foreach(mem.addData(_))
+      case Some(dir) =>
+        val name = s"batch-${System.nanoTime()}-${spoolSeq.incrementAndGet()}"
+        val tmp = new java.io.File(dir, s".$name.tmp")
+        java.nio.file.Files.write(tmp.toPath,
+          batch.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+        if (!tmp.renameTo(new java.io.File(dir, s"$name.txt")))
+          throw new java.io.IOException(s"spool rename failed for $name")
+    }
+
   /** One client connection: newline-delimited `"metric value timestamp"`
     * lines enqueue raw — validation happens in the distributed parse
     * (malformed lines drop there, never kill the stream or the socket).
+    * In spool mode lines batch per connection (flushed every SpoolBatch
+    * lines and at EOF).
     */
   private def handleConn(sock: Socket): Unit = {
+    val SpoolBatch = 1000
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       val rd = new BufferedReader(
         new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
       var line = rd.readLine()
       while (line != null && running) {
-        if (line.nonEmpty) mem.addData(line)
+        if (line.nonEmpty) {
+          buf += line
+          if (buf.length >= SpoolBatch) { enqueue(buf.toSeq); buf.clear() }
+        }
         line = rd.readLine()
       }
     } catch {
       case _: java.io.IOException => () // client went away: drop the conn
-    } finally sock.close()
+    } finally {
+      enqueue(buf.toSeq)
+      sock.close()
+    }
   }
 
   /** Deterministic drain for tests and ops probes: block until every line
@@ -186,7 +232,10 @@ object Daemon {
     val instr = new Instrumentation()
     val daemon = new Daemon(store, cacheRetention = schema.cacheRetention,
       waitTime = 10L, checkpoint = s"$root/_checkpoint",
-      linePort = linePort, httpPort = httpPort, instr = Some(instr))
+      linePort = linePort, httpPort = httpPort, instr = Some(instr),
+      // production default: journal through the spool so a restart resumes
+      // from the checkpoint instead of losing buffered lines
+      spoolDir = Some(s"$root/_spool"))
     val (lp, hp) = daemon.start()
     // scalastyle:off println
     println(s"graft-daemon: lines on 127.0.0.1:$lp, http on 127.0.0.1:$hp, root=$root")
