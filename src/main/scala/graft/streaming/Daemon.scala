@@ -82,7 +82,9 @@ final class Daemon(val store: MetricStore, cacheRetention: Long, waitTime: Long,
         mem = MemoryStream[String]
         mem.toDF().withColumnRenamed("value", "line")
     }
-    ingest = Ingest.start(lines, hot, checkpoint, nowFn, instr)
+    // mixed protocol: plain "metric value ts" lines AND JSON-array frames
+    // (the pickle-receiver analog) on the same port, one stream, one writer
+    ingest = Ingest.startMixed(lines, hot, checkpoint, nowFn, instr)
     listener = new ServerSocket(linePort, 64, InetAddress.getByName("127.0.0.1"))
     running = true
     val t = new Thread(() => acceptLoop(), "graft-line-listener")

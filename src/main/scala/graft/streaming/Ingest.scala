@@ -133,6 +133,30 @@ object Ingest {
                   instr: Option[Instrumentation] = None)(implicit spark: SparkSession): StreamingQuery =
     startWith(frames, hot, checkpoint, nowFn, instr, parseFrames, malformedFrameCount)
 
+  /** Mixed-protocol ingest: ONE stream carrying both newline line-protocol
+    * records and JSON-array frames (a row starting with `[` is a frame).
+    * The reference daemon runs its line and pickle receivers side by side
+    * into one cache (rurouni/service.py:31-45); funneling both through one
+    * stream keeps the single-writer discipline — two streaming queries
+    * would race their micro-batches on the hot table.
+    */
+  def startMixed(src: DataFrame, hot: HotCache, checkpoint: String,
+                 nowFn: () => Long = () => System.currentTimeMillis() / 1000,
+                 instr: Option[Instrumentation] = None)(implicit spark: SparkSession): StreamingQuery =
+    startWith(src, hot, checkpoint, nowFn, instr, parseMixed, malformedMixedCount)
+
+  private def isFrame: Column = trim(col("line")).startsWith("[")
+
+  /** Lines parse as line protocol; `[`-prefixed rows parse as JSON frames. */
+  def parseMixed(src: DataFrame): DataFrame =
+    parseLines(src.where(!isFrame))
+      .unionByName(parseFrames(src.where(isFrame)
+        .select(trim(col("line")).as("frame"))))
+
+  def malformedMixedCount(src: DataFrame): Long =
+    malformedCount(src.where(!isFrame)) +
+      malformedFrameCount(src.where(isFrame).select(trim(col("line")).as("frame")))
+
   private def startWith(src: DataFrame, hot: HotCache, checkpoint: String,
                         nowFn: () => Long, instr: Option[Instrumentation],
                         parse: DataFrame => DataFrame,

@@ -80,6 +80,9 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"sys.cpu.a 0.75 ${Now - 40}",       // recent -> hot cache
         s"sys.cpu.a 0.25 ${Now - 500}",      // below boundary -> straggler, store
         s"sys.mem.b 123 ${Now - 20}",        // second metric
+        // a JSON-array frame on the same socket (the pickle-receiver
+        // analog): mixed protocol, one stream
+        s"""[{"metric":"sys.net.c","ts":${Now - 20},"value":7.5}]""",
         "garbage line with too many fields 1 2 3",
         "sys.bad notanumber 1700000000"))    // malformed: dropped, not fatal
       drainUntil(d) {
@@ -101,6 +104,8 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
       // malformed lines were dropped without killing the stream: the good
       // second metric made it
       assert(httpGet(httpPort, "/query?metric=sys.mem.b").contains(s"[${Now - 20},123.0]"))
+      // the frame's point arrived through the same stream
+      assert(httpGet(httpPort, "/query?metric=sys.net.c").contains(s"[${Now - 20},7.5]"))
     } finally d.stop()
     // shutdown flush: EVERY cached slot is now in the store, none lost
     val afterStop = d.store.fetch(Some("sys.cpu.a"), Now - 600, Now, Now)

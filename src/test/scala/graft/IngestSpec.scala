@@ -48,6 +48,21 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Ingest.malformedCount(lines) == 3)
   }
 
+  test("parseMixed routes line-protocol rows and JSON frames through one stream") {
+    val rows = Seq(
+      "sys.a 1.5 1700000000",
+      """  [{"metric":"sys.b","ts":1700000010,"value":2.5},
+        |   {"metric":"sys.c","ts":1700000020,"value":3.5}]""".stripMargin.replace("\n", ""),
+      "not a frame [",
+      """[{"broken json""").toDF("line")
+    val got = Ingest.parseMixed(rows)
+      .select("metric", "ts", "value").as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("sys.a", 1700000000L, 1.5),
+      ("sys.b", 1700000010L, 2.5), ("sys.c", 1700000020L, 3.5)))
+    // malformed on both sides counted: the bad line AND the broken frame
+    assert(Ingest.malformedMixedCount(rows) == 2)
+  }
+
   test("overflow-class timestamps drop as malformed instead of killing the stream (ANSI)") {
     val lines = Seq(
       "m 1.0 1700000000",        // fine
