@@ -130,6 +130,44 @@ class ScalePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedupAdaptive agrees with the naive within-cluster reference (4 seeds)") {
+    import graft.operators.Clustering
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 } // left-to-right, as VecOps
+      s
+    }
+    val th = 0.9
+    (1L to 4L).foreach { seed =>
+      val vecGen = for {
+        n <- Gen.chooseNum(25, 60)
+        vs <- Gen.listOfN(n, Gen.listOfN(4, Gen.chooseNum(-100, 100).map(_ / 37.0)))
+      } yield vs
+      val base = gen(vecGen, seed).zipWithIndex.map { case (v, i) => (i.toLong, v: Seq[Double]) }
+      // force exact duplicates with larger ids (the canonicalization path)
+      val data = base ++ base.take(6).map { case (i, v) => (1000L + i, v) }
+      val df = data.toDF("vec_id", "v")
+      val got = Clustering.semanticDedupAdaptive(df, "vec_id", "v", 2, th)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+      // reference: trusted assignment (pinned by its own specs), then naive
+      // all-pairs within-cluster check — id drops iff ANY smaller id in its
+      // cluster is a rounded-cosine near-dup
+      val cl = Clustering.kmeansAdaptive(df, "vec_id", "v", 2)._1
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val byId = data.toMap
+      data.foreach { case (id, v) =>
+        val expDropped = data.exists { case (id2, v2) =>
+          id2 < id && cl(id2) == cl(id) &&
+            round6(dot(v, v2) / (math.sqrt(dot(v, v)) * math.sqrt(dot(v2, v2)))) >= th
+        }
+        assert(got(id) == ((cl(id), expDropped)),
+          s"seed=$seed id=$id got=${got(id)} expected=(${cl(id)}, $expDropped) v=${byId(id)}")
+      }
+    }
+  }
+
   test("pagerank is invariant to edge-list order and partitioning (3 seeds)") {
     (1L to 3L).foreach { seed =>
       val edges = gen(graphGen, seed)
