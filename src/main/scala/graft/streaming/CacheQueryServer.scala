@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   *    MetricCache.get);
   *  - `GET /fetch?metric=m&from=a&until=b&now=c` — the full merged
   *    hot ∪ historical read through HotCache.fetchMerged (the web-side
-  *    merge the reference does in its graphite handler).
+  *    merge the reference does in its graphite handler);
+  *  - `GET /list?prefix=p&limit=n` — series discovery (the graphite-web
+  *    `/metrics/find` analog): catalog-backed when the store has one
+  *    (registered-but-silent series list too), else the distinct metrics
+  *    of the hot view. The collect is `limit`-bounded (default 1000) —
+  *    a catalog can hold millions of series at scale.
   *
   * Response: `{"metric":"m","step":s,"datapoints":[[ts,value|null],...]}`
   * ascending by ts. Collecting to the driver is bounded: a hot window is
@@ -37,6 +42,7 @@ final class CacheQueryServer(hot: HotCache, port: Int = 0,
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/query", handler(handleQuery))
     server.createContext("/fetch", handler(handleFetch))
+    server.createContext("/list", handler(handleList))
     server.start()
     server.getAddress.getPort
   }
@@ -93,6 +99,23 @@ final class CacheQueryServer(hot: HotCache, port: Int = 0,
           .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
         (200, jsonSeries(metric, step, rows))
     }
+  }
+
+  private def handleList(p: Map[String, String]): (Int, String) = {
+    val prefix = p.getOrElse("prefix", "")
+    val limit = math.min(p.get("limit").map(_.toInt).getOrElse(1000), 100000)
+    val source = hot.store.catalog match {
+      case Some(c) => c.metrics()
+        .where(col("schema_name") === hot.store.schema.name)
+        .select(col("metric"))
+      case None => hot.hotView().select(col("metric")).distinct()
+    }
+    val names = source
+      .where(col("metric").startsWith(prefix))
+      .orderBy(col("metric"))
+      .limit(limit)
+      .collect().map(_.getString(0))
+    (200, names.map(n => s""""${esc(n)}"""").mkString("""{"metrics":[""", ",", "]}"))
   }
 
   private def esc(s: String): String =

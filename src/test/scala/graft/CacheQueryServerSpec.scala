@@ -94,4 +94,16 @@ class CacheQueryServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val body = CacheQueryCli.query("127.0.0.1", Seq(port), "no.such.metric")
     assert(body.contains("\"datapoints\":[]"))
   }
+
+  test("/list discovers series by prefix, bounded by limit (metrics/find analog)") {
+    def get(path: String): String = {
+      val in = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL.openStream()
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    // no catalog in this fixture: discovery falls back to the hot view
+    assert(get("/list") == """{"metrics":["web.req"]}""")
+    assert(get("/list?prefix=web.") == """{"metrics":["web.req"]}""")
+    assert(get("/list?prefix=db.") == """{"metrics":[]}""")
+    assert(get("/list?prefix=web.&limit=0") == """{"metrics":[]}""")
+  }
 }
