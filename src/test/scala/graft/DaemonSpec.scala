@@ -31,10 +31,15 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
   val Now = 1700000000L // fixed clock: deterministic watermark behavior
   val Step = 10
 
-  def mkDaemon(name: String): Daemon = {
+  def mkDaemon(name: String, withCatalog: Boolean = false): Daemon = {
     val schema = StorageSchema(name, ".*".r, 1.0, AggMethod.Last,
       Seq(Archive(Step, 720), Archive(60, 1440)), 600, 8)
-    val store = new MetricStore(s"$root/$name", schema)
+    val catalog =
+      if (withCatalog)
+        Some(new graft.storage.Catalog(s"$root/$name",
+          new graft.core.StorageSchemas(Seq(schema))))
+      else None
+    val store = new MetricStore(s"$root/$name", schema, catalog)
     // flush boundary = Now - (120 + 30) = Now - 150 (10s-aligned).
     // Checkpoint is unique per daemon instance: a MemoryStream source can't
     // resume another stream's checkpoint (Kafka checkpoints can — that
@@ -72,7 +77,7 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("socket ingest -> hot cache -> HTTP query/fetch -> shutdown flush (e2e)") {
-    val d = mkDaemon("e2e")
+    val d = mkDaemon("e2e", withCatalog = true)
     val (linePort, httpPort) = d.start()
     try {
       send(linePort, Seq(
@@ -106,6 +111,12 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(httpGet(httpPort, "/query?metric=sys.mem.b").contains(s"[${Now - 20},123.0]"))
       // the frame's point arrived through the same stream
       assert(httpGet(httpPort, "/query?metric=sys.net.c").contains(s"[${Now - 20},7.5]"))
+      // catalog-backed series discovery: first-sight registration put every
+      // admitted metric in the catalog, and /list serves it by prefix
+      assert(httpGet(httpPort, "/list?prefix=sys.cpu.") == """{"metrics":["sys.cpu.a"]}""")
+      val all = httpGet(httpPort, "/list")
+      Seq("sys.cpu.a", "sys.mem.b", "sys.net.c").foreach(m =>
+        assert(all.contains(s""""$m""""), s"$m missing from $all"))
     } finally d.stop()
     // shutdown flush: EVERY cached slot is now in the store, none lost
     val afterStop = d.store.fetch(Some("sys.cpu.a"), Now - 600, Now, Now)
