@@ -91,15 +91,18 @@ object ScaleQueries {
   }
 
   val snapshotDiffSql: String =
-    """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
+    """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp,
+      |                  1 AS op
       |           FROM orders WHERE o_orderkey % 17 <> 0),
       |n AS (SELECT o_orderkey AS k,
       |             CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS st,
-      |             o_totalprice AS tp
+      |             o_totalprice AS tp, 1 AS np
       |      FROM orders WHERE o_orderkey % 13 <> 0),
       |d AS (SELECT coalesce(o.k, n.k) AS k,
-      |             CASE WHEN o.k IS NULL THEN 'insert'
-      |                  WHEN n.k IS NULL THEN 'delete'
+      |             -- presence markers, not key-nullability: a NULL key is
+      |             -- unmatched but its side is still present
+      |             CASE WHEN o.op IS NULL THEN 'insert'
+      |                  WHEN n.np IS NULL THEN 'delete'
       |                  WHEN o.st IS NOT DISTINCT FROM n.st
       |                   AND o.tp IS NOT DISTINCT FROM n.tp THEN 'unchanged'
       |                  ELSE 'update' END AS status

@@ -26,9 +26,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * order-independent, so results are partitioning-invariant by
   * construction.
   *
-  * Buffers grow to the longest vector seen (ragged inputs tolerated the
-  * way `posexplode` tolerates them: each dimension sums over the vectors
-  * long enough to have it).
+  * Buffers grow to the longest vector seen, so ragged inputs never throw —
+  * but note the k-means caller divides every dimension by ONE per-group
+  * row count, which matches a per-dimension count only when all vectors
+  * share the same length with no null elements (k-means over ragged
+  * vectors is ill-defined anyway — the distance kernel truncates to the
+  * shorter operand). Uniform non-null vectors are a documented
+  * precondition of [[graft.operators.Clustering.kmeans]].
   */
 object VecAgg {
   /** `vec_sum_scaled(v)` over a group -> array<long> of per-dimension

@@ -24,17 +24,21 @@ object ChangeCapture {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
                    compareCols: Seq[String]): DataFrame = {
-    val o = oldDf.select((keys ++ compareCols).map(col): _*).alias("o")
-    val n = newDf.select((keys ++ compareCols).map(col): _*).alias("n")
+    // side-presence markers, NOT key-nullability: a row whose KEY VALUE is
+    // null is unmatched under === but still present on its side — reading
+    // the null key as "side absent" would classify a null-keyed old row as
+    // an insert instead of a delete
+    val o = oldDf.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__op", lit(true)).alias("o")
+    val n = newDf.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__np", lit(true)).alias("n")
     val on = keys.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
     val same = compareCols.map(c => col(s"o.$c") <=> col(s"n.$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val oldKey = col(s"o.${keys.head}")
-    val newKey = col(s"n.${keys.head}")
     o.join(n, on, "full_outer")
       .withColumn("status",
-        when(oldKey.isNull, lit("insert"))
-          .when(newKey.isNull, lit("delete"))
+        when(col("o.__op").isNull, lit("insert"))
+          .when(col("n.__np").isNull, lit("delete"))
           .when(same, lit("unchanged"))
           .otherwise(lit("update")))
       .select(

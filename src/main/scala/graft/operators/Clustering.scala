@@ -90,7 +90,10 @@ object Clustering {
 
   /** Run `iters` Lloyd iterations from the k smallest-id vectors.
     * Returns (assignments: id, cluster, dist2; final centroids by id).
-    * `vecCol` must already be ARRAY<DOUBLE>.
+    * `vecCol` must already be ARRAY<DOUBLE>, with every vector the SAME
+    * length and no null elements (centroid means divide by the per-cluster
+    * row count; distances truncate to the shorter operand, so ragged
+    * corpora are ill-defined for k-means in any formulation).
     */
   def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int)
       : (DataFrame, Seq[(Int, Seq[Double])]) = {
@@ -235,11 +238,16 @@ object Clustering {
   private def kmeansFrame(e: DataFrame, k: Int, iters: Int,
                           weighted: Boolean, initFrom: DataFrame)
       : (DataFrame, Seq[(Int, Seq[Double])]) = {
+    // pre-partition ONCE by __id: BroadcastNestedLoopJoin preserves the
+    // streamed side's partitioning, so every iteration's per-id argmin
+    // groupBy is satisfied without an exchange — without this, each round
+    // would shuffle the full vector payload (the literal path never does)
+    val ep = e.repartition(col("__id")).cache()
     def assign(cents: DataFrame, withCnt: Boolean): DataFrame = {
       val d = col("__vv") - lit(2.0) * VecOps.vecDot(col("__v"), col("__c")) + col("__cc")
-      // crossJoin(broadcast) fans k rows per vector, but partial aggregation
-      // collapses them map-side: the shuffle is one slim row per vector
-      val fanned = e.crossJoin(broadcast(cents))
+      // crossJoin(broadcast) fans k rows per vector; the groupBy collapses
+      // them within the partition (no exchange — see ep above)
+      val fanned = ep.crossJoin(broadcast(cents))
         .select(col("__id") +: col("__v") +:
           (if (withCnt) Seq(col("__cnt")) else Nil) ++:
           Seq(struct(d.as("__d"), col("__cl")).as("__s")): _*)
@@ -265,10 +273,13 @@ object Clustering {
         .withColumn("__cc", VecOps.vecDot(col("__c"), col("__c")))
         .localCheckpoint()
     }
+    // final assignment materialized eagerly so ep can be released here
     val fin = assign(cents, withCnt = false)
+      .select(col("__id"), col("__cl"), col("__d")).localCheckpoint()
+    ep.unpersist()
     val centsSeq = cents.orderBy("__cl").collect().toSeq
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
-    (fin.select(col("__id"), col("__cl"), col("__d")), centsSeq)
+    (fin, centsSeq)
   }
 
   /** SemDeDup: k-means-cluster, then inside each cluster mark every vector

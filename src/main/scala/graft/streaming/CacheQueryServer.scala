@@ -103,7 +103,11 @@ final class CacheQueryServer(hot: HotCache, port: Int = 0,
 
   private def handleList(p: Map[String, String]): (Int, String) = {
     val prefix = p.getOrElse("prefix", "")
+    // toInt's NumberFormatException is an IllegalArgumentException -> 400;
+    // a negative limit must be the same class of client error, not a 500
+    // out of Dataset.limit
     val limit = math.min(p.get("limit").map(_.toInt).getOrElse(1000), 100000)
+    require(limit >= 0, s"limit must be >= 0, got $limit")
     val source = hot.store.catalog match {
       case Some(c) => c.metrics()
         .where(col("schema_name") === hot.store.schema.name)

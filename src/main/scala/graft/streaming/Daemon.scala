@@ -77,7 +77,15 @@ final class Daemon(val store: MetricStore, cacheRetention: Long, waitTime: Long,
     val lines = spoolDir match {
       case Some(dir) =>
         new java.io.File(dir).mkdirs()
-        spark.readStream.text(dir).withColumnRenamed("value", "line")
+        spark.readStream
+          // consumed journal files are deleted after their batch commits —
+          // without this the spool grows with total ingest volume forever
+          .option("cleanSource", "delete")
+          // the file source's DEFAULT maxFileAge (7d) would silently skip
+          // unprocessed journal files after long downtime — the exact
+          // durability case spool mode exists for
+          .option("maxFileAge", "3650d")
+          .text(dir).withColumnRenamed("value", "line")
       case None =>
         mem = MemoryStream[String]
         mem.toDF().withColumnRenamed("value", "line")
@@ -121,15 +129,20 @@ final class Daemon(val store: MetricStore, cacheRetention: Long, waitTime: Long,
         s"$metric $value $ts" })
     }
 
+  private val conns = new java.util.concurrent.ConcurrentHashMap[Socket, Thread]()
+
   private def acceptLoop(): Unit =
     while (running) {
       try {
         val sock = listener.accept()
         val t = new Thread(() => handleConn(sock), "graft-line-conn")
         t.setDaemon(true)
+        conns.put(sock, t)
         t.start()
       } catch {
-        case _: java.io.IOException => () // listener closed by stop()
+        // a closed listener throws on every accept: returning (not
+        // continuing) avoids a busy loop during shutdown
+        case _: java.io.IOException => return
       }
     }
 
@@ -156,12 +169,15 @@ final class Daemon(val store: MetricStore, cacheRetention: Long, waitTime: Long,
   /** One client connection: newline-delimited `"metric value timestamp"`
     * lines enqueue raw — validation happens in the distributed parse
     * (malformed lines drop there, never kill the stream or the socket).
-    * In spool mode lines batch per connection (flushed every SpoolBatch
-    * lines and at EOF).
+    * Lines batch per connection, flushed every SpoolBatch lines, at EOF,
+    * AND whenever the reader has no more buffered input — a persistent
+    * low-rate client (one carbon point every N seconds over a held-open
+    * socket) must not sit invisible in a half-full buffer.
     */
   private def handleConn(sock: Socket): Unit = {
     val SpoolBatch = 1000
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    def flush(): Unit = if (buf.nonEmpty) { enqueue(buf.toSeq); buf.clear() }
     try {
       val rd = new BufferedReader(
         new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
@@ -169,15 +185,17 @@ final class Daemon(val store: MetricStore, cacheRetention: Long, waitTime: Long,
       while (line != null && running) {
         if (line.nonEmpty) {
           buf += line
-          if (buf.length >= SpoolBatch) { enqueue(buf.toSeq); buf.clear() }
+          if (buf.length >= SpoolBatch || !rd.ready()) flush()
         }
         line = rd.readLine()
       }
     } catch {
       case _: java.io.IOException => () // client went away: drop the conn
     } finally {
-      enqueue(buf.toSeq)
+      flush()
       sock.close()
+      conns.remove(sock)
+      ()
     }
   }
 
@@ -193,10 +211,15 @@ final class Daemon(val store: MetricStore, cacheRetention: Long, waitTime: Long,
     */
   def stop(): Unit = synchronized {
     if (!running) return
-    running = false
-    listener.close()
+    listener.close() // no new connections; accept loop exits
+    // close live client sockets and WAIT for their handlers: each handler's
+    // finally-flush must land before the final micro-batch drains, or lines
+    // the daemon already read off a socket would hit a stopped stream
+    conns.forEach { (s, _) => try s.close() catch { case _: java.io.IOException => () } }
+    conns.forEach { (_, t) => t.join(5000L) }
     recordSelfMetrics() // tail counters ride the final micro-batch
     ingest.processAllAvailable()
+    running = false // after the drain: late handler flushes still enqueued
     ingest.stop()
     hot.flushAll(nowFn())
     httpServer.stop()
@@ -242,7 +265,14 @@ object Daemon {
     // scalastyle:off println
     println(s"graft-daemon: lines on 127.0.0.1:$lp, http on 127.0.0.1:$hp, root=$root")
     // scalastyle:on println
-    sys.addShutdownHook(daemon.stop())
+    // register via Hadoop's ShutdownHookManager ABOVE Spark's own hook
+    // priority: a plain JVM hook runs CONCURRENTLY with Spark's, so the
+    // shutdown flush's jobs would race SparkContext.stop() and die with
+    // "SparkContext was shut down" on exactly the SIGTERM path this
+    // entrypoint exists for. Higher priority = runs first in Hadoop's
+    // manager; Spark registers at 30.
+    org.apache.hadoop.util.ShutdownHookManager.get()
+      .addShutdownHook(new Runnable { def run(): Unit = daemon.stop() }, 60)
     Thread.currentThread().join() // serve until killed
   }
 }

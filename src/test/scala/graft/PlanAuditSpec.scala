@@ -283,6 +283,29 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"both windows share partitioning — expected exactly 1 hash exchange, got $dataExchanges:\n$plan")
   }
 
+  test("kmeans frame-path argmin reuses the corpus partitioning (one exchange total)") {
+    import org.apache.spark.sql.functions._
+    // the shape kmeansFrame builds: pre-partitioned corpus, broadcast
+    // centroid fan-out, per-id argmin. BroadcastNestedLoopJoin preserves
+    // the streamed side's partitioning, so the groupBy must NOT add a
+    // second exchange — otherwise every Lloyd round re-shuffles the
+    // full vector payload
+    val rnd = new scala.util.Random(5)
+    val e = (0L until 200L).map(i => (i, Seq.fill(4)(rnd.nextDouble())))
+      .toDF("__id", "__v").repartition(col("__id"))
+    val cents = Seq((0, Seq(0.1, 0.1, 0.1, 0.1)), (1, Seq(0.9, 0.9, 0.9, 0.9)))
+      .toDF("__cl", "__c")
+    val plan = planOf(
+      e.crossJoin(broadcast(cents))
+        .select(col("__id"), col("__v"),
+          struct(graft.functions.VecOps.vecDot(col("__v"), col("__c")).as("__d"),
+            col("__cl")).as("__s"))
+        .groupBy("__id").agg(min(col("__s")).as("__m"), first(col("__v")).as("__v")))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected ONLY the repartition exchange, got $exchanges:\n$plan")
+  }
+
   test("kmeans centroid sums use the vec_sum_scaled kernel, never a row explode") {
     // the Lloyd iteration must shuffle k ARRAY rows (ObjectHashAggregate
     // over vec_sum_scaled with a partial_ stage), not k·dim exploded rows:

@@ -49,6 +49,20 @@ class ScalePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff: null-keyed rows classify by SIDE PRESENCE, not key nullability") {
+    // a null key never matches (===), but the row still EXISTS on its side:
+    // old-only null key = delete, new-only null key = insert — reading the
+    // null key as "side absent" would call both of these inserts
+    val o = Seq((Option(1L), "a"), (Option.empty[Long], "x")).toDF("k", "v")
+    val n = Seq((Option(1L), "a"), (Option.empty[Long], "y")).toDF("k", "v")
+    val got = ChangeCapture.snapshotDiff(o, n, Seq("k"), Seq("v"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1))
+    assert(got.count(_ == (-1L, "delete")) == 1, got.toSeq.toString)
+    assert(got.count(_ == (-1L, "insert")) == 1, got.toSeq.toString)
+    assert(got.count(_ == (1L, "unchanged")) == 1, got.toSeq.toString)
+    assert(got.length == 3)
+  }
+
   // ---- histogram quantiles: bin-width error bound on random data ---------
 
   val histGen: Gen[List[(String, Double)]] = for {
