@@ -206,24 +206,27 @@ object Multimodal {
       !(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') ||
       !(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
       return None
-    var pos = 12
+    // walk position in Long: a crafted len near Int.MaxValue must terminate
+    // the walk (pos sails past the end), not wrap negative and index bytes
+    var pos = 12L
     var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
     var data: Option[(Int, Int)] = None     // offset, len
     while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
-      val id = new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val len = leInt(bytes, pos + 4)
+      val p = pos.toInt // pos + 8 <= length: fits an Int
+      val id = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = leInt(bytes, p + 4)
       if (len < 0) return None
-      if (id == "fmt " && len >= 16 && pos + 8 + 16 <= bytes.length) {
-        val tag = leShort(bytes, pos + 8)
-        val ch = leShort(bytes, pos + 10)
-        val rate = leInt(bytes, pos + 12)
-        val bits = leShort(bytes, pos + 22)
+      if (id == "fmt " && len >= 16 && p + 8 + 16 <= bytes.length) {
+        val tag = leShort(bytes, p + 8)
+        val ch = leShort(bytes, p + 10)
+        val rate = leInt(bytes, p + 12)
+        val bits = leShort(bytes, p + 22)
         if (tag != 1 || ch < 1 || rate <= 0 || (bits != 8 && bits != 16)) return None
         fmt = Some((ch, rate, bits))
       } else if (id == "data") {
-        data = Some((pos + 8, math.min(len, bytes.length - pos - 8)))
+        data = Some((p + 8, math.min(len, bytes.length - p - 8)))
       }
-      pos += 8 + len + (len & 1) // chunks are word-aligned
+      pos += 8L + len + (len & 1) // chunks are word-aligned
     }
     for ((ch, rate, bits) <- fmt; (off, len) <- data) yield {
       val bytesPerSample = bits / 8
