@@ -32,14 +32,31 @@ import org.apache.spark.sql.functions._
   * Instrumentation: each /query bumps the `cacheQueries` counter, the
   * reference's cache_queries stat (rurouni/state/instrumentation.py).
   */
-final class CacheQueryServer(hot: HotCache, port: Int = 0,
-                             instr: Option[Instrumentation] = None) {
+/** @param caches one HotCache per storage schema, in first-match route
+  *   order (a single-schema daemon passes a one-element Seq); a request's
+  *   metric is served by the first cache whose schema pattern matches it —
+  *   the same routing the ingest side applies (Ingest.routeIndex).
+  * @param bindInterface listen address — loopback by default (tests,
+  *   co-located deployments); "0.0.0.0" to serve externally, the
+  *   reference's CACHE_QUERY_INTERFACE (conf/rurouni.conf.example:10-12).
+  */
+final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
+                             instr: Option[Instrumentation] = None,
+                             bindInterface: String = "127.0.0.1") {
+  require(caches.nonEmpty, "CacheQueryServer needs at least one cache")
 
   private var server: HttpServer = _
 
+  /** First-match schema routing; a metric matching no schema serves from
+    * the first cache (it holds no such metric, so the response is the same
+    * empty series an unknown metric gets anywhere).
+    */
+  private def cacheFor(metric: String): HotCache =
+    caches.find(_.store.schema.matches(metric)).getOrElse(caches.head)
+
   /** Start serving; returns the bound port (pass port=0 for ephemeral). */
   def start(): Int = synchronized {
-    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server = HttpServer.create(new InetSocketAddress(bindInterface, port), 0)
     server.createContext("/query", handler(handleQuery))
     server.createContext("/fetch", handler(handleFetch))
     server.createContext("/list", handler(handleList))
@@ -78,6 +95,7 @@ final class CacheQueryServer(hot: HotCache, port: Int = 0,
   private def handleQuery(p: Map[String, String]): (Int, String) = {
     val metric = need(p, "metric")
     instr.foreach(_.incr("cacheQueries"))
+    val hot = cacheFor(metric)
     val rows = hot.hotView().where(col("metric") === metric)
       .orderBy(col("ts"))
       .select(col("ts"), col("value"))
@@ -91,6 +109,7 @@ final class CacheQueryServer(hot: HotCache, port: Int = 0,
     val from = need(p, "from").toLong
     val until = need(p, "until").toLong
     val now = p.get("now").map(_.toLong).getOrElse(System.currentTimeMillis() / 1000L)
+    val hot = cacheFor(metric)
     hot.fetchMerged(Some(metric), from, until, now) match {
       case None => (200, jsonSeries(metric, 0, Array.empty))
       case Some((level, df)) =>
@@ -108,17 +127,21 @@ final class CacheQueryServer(hot: HotCache, port: Int = 0,
     // out of Dataset.limit
     val limit = math.min(p.get("limit").map(_.toInt).getOrElse(1000), 100000)
     require(limit >= 0, s"limit must be >= 0, got $limit")
-    val source = hot.store.catalog match {
-      case Some(c) => c.metrics()
-        .where(col("schema_name") === hot.store.schema.name)
-        .select(col("metric"))
-      case None => hot.hotView().select(col("metric")).distinct()
-    }
-    val names = source
-      .where(col("metric").startsWith(prefix))
-      .orderBy(col("metric"))
-      .limit(limit)
-      .collect().map(_.getString(0))
+    // union across schemas: each cache contributes its own (disjoint)
+    // series, each collect limit-bounded, then a merged global cut
+    val names = caches.flatMap { hot =>
+      val source = hot.store.catalog match {
+        case Some(c) => c.metrics()
+          .where(col("schema_name") === hot.store.schema.name)
+          .select(col("metric"))
+        case None => hot.hotView().select(col("metric")).distinct()
+      }
+      source
+        .where(col("metric").startsWith(prefix))
+        .orderBy(col("metric"))
+        .limit(limit)
+        .collect().map(_.getString(0))
+    }.distinct.sorted.take(limit)
     (200, names.map(n => s""""${esc(n)}"""").mkString("""{"metrics":[""", ",", "]}"))
   }
 

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.core.StorageSchema
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -157,10 +158,43 @@ object Ingest {
     malformedCount(src.where(!isFrame)) +
       malformedFrameCount(src.where(isFrame).select(trim(col("line")).as("frame")))
 
+  /** Mixed-protocol ingest routed over MULTIPLE storage schemas: one stream,
+    * one writer, points assigned to the FIRST schema whose pattern matches
+    * their metric name — the reference's per-point getSchema routing
+    * (rurouni/storage.py:152-180,200-204) as a single codegen'd CASE over
+    * the batch. Points matching NO schema are dropped (the caller appends a
+    * catch-all default route for reference fidelity — Daemon.main does).
+    */
+  def startMixedRouted(src: DataFrame, targets: Seq[(StorageSchema, HotCache)],
+                       checkpoint: String,
+                       nowFn: () => Long = () => System.currentTimeMillis() / 1000,
+                       instr: Option[Instrumentation] = None)(implicit spark: SparkSession): StreamingQuery =
+    startWithRouted(src, targets, checkpoint, nowFn, instr, parseMixed, malformedMixedCount)
+
+  /** First-match schema index over `metric`: `rlike("^(?:p)")` is exactly
+    * `Pattern.lookingAt` — anchored at the start, unanchored at the end —
+    * the semantics of StorageSchema.matches and of the reference's
+    * `re.match`. Unmatched metrics get -1.
+    */
+  def routeIndex(schemas: Seq[StorageSchema]): Column =
+    schemas.zipWithIndex.foldRight(lit(-1): Column) { case ((s, i), fallback) =>
+      when(col("metric").rlike("^(?:" + s.pattern.pattern.pattern + ")"), lit(i))
+        .otherwise(fallback)
+    }
+
   private def startWith(src: DataFrame, hot: HotCache, checkpoint: String,
                         nowFn: () => Long, instr: Option[Instrumentation],
                         parse: DataFrame => DataFrame,
-                        countBad: DataFrame => Long): StreamingQuery =
+                        countBad: DataFrame => Long)(implicit spark: SparkSession): StreamingQuery =
+    // single-target: the schema is never consulted (no route column, no
+    // extra filter — the plan is identical to the pre-routing design)
+    startWithRouted(src, Seq((hot.store.schema, hot)), checkpoint, nowFn, instr, parse, countBad)
+
+  private def startWithRouted(src: DataFrame, targets: Seq[(StorageSchema, HotCache)],
+                              checkpoint: String,
+                              nowFn: () => Long, instr: Option[Instrumentation],
+                              parse: DataFrame => DataFrame,
+                              countBad: DataFrame => Long): StreamingQuery =
     src.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -174,7 +208,17 @@ object Ingest {
             ins.incr("metricReceived", points.count().toDouble)
             ins.incr("errors", countBad(batch).toDouble)
           }
-          val committed = hot.processBatch(points, nowFn())
+          val committed =
+            if (targets.lengthCompare(1) == 0) targets.head._2.processBatch(points, nowFn())
+            else {
+              val routed = points.withColumn("__route", routeIndex(targets.map(_._1))).cache()
+              // every route's processBatch runs even on an empty slice: the
+              // watermark flush must advance for schemas idle this batch
+              try targets.zipWithIndex.map { case ((_, hot), i) =>
+                hot.processBatch(routed.where(col("__route") === i).drop("__route"), nowFn())
+              }.sum
+              finally { routed.unpersist(); () }
+            }
           instr.foreach { ins =>
             // post-admission count: throttled/mis-routed/dropped points are
             // NOT committed (parse-side points.count() would overstate)

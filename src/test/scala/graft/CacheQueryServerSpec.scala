@@ -32,7 +32,7 @@ class CacheQueryServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("metric", "ts", "value", "arrival")
     hot.processBatch(pts, nowTs)
     instr = new Instrumentation(hostname = "testhost")
-    server = new CacheQueryServer(hot, port = 0, instr = Some(instr))
+    server = new CacheQueryServer(Seq(hot), port = 0, instr = Some(instr))
     port = server.start()
   }
 

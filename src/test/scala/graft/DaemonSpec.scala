@@ -44,7 +44,7 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Checkpoint is unique per daemon instance: a MemoryStream source can't
     // resume another stream's checkpoint (Kafka checkpoints can — that
     // resume path is what production uses).
-    new Daemon(store, cacheRetention = 120L, waitTime = 30L,
+    new Daemon(Seq(Daemon.Route(store, 120L)), waitTime = 30L,
       checkpoint = s"$root/$name-ckpt-${System.nanoTime()}", nowFn = () => Now)
   }
 
@@ -130,7 +130,7 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(Archive(Step, 720), Archive(60, 1440)), 600, 8)
     val store = new MetricStore(s"$root/selfm", schema)
     val instr = new graft.streaming.Instrumentation("rurouni", "testhost", "a")
-    val d = new Daemon(store, cacheRetention = 120L, waitTime = 30L,
+    val d = new Daemon(Seq(Daemon.Route(store, 120L)), waitTime = 30L,
       checkpoint = s"$root/selfm-ckpt-${System.nanoTime()}", nowFn = () => Now,
       instr = Some(instr), metricInterval = 3600L) // timer idle; drain explicitly
     val (lp, _) = d.start()
@@ -168,7 +168,7 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     val spool = s"$root/spool-journal"
     def daemon() = {
       val store = new MetricStore(s"$root/spool", schema)
-      new Daemon(store, cacheRetention = 120L, waitTime = 30L,
+      new Daemon(Seq(Daemon.Route(store, 120L)), waitTime = 30L,
         checkpoint = ckpt, nowFn = () => Now, spoolDir = Some(spool))
     }
     val d1 = daemon()
@@ -194,6 +194,138 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
       val f = httpGet(hp2, s"/fetch?metric=sp.a&from=${Now - 60}&until=$Now&now=$Now")
       assert(f.contains(s"[${Now - 20},1.0]") && f.contains(s"[${Now - 30},2.0]"))
     } finally d2.stop()
+  }
+
+  test("multi-schema routing: two schemas over one socket, each at its own resolution") {
+    // the reference's first act: load storage-schemas.conf, route each
+    // point first-match to its schema's file family with per-schema
+    // retention/aggregation (rurouni/storage.py:152-180,200-204)
+    val fast = StorageSchema("fast", "^fast\\.".r, 1.0, AggMethod.Last,
+      Seq(Archive(5, 720), Archive(60, 1440)), 600, 8)
+    val slow = StorageSchema("slow", ".*".r, 1.0, AggMethod.Average,
+      Seq(Archive(Step, 720), Archive(60, 1440)), 600, 8)
+    val schemas = new graft.core.StorageSchemas(Seq(fast, slow))
+    val catalog = new graft.storage.Catalog(s"$root/multi", schemas)
+    val fastStore = new MetricStore(s"$root/multi", fast, Some(catalog))
+    val slowStore = new MetricStore(s"$root/multi", slow, Some(catalog))
+    val d = new Daemon(Seq(Daemon.Route(fastStore, 120L), Daemon.Route(slowStore, 120L)),
+      waitTime = 30L, checkpoint = s"$root/multi-ckpt-${System.nanoTime()}",
+      nowFn = () => Now)
+    val (lp, hp) = d.start()
+    try {
+      send(lp, Seq(
+        s"fast.cpu 1.5 ${Now - 20}",  // first-match -> fast (5s cascade, Last)
+        s"svc.mem 9.0 ${Now - 20}"))  // falls through -> slow (10s, Average)
+      drainUntil(d) {
+        httpGet(hp, "/query?metric=fast.cpu").contains(",1.5]") &&
+          httpGet(hp, "/query?metric=svc.mem").contains(",9.0]")
+      }
+      // each metric serves at ITS schema's level-0 step
+      assert(httpGet(hp, "/query?metric=fast.cpu").contains("\"step\":5"))
+      assert(httpGet(hp, "/query?metric=svc.mem").contains(s""""step":$Step"""))
+      // /list unions the schemas' series
+      val all = httpGet(hp, "/list")
+      assert(all.contains("fast.cpu") && all.contains("svc.mem"), all)
+    } finally d.stop()
+    // shutdown flush landed each point in ITS OWN store — and only there
+    val inFast = fastStore.fetch(Some("fast.cpu"), Now - 60, Now, Now)
+    assert(inFast.exists { case (_, df) => df.where(col("value") === 1.5).count() == 1 })
+    val inSlow = slowStore.fetch(Some("svc.mem"), Now - 60, Now, Now)
+    assert(inSlow.exists { case (_, df) => df.where(col("value") === 9.0).count() == 1 })
+    val crossed = slowStore.fetch(Some("fast.cpu"), Now - 60, Now, Now)
+    assert(crossed.forall { case (_, df) => df.where(col("value").isNotNull).count() == 0 },
+      "fast.cpu must not leak into the slow store")
+  }
+
+  test("spool journal coalescing: drip-feed client's file count bounded by cadence, not point rate") {
+    val schema = StorageSchema("drip", ".*".r, 1.0, AggMethod.Last,
+      Seq(Archive(Step, 720), Archive(60, 1440)), 600, 8)
+    val store = new MetricStore(s"$root/drip", schema)
+    val d = new Daemon(Seq(Daemon.Route(store, 120L)), waitTime = 30L,
+      checkpoint = s"$root/drip-ckpt", nowFn = () => Now,
+      spoolDir = Some(s"$root/drip-journal"), spoolFlushMillis = 250L)
+    val (lp, _) = d.start()
+    val nPoints = 60
+    val t0 = System.nanoTime()
+    val sock = new Socket("127.0.0.1", lp)
+    try {
+      val w = new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8)
+      var i = 0
+      while (i < nPoints) {
+        // one point per write over a held-open socket — the reference's
+        // bread-and-butter 1 pt/interval carbon client; the old design
+        // journaled one FILE per drip (the reader is idle between points,
+        // so every line flushed alone), a listing storm at production rates
+        w.write(s"drip.m 1.0 ${Now - 600 + i * Step}\n")
+        w.flush()
+        Thread.sleep(20)
+        i += 1
+      }
+    } finally sock.close()
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    val bound = elapsedMs / 250L + 2
+    val written = d.spoolFilesWritten.get()
+    assert(written <= bound,
+      s"$written journal files for $nPoints drip points in ${elapsedMs}ms (bound $bound)")
+    // …and coalescing lost nothing: every point fetchable after shutdown
+    d.stop()
+    val f = store.fetch(Some("drip.m"), Now - 600, Now, Now)
+    assert(f.exists { case (_, df) => df.where(col("value") === 1.0).count() == nPoints.toLong })
+  }
+
+  test("spool crash injection: orphan .tmp ignored forever; renamed-but-uncommitted file replays") {
+    val schema = StorageSchema("crash", ".*".r, 1.0, AggMethod.Last,
+      Seq(Archive(Step, 720), Archive(60, 1440)), 600, 8)
+    val ckpt = s"$root/crash-ckpt"
+    val spool = s"$root/crash-journal"
+    new java.io.File(spool).mkdirs()
+    // crash A — writer died after the .tmp write, BEFORE the rename: the
+    // dot-prefixed file is hidden to Spark's file listing and must never
+    // be ingested, by this stream or any restart
+    java.nio.file.Files.write(java.nio.file.Paths.get(spool, ".batch-crashA.tmp"),
+      s"crash.a 1.0 ${Now - 20}\n".getBytes(StandardCharsets.UTF_8))
+    // crash B — writer died after the rename, BEFORE the batch committed
+    // to the checkpoint: a closed journal file with no checkpoint entry
+    // must replay when the daemon starts
+    java.nio.file.Files.write(java.nio.file.Paths.get(spool, "batch-crashB.txt"),
+      s"crash.b 2.0 ${Now - 20}\n".getBytes(StandardCharsets.UTF_8))
+    def daemon() = new Daemon(
+      Seq(Daemon.Route(new MetricStore(s"$root/crash", schema), 120L)),
+      waitTime = 30L, checkpoint = ckpt, nowFn = () => Now, spoolDir = Some(spool))
+    val d1 = daemon()
+    val (lp1, hp1) = d1.start()
+    try {
+      send(lp1, Seq(s"crash.c 3.0 ${Now - 20}"))
+      drainUntil(d1) { httpGet(hp1, "/query?metric=crash.c").contains(",3.0]") }
+      assert(httpGet(hp1, "/query?metric=crash.b").contains(s"[${Now - 20},2.0]"),
+        "renamed-but-uncommitted journal file must replay")
+      assert(httpGet(hp1, "/query?metric=crash.a").contains("\"datapoints\":[]"),
+        "orphan .tmp must not be ingested")
+    } finally d1.stop()
+    // restart against the same checkpoint: the orphan stays invisible
+    val d2 = daemon()
+    val (lp2, hp2) = d2.start()
+    try {
+      send(lp2, Seq(s"crash.d 4.0 ${Now - 30}"))
+      drainUntil(d2) { httpGet(hp2, "/query?metric=crash.d").contains(",4.0]") }
+      assert(!httpGet(hp2,
+        s"/fetch?metric=crash.a&from=${Now - 60}&until=$Now&now=$Now").contains("1.0"),
+        "orphan .tmp must stay invisible across restarts")
+    } finally d2.stop()
+  }
+
+  test("bindInterface: 0.0.0.0 binds both listeners; loopback clients still reach them") {
+    val schema = StorageSchema("bind", ".*".r, 1.0, AggMethod.Last,
+      Seq(Archive(Step, 720), Archive(60, 1440)), 600, 8)
+    val store = new MetricStore(s"$root/bind", schema)
+    val d = new Daemon(Seq(Daemon.Route(store, 120L)), waitTime = 30L,
+      checkpoint = s"$root/bind-ckpt-${System.nanoTime()}", nowFn = () => Now,
+      bindInterface = "0.0.0.0")
+    val (lp, hp) = d.start()
+    try {
+      send(lp, Seq(s"bi.x 1.0 ${Now - 20}"))
+      drainUntil(d) { httpGet(hp, "/query?metric=bi.x").contains(s"[${Now - 20},1.0]") }
+    } finally d.stop()
   }
 
   test("stop is idempotent and a second daemon can reuse the store") {
