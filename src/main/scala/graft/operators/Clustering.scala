@@ -94,6 +94,12 @@ object Clustering {
     * length and no null elements (centroid means divide by the per-cluster
     * row count; distances truncate to the shorter operand, so ragged
     * corpora are ill-defined for k-means in any formulation).
+    * `idCol` must be UNIQUE per row: the frame path's per-id argmin
+    * (k > [[LiteralAssignMax]]) groups by id, so duplicate ids collapse to
+    * one output row there while the literal path keeps every row — a
+    * duplicated-id corpus silently changes row count with k. (The
+    * canonicalized entrypoints guarantee uniqueness via min-id reps;
+    * direct callers own it.)
     */
   def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int)
       : (DataFrame, Seq[(Int, Seq[Double])]) = {
@@ -243,22 +249,8 @@ object Clustering {
     // groupBy is satisfied without an exchange — without this, each round
     // would shuffle the full vector payload (the literal path never does)
     val ep = e.repartition(col("__id")).cache()
-    def assign(cents: DataFrame, withCnt: Boolean): DataFrame = {
-      val d = col("__vv") - lit(2.0) * VecOps.vecDot(col("__v"), col("__c")) + col("__cc")
-      // crossJoin(broadcast) fans k rows per vector; the groupBy collapses
-      // them within the partition (no exchange — see ep above)
-      val fanned = ep.crossJoin(broadcast(cents))
-        .select(col("__id") +: col("__v") +:
-          (if (withCnt) Seq(col("__cnt")) else Nil) ++:
-          Seq(struct(d.as("__d"), col("__cl")).as("__s")): _*)
-      val aggs = Seq(first(col("__v")).as("__v")) ++
-        (if (withCnt) Seq(first(col("__cnt")).as("__cnt")) else Nil)
-      fanned.groupBy("__id")
-        .agg(min(col("__s")).as("__m"), aggs: _*)
-        .select(col("__id") +: col("__v") +:
-          (if (withCnt) Seq(col("__cnt")) else Nil) ++:
-          Seq(col("__m.__cl").as("__cl"), col("__m.__d").as("__d")): _*)
-    }
+    def assign(cents: DataFrame, withCnt: Boolean): DataFrame =
+      frameAssign(ep, cents, withCnt)
     val w = Window.orderBy("__id")
     var cents = initFrom.orderBy("__id").limit(k)
       .select((row_number().over(w) - 1).cast("int").as("__cl"), col("__v").as("__c"))
@@ -280,6 +272,48 @@ object Clustering {
     val centsSeq = cents.orderBy("__cl").collect().toSeq
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
     (fin, centsSeq)
+  }
+
+  /** One frame-path assignment: crossJoin a broadcast k-row centroid frame
+    * into the pre-partitioned corpus (the k-row fan), per-id argmin via
+    * map-side-combined min(struct(dist, cl)). BroadcastNestedLoopJoin
+    * preserves the streamed side's hash partitioning on __id, so the
+    * groupBy is exchange-free — the zero-exchange-per-iteration claim,
+    * pinned by PlanAuditSpec on exactly this builder.
+    */
+  private def frameAssign(ep: DataFrame, cents: DataFrame, withCnt: Boolean): DataFrame = {
+    val d = col("__vv") - lit(2.0) * VecOps.vecDot(col("__v"), col("__c")) + col("__cc")
+    val fanned = ep.crossJoin(broadcast(cents))
+      .select(col("__id") +: col("__v") +:
+        (if (withCnt) Seq(col("__cnt")) else Nil) ++:
+        Seq(struct(d.as("__d"), col("__cl")).as("__s")): _*)
+    val aggs = Seq(first(col("__v")).as("__v")) ++
+      (if (withCnt) Seq(first(col("__cnt")).as("__cnt")) else Nil)
+    fanned.groupBy("__id")
+      .agg(min(col("__s")).as("__m"), aggs: _*)
+      .select(col("__id") +: col("__v") +:
+        (if (withCnt) Seq(col("__cnt")) else Nil) ++:
+        Seq(col("__m.__cl").as("__cl"), col("__m.__d").as("__d")): _*)
+  }
+
+  /** The frame-path iteration assignment, UN-checkpointed, for the plan
+    * audit: the production builder ([[frameAssign]]) over the same
+    * pre-partitioned cached corpus and k-row centroid frame `kmeansFrame`
+    * uses — so the audited plan IS the per-iteration plan. Returns
+    * (pre-partitioned corpus — caller materializes then unpersists it,
+    * assignment frame).
+    */
+  private[graft] def frameAssignForAudit(emb: DataFrame, idCol: String,
+                                         vecCol: String, k: Int): (DataFrame, DataFrame) = {
+    val e = buildCorpus(emb, idCol, vecCol)
+    val ep = e.repartition(col("__id")).cache()
+    val w = Window.orderBy("__id")
+    val cents = e.orderBy("__id").limit(k)
+      .select((row_number().over(w) - 1).cast("int").as("__cl"), col("__v").as("__c"))
+      .withColumn("__cc", VecOps.vecDot(col("__c"), col("__c")))
+      .localCheckpoint()
+    e.unpersist()
+    (ep, frameAssign(ep, cents, withCnt = false))
   }
 
   /** SemDeDup: k-means-cluster, then inside each cluster mark every vector

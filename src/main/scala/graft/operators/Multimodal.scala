@@ -315,14 +315,19 @@ object Multimodal {
       return None
     var avih: Option[(Int, Int, Int, Int, Int)] = None // usPerFrame, frames, streams, w, h
     var vids: Option[(String, Int, Int)] = None        // handler, scale, rate
+    // walk position in Long: a crafted len near Int.MaxValue must walk off
+    // the end (loop exits), not wrap `pos` negative — a negative pos passes
+    // the `pos + 8 <= end` guard and indexes bytes out of range, an uncaught
+    // executor exception from one bad payload
     def walk(start: Int, end: Int): Unit = {
-      var pos = start
+      var pos = start.toLong
       while (pos + 8 <= end) {
-        val id = new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        val len = leInt(bytes, pos + 4)
+        val p = pos.toInt // pos + 8 <= end: fits an Int
+        val id = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val len = leInt(bytes, p + 4)
         if (len < 0) return
-        val body = pos + 8
-        val bodyEnd = math.min(body + len, end)
+        val body = p + 8
+        val bodyEnd = math.min(body.toLong + len, end.toLong).toInt
         if (id == "LIST" && body + 4 <= bodyEnd)
           walk(body + 4, bodyEnd) // skip the 4-byte list type, recurse
         else if (id == "avih" && avih.isEmpty && body + 40 <= bodyEnd)
@@ -333,7 +338,7 @@ object Multimodal {
           vids = Some((new String(bytes, body + 4, 4,
             java.nio.charset.StandardCharsets.US_ASCII).toLowerCase,
             leInt(bytes, body + 20), leInt(bytes, body + 24)))
-        pos = body + len + (len & 1) // chunks are word-aligned, like WAV
+        pos = body.toLong + len + (len & 1) // chunks are word-aligned, like WAV
       }
     }
     walk(12, bytes.length)
@@ -361,6 +366,94 @@ object Multimodal {
   def videoFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[VideoFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(rows => rows.map(videoFeaturesOf))
+  }
+
+  /** Compressed video frame chunks out of an AVI `movi` list: `##dc`
+    * (compressed) / `##db` (uncompressed DIB) chunks, in file order, up to
+    * `maxFrames` (rec-grouped lists recurse). For an MJPEG AVI each chunk
+    * body is a plain baseline JPEG — decodable by the same `javax.imageio`
+    * path as still images, no external codec — so frame PIXEL statistics
+    * are real for the one codec the container grammar alone permits.
+    * Truncated chunk bodies are clamped; oversized lens terminate the walk
+    * (Long arithmetic, like `decodeAviMeta`).
+    */
+  def aviFrameChunks(bytes: Array[Byte], maxFrames: Int): Seq[Array[Byte]] = {
+    if (bytes.length < 12 ||
+      !(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') ||
+      !(bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '))
+      return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def isFrameId(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var pos = start.toLong
+      while (pos + 8 <= end && out.length < maxFrames) {
+        val p = pos.toInt
+        val id = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val len = leInt(bytes, p + 4)
+        if (len < 0) return
+        val body = p + 8
+        val bodyEnd = math.min(body.toLong + len, end.toLong).toInt
+        if (id == "LIST" && body + 4 <= bodyEnd) {
+          val listType = new String(bytes, body, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          // recurse into movi (frames live here) and its rec-grouped sublists
+          walk(body + 4, bodyEnd, inMovi || listType == "movi")
+        } else if (inMovi && isFrameId(id) && bodyEnd > body)
+          out += java.util.Arrays.copyOfRange(bytes, body, bodyEnd)
+        pos = body.toLong + len + (len & 1)
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    out.toSeq
+  }
+
+  /** Decoded-frame statistics for MJPEG AVI payloads — the video analog of
+    * `ImageFeatures`: per-payload mean RGB over up-to-`maxFrames` decoded
+    * frames (each resized 32×32 by the deterministic nearest-neighbor
+    * sampler) plus a motion proxy (mean |Δ luma| between consecutive frame
+    * means). Non-AVI / non-MJPEG payloads yield decoded_frames = 0.
+    */
+  final case class VideoFrameStats(
+      media_id: Long,
+      kind: String,
+      sampled_frames: Int,  // movi chunks examined (bounded by maxFrames)
+      decoded_frames: Int,  // chunks ImageIO actually decoded
+      width: Int, height: Int, // native size of the first decoded frame
+      mean_r: Double, mean_g: Double, mean_b: Double,
+      motion: Double)
+
+  private def videoFrameStatsOf(row: MediaRow, maxFrames: Int): VideoFrameStats = {
+    val chunks = aviFrameChunks(row.payload, maxFrames)
+    val decoded = chunks.flatMap(decodeImage)
+    if (decoded.isEmpty)
+      return VideoFrameStats(row.media_id, row.kind, chunks.length, 0, -1, -1, 0, 0, 0, 0)
+    var (r, g, b) = (0L, 0L, 0L)
+    val lumaMeans = decoded.map { img =>
+      val px = resizeNearest(img, 32, 32)
+      var luma = 0L
+      px.foreach { pck =>
+        val (pr, pg, pb) = ((pck >> 16) & 0xff, (pck >> 8) & 0xff, pck & 0xff)
+        r += pr; g += pg; b += pb
+        luma += (pr * 299 + pg * 587 + pb * 114) / 1000
+      }
+      luma.toDouble / px.length
+    }
+    val n = decoded.length * 32 * 32.0
+    val motion =
+      if (lumaMeans.length < 2) 0.0
+      else lumaMeans.sliding(2).map { case Seq(a, c) => math.abs(c - a) }.sum / (lumaMeans.length - 1)
+    VideoFrameStats(row.media_id, row.kind, chunks.length, decoded.length,
+      decoded.head.getWidth, decoded.head.getHeight, r / n, g / n, b / n, motion)
+  }
+
+  /** Distributed MJPEG-frame decode pass: mapPartitions like the other
+    * media paths; frame bytes never leave the executors.
+    */
+  def videoFrameStats(media: DataFrame, maxFrames: Int = 8)
+                     (implicit spark: SparkSession): Dataset[VideoFrameStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(rows => rows.map(videoFrameStatsOf(_, maxFrames)))
   }
 
   /** Column-only metadata pass (no decode): portable to SQL oracles. */

@@ -327,4 +327,41 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!iterPlan.contains("Generate"), s"no explode on the sums path:\n$iterPlan")
     assert(plan.nonEmpty) // kmeans itself ran through the kernel path
   }
+
+  test("frame-path kmeans iteration is exchange-free: broadcast fan preserves the corpus partitioning (k > 100)") {
+    import org.apache.spark.sql.functions.col
+    // 130 distinct ids, k = 120 — past LiteralAssignMax, the production
+    // frame path. frameAssignForAudit builds the per-iteration assignment
+    // with the SAME builder kmeansFrame loops over.
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 130L).map(i => (i, Seq.fill(6)(rnd.nextDouble())))
+      .toDF("vec_id", "v")
+    val (ep, assign) =
+      graft.operators.Clustering.frameAssignForAudit(emb, "vec_id", "v", 120)
+    ep.count()       // materialize the one-time pre-partitioned cache
+    assign.collect() // executedPlan under AQE is only final after execution
+    val plan = assign.queryExecution.executedPlan.toString
+    ep.unpersist()
+    // the k-row centroid fan must be a BroadcastNestedLoopJoin over the
+    // STREAMED corpus (audit the operators above the cached corpus scan:
+    // the InMemoryRelation subtree prints the cache's BUILD lineage, which
+    // legitimately contains the one-time repartition exchange)
+    val iterOnly = plan.split("InMemoryRelation")(0)
+    assert(iterOnly.contains("BroadcastNestedLoopJoin"),
+      s"centroid fan must be the broadcast nested-loop join:\n$plan")
+    val shuffles = iterOnly.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
+    assert(shuffles == 0,
+      s"no exchange between the broadcast fan and the per-id argmin aggregate:\n$plan")
+    // every BroadcastExchange in the plan (AQE prints Final AND Initial
+    // sections) must build from the checkpointed k-row centroid scan
+    // (ExistingRDD), NEVER the cached corpus
+    val lines = plan.linesIterator.toVector
+    val bcasts = lines.zipWithIndex.filter(_._1.contains("BroadcastExchange"))
+    assert(bcasts.nonEmpty, s"centroid broadcast missing:\n$plan")
+    bcasts.foreach { case (_, i) =>
+      assert(lines(i + 1).contains("ExistingRDD"),
+        s"broadcast side must be the checkpointed centroids, not the corpus:\n$plan")
+    }
+  }
 }

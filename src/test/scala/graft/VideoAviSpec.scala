@@ -79,6 +79,97 @@ class VideoAviSpec extends AnyFunSuite {
     assert(Multimodal.decodeAviMeta(trunc).isEmpty)
   }
 
+  test("crafted oversized chunk length terminates the walk instead of wrapping (no throw)") {
+    // len = 0x7FFFFFF0: the old Int walk wrapped pos negative, passed the
+    // `pos + 8 <= end` guard, and threw StringIndexOutOfBoundsException —
+    // one bad payload failing the whole executor task
+    val hugeLen = fourcc("JUNK") ++ le32(0x7FFFFFF0) ++ Seq.fill(16)(0.toByte)
+    val body = fourcc("AVI ") ++ list("hdrl",
+      avih(40000, 250, 1, 320, 240) ++
+        list("strl", strh("vids", "MJPG", 1, 25))) ++ hugeLen
+    val bytes = (fourcc("RIFF") ++ le32(body.length) ++ body).toArray
+    // headers before the bad chunk still parse; the walk just ends there
+    val Some((w, h, frames, _, _, _, codec)) = Multimodal.decodeAviMeta(bytes)
+    assert((w, h, frames, codec) == (320, 240, 250, "mjpg"))
+    // same crafted len with the huge chunk FIRST: nothing parsed, None, no throw
+    val bad = (fourcc("RIFF") ++ le32(24) ++ fourcc("AVI ") ++ hugeLen).toArray
+    assert(Multimodal.decodeAviMeta(bad).isEmpty)
+    assert(Multimodal.aviFrameChunks(bad, 8).isEmpty)
+    // decodeWav, same latent pattern: huge chunk between fmt and data must
+    // end the walk gracefully (no data chunk found -> None), never throw
+    val wav = ("RIFF".getBytes("US-ASCII").toSeq ++ le32(100) ++
+      fourcc("WAVE") ++
+      chunk("fmt ", le16(1) ++ le16(1) ++ le32(8000) ++ le32(8000) ++
+        le16(1) ++ le16(8)) ++
+      fourcc("JUNK") ++ le32(0x7FFFFFF0) ++ Seq.fill(8)(0.toByte) ++
+      chunk("data", Seq.fill(4)(100.toByte))).toArray
+    assert(Multimodal.decodeWav(wav).isEmpty)
+  }
+
+  // ——— MJPEG frame decode: the one codec the container grammar alone
+  // permits — each 00dc chunk is a plain baseline JPEG, decodable by the
+  // same javax.imageio path as still images ———
+
+  private def jpegBytes(rgb: Int, w: Int = 48, h: Int = 32): Seq[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray.toSeq
+  }
+
+  private def mjpegAvi(frames: Seq[Seq[Byte]], w: Int = 48, h: Int = 32): Array[Byte] = {
+    val movi = frames.map(f => chunk("00dc", f)).foldLeft(Seq.empty[Byte])(_ ++ _) ++
+      chunk("01wb", Seq.fill(64)(7.toByte)) // an audio chunk the walk must skip
+    val body = fourcc("AVI ") ++
+      list("hdrl", avih(40000, frames.length, 1, w, h) ++
+        list("strl", strh("vids", "MJPG", 1, 25))) ++
+      list("movi", movi)
+    (fourcc("RIFF") ++ le32(body.length) ++ body).toArray
+  }
+
+  test("aviFrameChunks: movi 00dc chunks in order, audio chunks skipped, maxFrames bound") {
+    val f1 = jpegBytes(0xff0000)
+    val f2 = jpegBytes(0x0000ff)
+    val bytes = mjpegAvi(Seq(f1, f2))
+    val got = Multimodal.aviFrameChunks(bytes, 8)
+    assert(got.length == 2)
+    assert(got(0).toSeq == f1 && got(1).toSeq == f2)
+    assert(Multimodal.aviFrameChunks(bytes, 1).length == 1)
+    // rec-grouped movi sublists recurse (interleaved AVIs group frames)
+    val recd = {
+      val movi = list("rec ", chunk("00dc", f1)) ++ chunk("00dc", f2)
+      val body = fourcc("AVI ") ++
+        list("hdrl", avih(40000, 2, 1, 48, 32) ++
+          list("strl", strh("vids", "MJPG", 1, 25))) ++ list("movi", movi)
+      (fourcc("RIFF") ++ le32(body.length) ++ body).toArray
+    }
+    assert(Multimodal.aviFrameChunks(recd, 8).length == 2)
+  }
+
+  test("videoFrameStats: MJPEG frames decode to real pixel statistics") {
+    import spark.implicits._
+    val red = jpegBytes(0xff0000)  // luma ≈ 76
+    val blue = jpegBytes(0x0000ff) // luma ≈ 29
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "avi", mjpegAvi(Seq(red, blue))),
+      Multimodal.MediaRow(2L, "bin", "not video".getBytes)).toDF()
+    val got = Multimodal.videoFrameStats(rows)(spark).collect().sortBy(_.media_id)
+    val v = got(0)
+    assert(v.sampled_frames == 2 && v.decoded_frames == 2)
+    assert(v.width == 48 && v.height == 32) // native size of the first frame
+    // solid-color JPEG round-trips near-exactly; mean over (red + blue)/2
+    assert(math.abs(v.mean_r - 127.5) < 8, s"mean_r=${v.mean_r}")
+    assert(math.abs(v.mean_b - 127.5) < 8, s"mean_b=${v.mean_b}")
+    assert(v.mean_g < 8, s"mean_g=${v.mean_g}")
+    // motion proxy: |luma(red) - luma(blue)| ≈ 47
+    assert(math.abs(v.motion - 47) < 10, s"motion=${v.motion}")
+    assert(got(1).decoded_frames == 0 && got(1).sampled_frames == 0)
+  }
+
   test("videoFeatures distributed path: real AVI rows decode, others flagged") {
     import spark.implicits._
     val good = avi(avih(20000, 50, 1, 160, 120) ++
