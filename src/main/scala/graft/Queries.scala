@@ -230,6 +230,50 @@ object Queries {
     s"""SELECT metric, MIN(sec) AS created_ts, COUNT(*) AS n_points
        |FROM ($MetricBaseSql) GROUP BY 1 ORDER BY metric""".stripMargin
 
+  /** Glob-tree series discovery (the graphite-web `metrics/find` analog —
+    * the reference keeps a filesystem link tree exactly for this walk,
+    * rurouni/storage.py:20-22,51-53; our catalog replaces it, §2.11): the
+    * event namespace is synthesized into dotted paths of MIXED depth
+    * (`app.<type>.u<k>` leaves, plus `….raw` below even-user nodes so u0
+    * is leaf AND branch while u1 is leaf-only) and walked with a component
+    * glob via [[graft.storage.SeriesFind.nodes]] — `{a,b}` alternation,
+    * `[0-1]` class, leaf/branch flags per node.
+    */
+  val SeriesFindQuery = "app.{click,view,purchase}.u[0-1]"
+
+  def seriesFind(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("user_id"))
+    val u = pmod(col("user_id"), lit(4L)).cast("string")
+    val names = ev
+      .select(concat(lit("app."), col("event_type"), lit(".u"), u).as("metric"))
+      .union(ev.where(pmod(col("user_id"), lit(2L)) === 0)
+        .select(concat(lit("app."), col("event_type"), lit(".u"), u, lit(".raw")).as("metric")))
+      .distinct()
+    graft.storage.SeriesFind.nodes(names, SeriesFindQuery)
+      .select(col("path"),
+        col("leaf").cast("bigint").as("leaf"),
+        col("branch").cast("bigint").as("branch"))
+      .orderBy("path")
+  }
+
+  val seriesFindSql: String =
+    """WITH names AS (
+      |  SELECT 'app.' || event_type || '.u' || (user_id % 4) AS metric FROM events
+      |  UNION
+      |  SELECT 'app.' || event_type || '.u' || (user_id % 4) || '.raw' FROM events WHERE user_id % 2 = 0
+      |),
+      |parts AS (SELECT metric, string_split(metric, '.') AS p FROM names),
+      |hits AS (
+      |  SELECT p, len(p) AS n FROM parts
+      |  WHERE len(p) >= 3
+      |    AND regexp_matches(p[1], '^app$')
+      |    AND regexp_matches(p[2], '^(?:click|view|purchase)$')
+      |    AND regexp_matches(p[3], '^u[0-1]$'))
+      |SELECT array_to_string(p[1:3], '.') AS path,
+      |       CAST(MAX(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS BIGINT) AS leaf,
+      |       CAST(MAX(CASE WHEN n > 3 THEN 1 ELSE 0 END) AS BIGINT) AS branch
+      |FROM hits GROUP BY 1 ORDER BY path""".stripMargin
+
   /** Blacklist/whitelist regex admin filter over the metric namespace
     * (reference: bin/kenshin-find-file.py:8-14,38-50 and
     * bin/kenshin-get-metrics.py:9-24 — include/exclude regex over metrics).

@@ -84,6 +84,15 @@ final class Catalog(val root: String, val schemas: StorageSchemas,
     points.join(broadcast(metrics().select(col("metric"))), Seq("metric"), "left_semi")
   }
 
+  /** Glob-tree series discovery over the catalog (the graphite-web
+    * `metrics/find` analog — the reference keeps a filesystem link tree
+    * for this, rurouni/storage.py:20-22,51-53; the catalog replaces it):
+    * `findNodes("sys.*.cpu")` returns the matching depth-3 nodes with
+    * leaf/branch flags. See [[SeriesFind.nodes]].
+    */
+  def findNodes(query: String, limit: Int = 1000): DataFrame =
+    SeriesFind.nodes(metrics().select(col("metric")), query, limit)
+
   /** Crash-recovery rebuild: re-derive catalog entries from the level
     * tables themselves, like the reference re-deriving its index from file
     * headers (rurouni/storage.py:56-77 rebuildIndex; boot path

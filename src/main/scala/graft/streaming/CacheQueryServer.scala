@@ -60,6 +60,7 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
     server.createContext("/query", handler(handleQuery))
     server.createContext("/fetch", handler(handleFetch))
     server.createContext("/list", handler(handleList))
+    server.createContext("/find", handler(handleFind))
     server.start()
     server.getAddress.getPort
   }
@@ -143,6 +144,30 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
         .collect().map(_.getString(0))
     }.distinct.sorted.take(limit)
     (200, names.map(n => s""""${esc(n)}"""").mkString("""{"metrics":[""", ",", "]}"))
+  }
+
+  /** Glob-tree discovery (the graphite-web `metrics/find` analog; the
+    * reference's link tree serves this role, rurouni/storage.py:20-22):
+    * `GET /find?query=sys.*.cpu` ->
+    * `{"nodes":[{"path":"sys.a.cpu","leaf":true,"branch":false},…]}`.
+    */
+  private def handleFind(p: Map[String, String]): (Int, String) = {
+    val query = need(p, "query")
+    val limit = math.min(p.get("limit").map(_.toInt).getOrElse(1000), 100000)
+    require(limit >= 0, s"limit must be >= 0, got $limit")
+    val source = caches.map { hot =>
+      hot.store.catalog match {
+        case Some(c) => c.metrics()
+          .where(col("schema_name") === hot.store.schema.name)
+          .select(col("metric"))
+        case None => hot.hotView().select(col("metric")).distinct()
+      }
+    }.reduce(_ unionByName _)
+    val rows = graft.storage.SeriesFind.nodes(source, query, limit).collect()
+    val nodes = rows.map { r =>
+      s"""{"path":"${esc(r.getString(0))}","leaf":${r.getBoolean(1)},"branch":${r.getBoolean(2)}}"""
+    }
+    (200, nodes.mkString("""{"nodes":[""", ",", "]}"))
   }
 
   private def esc(s: String): String =

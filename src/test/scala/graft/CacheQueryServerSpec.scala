@@ -95,6 +95,17 @@ class CacheQueryServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(body.contains("\"datapoints\":[]"))
   }
 
+  test("/find walks the namespace with globs and leaf/branch flags (metrics/find analog)") {
+    def get(path: String): String = {
+      val in = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL.openStream()
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    assert(get("/find?query=*") == """{"nodes":[{"path":"web","leaf":false,"branch":true}]}""")
+    assert(get("/find?query=web.*") ==
+      """{"nodes":[{"path":"web.req","leaf":true,"branch":false}]}""")
+    assert(get("/find?query=db.*") == """{"nodes":[]}""")
+  }
+
   test("/list discovers series by prefix, bounded by limit (metrics/find analog)") {
     def get(path: String): String = {
       val in = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL.openStream()
