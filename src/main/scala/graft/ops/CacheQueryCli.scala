@@ -30,6 +30,29 @@ object CacheQueryCli {
     get(s"http://$server:$port/fetch?metric=${enc(metric)}&from=$from&until=$until&now=$now")
   }
 
+  /** Glob find across ALL cache instances: the namespace is sharded BY
+    * METRIC (fnv1a), so any instance can own series under any node — the
+    * client fans the /find query to every port, OR-merges the leaf/branch
+    * flags per path, and re-sorts (the multi-instance analog of
+    * graphite-web merging finder results across its CLUSTER_SERVERS).
+    */
+  def find(server: String, ports: Seq[Int], query: String): String = {
+    require(ports.nonEmpty, "at least one cache instance port is required")
+    val nodeRe = """\{"path":"((?:[^"\\]|\\.)*)","leaf":(true|false),"branch":(true|false)\}""".r
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, (Boolean, Boolean)]
+    ports.distinct.foreach { port =>
+      val body = get(s"http://$server:$port/find?query=${enc(query)}")
+      nodeRe.findAllMatchIn(body).foreach { m =>
+        val (p, l, b) = (m.group(1), m.group(2).toBoolean, m.group(3).toBoolean)
+        val prev = merged.getOrElse(p, (false, false))
+        merged(p) = (prev._1 || l, prev._2 || b)
+      }
+    }
+    merged.toSeq.sortBy(_._1).map { case (p, (l, b)) =>
+      s"""{"path":"$p","leaf":$l,"branch":$b}"""
+    }.mkString("""{"nodes":[""", ",", "]}")
+  }
+
   private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
 
   private def get(url: String): String = {
@@ -48,13 +71,14 @@ object CacheQueryCli {
   def main(args: Array[String]): Unit = {
     val positional = args.filterNot(_.startsWith("--"))
     require(positional.length == 1,
-      "usage: CacheQueryCli <metric> [--server host] [--ports p0,p1,...]")
-    val metric = positional(0)
+      "usage: CacheQueryCli <metric|globQuery> [--find] [--server host] [--ports p0,p1,...]")
+    val target = positional(0)
     def opt(name: String, default: String): String =
       args.sliding(2).collectFirst { case Array(k, v) if k == s"--$name" => v }
         .getOrElse(default)
     val server = opt("server", "127.0.0.1")
     val ports = opt("ports", "7002").split(",").toSeq.map(_.trim.toInt)
-    println(query(server, ports, metric))
+    if (args.contains("--find")) println(find(server, ports, target))
+    else println(query(server, ports, target))
   }
 }

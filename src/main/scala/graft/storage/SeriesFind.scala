@@ -57,6 +57,16 @@ object SeriesFind {
     require(query.nonEmpty, "find query must be non-empty")
     val comps = query.split("\\.", -1)
     require(comps.forall(_.nonEmpty), s"empty path component in find query '$query'")
+    // pre-compile each translated component: a malformed glob (unclosed
+    // class, say) must be a client error here, not an executor-time
+    // pattern failure inside the scan
+    comps.foreach { g =>
+      try { java.util.regex.Pattern.compile(globToRegex(g)); () }
+      catch {
+        case e: java.util.regex.PatternSyntaxException =>
+          throw new IllegalArgumentException(s"bad glob component '$g': ${e.getMessage}")
+      }
+    }
     val n = comps.length
     val parts = split(col("metric"), "\\.")
     // get(), not element_at(): ANSI mode throws on out-of-bounds and the

@@ -174,6 +174,9 @@ final class Daemon(routes: Seq[Daemon.Route], waitTime: Long,
     (listener.getLocalPort, httpServer.start())
   }
 
+  private var lastCreates = 0L
+  private var lastDroppedCreates = 0L
+
   /** Drain instrumentation counters into the ingest stream as
     * `rurouni.<host>.<instance>.<stat>` points (cache_record,
     * rurouni/state/instrumentation.py:105-113). Public so ops probes and
@@ -181,6 +184,17 @@ final class Daemon(routes: Seq[Daemon.Route], waitTime: Long,
     */
   def recordSelfMetrics(): Unit =
     instr.foreach { ins =>
+      // bridge the catalogs' create-path counters into this interval's
+      // drain (the reference increments instrumentation inside the create
+      // path itself, rurouni/cache.py:112-151; our Catalog counts locally,
+      // so the daemon snapshots the delta per interval)
+      val cats = routes.flatMap(_.store.catalog).distinct
+      val c = cats.map(_.creates).sum
+      val d = cats.map(_.droppedCreates).sum
+      if (c > lastCreates) ins.incr("creates", (c - lastCreates).toDouble)
+      if (d > lastDroppedCreates) ins.incr("droppedCreates", (d - lastDroppedCreates).toDouble)
+      lastCreates = c
+      lastDroppedCreates = d
       enqueue(ins.drain(nowFn()).map { case (metric, ts, value, _) =>
         s"$metric $value $ts" })
     }
@@ -251,6 +265,7 @@ final class Daemon(routes: Seq[Daemon.Route], waitTime: Long,
         if (!tmp.renameTo(new java.io.File(dir, s"$name.txt")))
           throw new java.io.IOException(s"spool rename failed for $name")
         spoolFilesWritten.incrementAndGet()
+        instr.foreach(_.incr("spoolFilesWritten")) // journal-churn gauge
         ()
       }
     }

@@ -38,7 +38,8 @@ final class Instrumentation(prefix: String = "rurouni",
     }
     out += ("updateOperations" -> updateTimes.size.toDouble)
     out += ("committedPoints" -> committed)
-    Seq("creates", "droppedCreates", "errors", "cacheQueries", "metricReceived")
+    Seq("creates", "droppedCreates", "errors", "cacheQueries", "metricReceived",
+      "spoolFilesWritten")
       .foreach(s => out += (s -> stats(s)))
     stats.clear()
     updateTimes.clear()

@@ -104,6 +104,10 @@ class CacheQueryServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/find?query=web.*") ==
       """{"nodes":[{"path":"web.req","leaf":true,"branch":false}]}""")
     assert(get("/find?query=db.*") == """{"nodes":[]}""")
+    // the CLI fans find across every instance and OR-merges nodes (the
+    // same server listed twice stands in for two shard instances)
+    assert(CacheQueryCli.find("127.0.0.1", Seq(port, port), "web.*") ==
+      """{"nodes":[{"path":"web.req","leaf":true,"branch":false}]}""")
   }
 
   test("/list discovers series by prefix, bounded by limit (metrics/find analog)") {

@@ -196,6 +196,32 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally d2.stop()
   }
 
+  test("catalog create counters bridge into the self-metrics drain (cache.py create-path stats)") {
+    val schema = StorageSchema("screate", ".*".r, 1.0, AggMethod.Last,
+      Seq(Archive(Step, 720), Archive(60, 1440)), 600, 8)
+    val catalog = new graft.storage.Catalog(s"$root/screate",
+      new graft.core.StorageSchemas(Seq(schema)))
+    val store = new MetricStore(s"$root/screate", schema, Some(catalog))
+    val instr = new graft.streaming.Instrumentation("rurouni", "testhost", "c")
+    val d = new Daemon(Seq(Daemon.Route(store, 120L)), waitTime = 30L,
+      checkpoint = s"$root/screate-ckpt-${System.nanoTime()}", nowFn = () => Now,
+      instr = Some(instr), metricInterval = 3600L)
+    val (lp, _) = d.start()
+    try {
+      send(lp, Seq(s"cr.a 1.0 ${Now - 20}", s"cr.b 2.0 ${Now - 20}"))
+      drainUntil(d) {
+        d.hot.hotView().where(col("metric").startsWith("cr.")).count() == 2
+      }
+      d.recordSelfMetrics() // interval drain: snapshot the catalog delta
+      drainUntil(d) {
+        d.hot.hotView().where(col("metric") === "rurouni.testhost.c.creates").count() == 1
+      }
+      val v = d.hot.hotView().where(col("metric") === "rurouni.testhost.c.creates")
+        .collect().head.getDouble(2)
+      assert(v == 2.0, s"two first-sight creates must drain, got $v")
+    } finally d.stop()
+  }
+
   test("multi-schema routing: two schemas over one socket, each at its own resolution") {
     // the reference's first act: load storage-schemas.conf, route each
     // point first-match to its schema's file family with per-schema

@@ -52,6 +52,9 @@ class SeriesFindSpec extends AnyFunSuite {
     assert(SeriesFind.nodes(metrics, "*", limit = 1).count() == 1)
     intercept[IllegalArgumentException] { SeriesFind.nodes(metrics, "a..b") }
     intercept[IllegalArgumentException] { SeriesFind.nodes(metrics, "") }
+    // malformed glob (unclosed class) is a client error at plan time, not
+    // an executor-time pattern failure
+    intercept[IllegalArgumentException] { SeriesFind.nodes(metrics, "a[0-") }
     ()
   }
 }
