@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.serving.{TargetEval, TargetLang}
+
+/** Judged queries for the render-target language (serving/TargetLang +
+  * TargetEval): each parses a REAL graphite-style target string and
+  * evaluates it through the full function pipeline over a series frame
+  * derived from the events table — the end-to-end path a graphite-web
+  * user exercises, not a hand-built equivalent plan.
+  *
+  * Determinism: the base frame and every aggregate in the evaluator
+  * travel on the DECIMAL(18,2) lane (see Queries' rules); max/lag/count
+  * are order-independent; the one floating multiply (scale) happens once
+  * after the exact sum. So results hash-match DuckDB under any
+  * partitioning.
+  */
+object TargetQueries {
+
+  /** 60s sum-rollup series frame named `app.<event_type>.u<user_id%4>` —
+    * the same synthetic namespace the series-find query uses, at the shape
+    * `MetricStore.fetch` emits: (metric, ts, value) step-aligned.
+    */
+  def targetBase(s: SparkSession, dir: String): DataFrame =
+    Queries.events(s, dir)
+      .select(
+        concat(lit("app."), col("event_type"), lit(".u"),
+          pmod(col("user_id"), lit(4L)).cast("string")).as("metric"),
+        expr("ts DIV 1000000000").as("sec"),
+        col("value"))
+      .groupBy(col("metric"), Queries.alignSec(60))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("value"))
+
+  val TargetBaseSql: String =
+    """SELECT 'app.' || event_type || '.u' || (user_id % 4) AS metric,
+      |       (epoch_ns(ts) // 1000000000) - ((epoch_ns(ts) // 1000000000) % 60) AS ts,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  private def evalOver(s: SparkSession, dir: String, target: String): DataFrame = {
+    val base = targetBase(s, dir)
+    TargetEval.eval(TargetLang.parse(target), glob => TargetEval.globFilter(base, glob))
+  }
+
+  /** Combine + transform: glob-pruned cross-series sum, scaled — the
+    * bread-and-butter render target (`scale(sumSeries(...),0.5)`). The
+    * glob is selective (2 of 3 event types, 3 of 4 user shards) so the
+    * oracle must reproduce the glob pruning too.
+    */
+  def tsTargetAgg(s: SparkSession, dir: String): DataFrame =
+    evalOver(s, dir, "scale(sumSeries(app.{click,purchase}.u[0-2]),0.5)")
+      .orderBy("ts")
+
+  val tsTargetAggSql: String =
+    s"""WITH base AS ($TargetBaseSql),
+       |agg AS (
+       |  SELECT ts, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * CAST(0.5 AS DOUBLE) AS value
+       |  FROM base
+       |  WHERE regexp_matches(metric, '^app\\.(?:click|purchase)\\.u[0-2]$$')
+       |  GROUP BY ts)
+       |SELECT 'scale(sumSeries(app.{click,purchase}.u[0-2]),0.5)' AS metric, ts, value
+       |FROM agg ORDER BY ts""".stripMargin
+
+  /** Windowed transform chain: counter-style non-negative derivative over
+    * a cross-series sum — lag per series, resets (negative deltas) and the
+    * first point emitted as nulls, graphite-None semantics.
+    */
+  def tsTargetRate(s: SparkSession, dir: String): DataFrame =
+    evalOver(s, dir, "nonNegativeDerivative(sumSeries(app.purchase.u*))")
+      .orderBy("ts")
+
+  val tsTargetRateSql: String =
+    s"""WITH base AS ($TargetBaseSql),
+       |s AS (
+       |  SELECT ts, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |  FROM base WHERE regexp_matches(metric, '^app\\.purchase\\.u[^.]*$$')
+       |  GROUP BY ts),
+       |d AS (SELECT ts, value - LAG(value) OVER (ORDER BY ts) AS delta FROM s)
+       |SELECT 'nonNegativeDerivative(sumSeries(app.purchase.u*))' AS metric, ts,
+       |       CASE WHEN delta >= 0 THEN delta END AS value
+       |FROM d ORDER BY ts""".stripMargin
+
+  /** Re-bucket + group: per-series hourly max (summarize), then averaged
+    * across series sharing name node 1 (groupByNode) — the graphite
+    * "summarize then group" idiom, including graphite's summarize
+    * renaming (node 1 survives it, as graphite users rely on).
+    */
+  def tsTargetChain(s: SparkSession, dir: String): DataFrame =
+    evalOver(s, dir, "groupByNode(summarize(app.*.u?,\"1h\",\"max\"),1,\"avg\")")
+      .orderBy("metric", "ts")
+
+  val tsTargetChainSql: String =
+    s"""WITH base AS ($TargetBaseSql),
+       |sm AS (
+       |  SELECT metric, ts - (ts % 3600) AS ts, MAX(value) AS value
+       |  FROM base GROUP BY 1, 2),
+       |g AS (
+       |  SELECT string_split(metric, '.')[2] AS metric, ts,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS value
+       |  FROM sm GROUP BY 1, 2)
+       |SELECT metric, ts, value FROM g ORDER BY metric, ts""".stripMargin
+}

@@ -1,0 +1,317 @@
+package graft.serving
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.RetentionParser
+import graft.storage.SeriesFind
+
+/** Compiles a parsed render target ([[TargetLang]]) onto ONE DataFrame
+  * plan over step-aligned series frames `(metric: string, ts: bigint,
+  * value: double?)` — the shape `MetricStore.fetch` / `HotCache
+  * .fetchMerged` produce (nulls are gaps, graphite's None).
+  *
+  * The graphite-web function set this covers is the render-API core
+  * (combine / transform / filter / alias families); evaluation semantics
+  * follow graphite-web's documented behavior: cross-series aggregates skip
+  * None, derivative emits None at resets (nonNegativeDerivative) and on
+  * the first point, keepLastValue forward-fills, summarize re-buckets per
+  * series. The reference deployment runs these in the web process, one
+  * series at a time; here each function is a distributed transform.
+  *
+  * Scale posture:
+  *  - cross-series aggregation (`sumSeries`, `groupByNode`) is a
+  *    `groupBy(ts)` — map-side partial aggregation collapses the series
+  *    fan-in per task, and the output is bounded by range/step slots, not
+  *    by series count;
+  *  - per-series transforms (derivative, movingAverage, integral,
+  *    keepLastValue, summarize) partition by `metric` — series cardinality
+  *    IS the parallelism, and each partition is a bounded slot scan
+  *    (retention/step rows);
+  *  - `highestAverage`-style selectors reduce to a k-row winner frame that
+  *    is broadcast back — no driver-side collect of series data;
+  *  - sums that must be exact across engines/partitionings travel as
+  *    DECIMAL(18,2) (the repo-wide exact-money lane) and divide/scale once
+  *    at the end.
+  *
+  * Everything here throws IllegalArgumentException on user error (unknown
+  * function, bad arity/argument type) — the serving layer's 400 class.
+  */
+object TargetEval {
+
+  /** Evaluate `expr` against `fetch`: glob -> step-aligned series frame.
+    * The returned frame has the same (metric, ts, value) shape, with
+    * function outputs named by the expression's canonical text.
+    */
+  def eval(expr: TExpr, fetch: String => DataFrame): DataFrame = expr match {
+    case TPath(glob) => fetch(glob)
+    case c: TCall    => evalCall(c, fetch)
+    case other =>
+      fail(s"'${other.canonical}' is not a series expression")
+  }
+
+  /** Filter a series frame down to metrics matching a full-path glob
+    * (`*` / `?` confined to one node, `{a,b}` and `[..]` as in find).
+    */
+  def globFilter(df: DataFrame, glob: String): DataFrame =
+    df.where(col("metric").rlike(pathRegex(glob)))
+
+  /** Full-path glob -> anchored regex; pre-compiled so a malformed glob is
+    * a client error at parse time, not an executor-time pattern failure.
+    */
+  def pathRegex(glob: String): String = {
+    val re = SeriesFind.globToRegex(glob, "[^.]*", "[^.]")
+    try { java.util.regex.Pattern.compile(re); () }
+    catch {
+      case e: java.util.regex.PatternSyntaxException =>
+        fail(s"bad series glob '$glob': ${e.getMessage}")
+    }
+    re
+  }
+
+  // ---- helpers ----------------------------------------------------------
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  /** Exact-sum lane (see Queries determinism rules). */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  private def perSeries: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(col("metric")).orderBy(col("ts"))
+
+  private def series(e: TExpr, fetch: String => DataFrame): DataFrame = e match {
+    case TPath(_) | TCall(_, _) => eval(e, fetch)
+    case other => fail(s"expected a series expression, got '${other.canonical}'")
+  }
+
+  private def num(e: TExpr): Double = e match {
+    case TNum(v, _) => v
+    case other      => fail(s"expected a number, got '${other.canonical}'")
+  }
+
+  private def int(e: TExpr): Int = e match {
+    case TNum(v, raw) if v == math.rint(v) => v.toInt
+    case other => fail(s"expected an integer, got '${other.canonical}'")
+  }
+
+  private def str(e: TExpr): String = e match {
+    case TStr(v) => v
+    case other   => fail(s"expected a quoted string, got '${other.canonical}'")
+  }
+
+  /** "1h" / "90" / "+2d" / "-15min" -> signed seconds (retention units). */
+  private def seconds(spec: String): Long = {
+    val (sign, body) =
+      if (spec.startsWith("-")) (-1L, spec.substring(1))
+      else if (spec.startsWith("+")) (1L, spec.substring(1))
+      else (1L, spec)
+    try sign * RetentionParser.parseTimeStr(body)
+    catch { case e: Exception => fail(s"bad time spec '$spec': ${e.getMessage}") }
+  }
+
+  /** Cross-series / cross-bucket aggregation column for a named method.
+    * sum/avg take the decimal lane (exact under any partitioning); min/
+    * max/count/last are order-independent already. `last` = value at the
+    * max ts with a non-null value (graphite safeLast) — struct max orders
+    * by ts first, and nulls are skipped by max itself.
+    */
+  private def aggFor(method: String, v: Column, ts: Column): Column = method match {
+    case "sum"   => sum(dec(v)).cast("double")
+    case "avg" | "average" =>
+      sum(dec(v)).cast("double") / count(v)
+    case "max"   => max(v)
+    case "min"   => min(v)
+    case "count" => count(v).cast("double")
+    case "last"  => max(when(v.isNotNull, struct(ts, v))).getField("value")
+    case other   => fail(s"unknown aggregation method '$other'")
+  }
+
+  private def renamed(df: DataFrame, name: String): DataFrame =
+    df.select(lit(name).as("metric"), col("ts"), col("value"))
+
+  /** Graphite naming for per-series transforms: each output series wraps
+    * its OWN input name — `scale(app.a.cpu,0.5)` — so a multi-series list
+    * stays a list of distinct series (renaming all of them to the call
+    * text would collide rows at equal timestamps).
+    */
+  private def wrapped(df: DataFrame, call: TCall): DataFrame = {
+    val extra = call.args.tail.map(_.canonical) match {
+      case Nil  => ""
+      case rest => rest.mkString(",", ",", "")
+    }
+    df.select(
+      concat(lit(call.name + "("), col("metric"), lit(extra + ")")).as("metric"),
+      col("ts"), col("value"))
+  }
+
+  private def mapValue(df: DataFrame, f: Column => Column): DataFrame =
+    df.select(col("metric"), col("ts"), f(col("value")).cast("double").as("value"))
+
+  // ---- function dispatch ------------------------------------------------
+
+  private def evalCall(call: TCall, fetch: String => DataFrame): DataFrame = {
+    val TCall(name, args) = call
+    def arity(n: Int): Unit =
+      if (args.length != n) fail(s"$name expects $n argument(s), got ${args.length}")
+    def atLeast(n: Int): Unit =
+      if (args.length < n) fail(s"$name expects >= $n argument(s), got ${args.length}")
+    def sl0: DataFrame = series(args.head, fetch)
+
+    name match {
+      // -- combine: N series lists -> one synthesized series -------------
+      case "sumSeries" | "averageSeries" | "minSeries" | "maxSeries" | "countSeries" =>
+        atLeast(1)
+        val method = name match {
+          case "sumSeries"     => "sum"
+          case "averageSeries" => "avg"
+          case "minSeries"     => "min"
+          case "maxSeries"     => "max"
+          case "countSeries"   => "count"
+        }
+        val all = args.map(series(_, fetch)).reduce(_ unionByName _)
+        all.groupBy(col("ts"))
+          .agg(aggFor(method, col("value"), col("ts")).as("value"))
+          .select(lit(call.canonical).as("metric"), col("ts"),
+            col("value").cast("double").as("value"))
+
+      // -- group: aggregate series sharing a name node --------------------
+      case "groupByNode" =>
+        arity(3)
+        val n = int(args(1)); val method = str(args(2))
+        require(n >= 0, s"groupByNode index must be >= 0, got $n")
+        val parts = split(col("metric"), "\\.")
+        sl0
+          .withColumn("__node", get(parts, lit(n)))
+          .where(col("__node").isNotNull)
+          .groupBy(col("__node"), col("ts"))
+          .agg(aggFor(method, col("value"), col("ts")).as("value"))
+          .select(col("__node").as("metric"), col("ts"),
+            col("value").cast("double").as("value"))
+
+      // -- transform: per-point scalar maps -------------------------------
+      case "scale"            => arity(2); wrapped(mapValue(sl0, _ * lit(num(args(1)))), call)
+      case "offset"           => arity(2); wrapped(mapValue(sl0, _ + lit(num(args(1)))), call)
+      case "absolute"         => arity(1); wrapped(mapValue(sl0, abs(_)), call)
+      case "transformNull" =>
+        atLeast(1)
+        if (args.length > 2) fail(s"transformNull expects 1-2 arguments, got ${args.length}")
+        val dflt = if (args.length == 2) num(args(1)) else 0.0
+        wrapped(mapValue(sl0, v => coalesce(v, lit(dflt))), call)
+      case "removeBelowValue" =>
+        arity(2); wrapped(mapValue(sl0, v => when(v >= lit(num(args(1))), v)), call)
+      case "removeAboveValue" =>
+        arity(2); wrapped(mapValue(sl0, v => when(v <= lit(num(args(1))), v)), call)
+
+      // -- transform: per-series windowed ---------------------------------
+      case "derivative" | "nonNegativeDerivative" | "perSecond" =>
+        arity(1)
+        val base = sl0.select(col("metric"), col("ts"), col("value"),
+          lag(col("value"), 1).over(perSeries).as("__pv"),
+          lag(col("ts"), 1).over(perSeries).as("__pt"))
+        val delta = col("value") - col("__pv")
+        val out = name match {
+          case "derivative" => delta
+          // graphite: a negative delta is a counter reset -> None
+          case "nonNegativeDerivative" => when(delta >= 0, delta)
+          case "perSecond" =>
+            when(delta >= 0 && col("ts") > col("__pt"),
+              round(delta / (col("ts") - col("__pt")).cast("double"), 6))
+        }
+        wrapped(base.select(col("metric"), col("ts"),
+          when(col("__pv").isNotNull && col("value").isNotNull, out)
+            .cast("double").as("value")), call)
+
+      case "integral" =>
+        arity(1)
+        val running = sum(dec(coalesce(col("value"), lit(0.0))))
+          .over(perSeries.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        wrapped(sl0.select(col("metric"), col("ts"),
+          when(col("value").isNotNull, running.cast("double")).as("value")), call)
+
+      case "movingAverage" =>
+        arity(2)
+        val n = int(args(1))
+        require(n > 0, s"movingAverage window must be > 0 slots, got $n")
+        val w = perSeries.rowsBetween(-(n - 1).toLong, Window.currentRow)
+        wrapped(sl0.select(col("metric"), col("ts"),
+          (sum(dec(col("value"))).over(w).cast("double") /
+            count(col("value")).over(w)).as("value")), call)
+
+      case "keepLastValue" =>
+        atLeast(1)
+        if (args.length > 2) fail(s"keepLastValue expects 1-2 arguments, got ${args.length}")
+        val limit = if (args.length == 2) int(args(1)) else Int.MaxValue
+        require(limit > 0, s"keepLastValue limit must be > 0, got $limit")
+        val wAll = perSeries.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val rn = row_number().over(perSeries)
+        val filled = last(col("value"), ignoreNulls = true).over(wAll)
+        // slot distance to the last non-null row, via row numbers (the
+        // frame is step-aligned, so row distance == slot distance)
+        val lastRn = last(when(col("value").isNotNull, rn), ignoreNulls = true).over(wAll)
+        wrapped(sl0.select(col("metric"), col("ts"), col("value"),
+            rn.as("__rn"), filled.as("__fill"), lastRn.as("__lrn"))
+          .select(col("metric"), col("ts"),
+            when(col("value").isNotNull, col("value"))
+              .otherwise(when(col("__rn") - col("__lrn") <= limit, col("__fill")))
+              .cast("double").as("value")), call)
+
+      case "summarize" =>
+        arity(3)
+        val interval = seconds(str(args(1)))
+        require(interval > 0, s"summarize interval must be > 0, got $interval")
+        val method = str(args(2))
+        wrapped(
+          sl0.groupBy(col("metric"), (col("ts") - pmod(col("ts"), lit(interval))).as("ts"))
+            .agg(aggFor(method, col("value"), col("ts")).as("value"))
+            .select(col("metric"), col("ts"), col("value").cast("double").as("value")),
+          call)
+
+      case "timeShift" =>
+        arity(2)
+        // graphite timeShift("1d") presents data from one day AGO at each
+        // current timestamp: label shifts forward by the offset
+        val delta = seconds(str(args(1)))
+        wrapped(sl0.select(col("metric"), (col("ts") + lit(delta)).as("ts"), col("value")),
+          call)
+
+      // -- alias ----------------------------------------------------------
+      case "alias" =>
+        arity(2); renamed(sl0, str(args(1)))
+      case "aliasByNode" =>
+        atLeast(2)
+        val idx = args.tail.map(int)
+        idx.foreach(i => require(i >= 0, s"aliasByNode index must be >= 0, got $i"))
+        val parts = split(col("metric"), "\\.")
+        val nodes = idx.map(i => coalesce(get(parts, lit(i)), lit("")))
+        sl0.select(concat_ws(".", nodes: _*).as("metric"), col("ts"), col("value"))
+
+      // -- filter ---------------------------------------------------------
+      case "grep" =>
+        arity(2); sl0.where(col("metric").rlike(str(args(1))))
+      case "exclude" =>
+        arity(2); sl0.where(!col("metric").rlike(str(args(1))))
+
+      // -- select: top/bottom k series by a per-series statistic ----------
+      case "highestAverage" | "highestMax" | "lowestAverage" =>
+        arity(2)
+        val k = int(args(1))
+        require(k >= 0, s"$name k must be >= 0, got $k")
+        val sl = sl0
+        val stat = name match {
+          case "highestMax" => max(col("value"))
+          case _            => sum(dec(col("value"))).cast("double") / count(col("value"))
+        }
+        val ranked = sl.groupBy(col("metric")).agg(stat.as("__stat"))
+        // deterministic winners: stat, then name; k rows broadcast back
+        val order =
+          if (name == "lowestAverage") Seq(col("__stat").asc_nulls_last, col("metric").asc)
+          else Seq(col("__stat").desc_nulls_last, col("metric").asc)
+        val winners = ranked.orderBy(order: _*).limit(k).select(col("metric"))
+        sl.join(broadcast(winners), Seq("metric"), "left_semi")
+
+      case other =>
+        fail(s"unknown render function '$other'")
+    }
+  }
+}

@@ -28,13 +28,21 @@ object SeriesFind {
     * else matches literally. A component glob never crosses a `.`
     * boundary because matching is per-component.
     */
-  def globToRegex(glob: String): String = {
+  def globToRegex(glob: String): String = globToRegex(glob, ".*", ".")
+
+  /** Same translation with the wildcard classes injectable: full-path
+    * matching (serving/TargetEval) passes `[^.]*` / `[^.]` so a `*` in
+    * `app.*.cpu` spans one node, never a `.` boundary — per-component
+    * matching keeps the plain classes because the split already guarantees
+    * that.
+    */
+  def globToRegex(glob: String, star: String, one: String): String = {
     val sb = new StringBuilder("^")
     var inClass = false
     var braceDepth = 0
     glob.foreach {
-      case '*' if !inClass => sb.append(".*"); ()
-      case '?' if !inClass => sb.append('.'); ()
+      case '*' if !inClass => sb.append(star); ()
+      case '?' if !inClass => sb.append(one); ()
       case '[' if !inClass => inClass = true; sb.append('['); ()
       case ']' if inClass => inClass = false; sb.append(']'); ()
       case '{' if !inClass => braceDepth += 1; sb.append("(?:"); ()

@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   *    (registered-but-silent series list too), else the distinct metrics
   *    of the hot view. The collect is `limit`-bounded (default 1000) —
   *    a catalog can hold millions of series at scale.
+  *  - `GET /render?target=expr&from=a&until=b` — the graphite-web render
+  *    analog: a function-language target (serving/TargetLang) evaluated
+  *    distributed (serving/TargetEval) over the merged fetch.
   *
   * Response: `{"metric":"m","step":s,"datapoints":[[ts,value|null],...]}`
   * ascending by ts. Collecting to the driver is bounded: a hot window is
@@ -61,6 +64,7 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
     server.createContext("/fetch", handler(handleFetch))
     server.createContext("/list", handler(handleList))
     server.createContext("/find", handler(handleFind))
+    server.createContext("/render", handler(handleRender))
     server.start()
     server.getAddress.getPort
   }
@@ -168,6 +172,56 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
       s"""{"path":"${esc(r.getString(0))}","leaf":${r.getBoolean(1)},"branch":${r.getBoolean(2)}}"""
     }
     (200, nodes.mkString("""{"nodes":[""", ",", "]}"))
+  }
+
+  /** Graphite render-API analog: parse `target` as a function expression
+    * (serving/TargetLang) and evaluate it (serving/TargetEval) over the
+    * merged hot ∪ historical fetch of every schema — the full graphite-web
+    * `/render?target=scale(sumSeries(a.*.b),0.5)&from=..&until=..` path
+    * in one process. Response: `[{"target":"name","datapoints":[[ts,v|
+    * null],...]},...]` ordered by target then ts.
+    *
+    * Bounded like /fetch: each schema's frame is clamped + archive-
+    * selected before evaluation, and the final collect is capped at
+    * `maxRows` (default 100k slots — a render window is range/step slots
+    * per output series).
+    */
+  private def handleRender(p: Map[String, String]): (Int, String) = {
+    val target = need(p, "target")
+    val from = need(p, "from").toLong
+    val until = need(p, "until").toLong
+    val now = p.get("now").map(_.toLong).getOrElse(System.currentTimeMillis() / 1000L)
+    val maxRows = math.min(p.get("maxRows").map(_.toInt).getOrElse(100000), 1000000)
+    require(maxRows > 0, s"maxRows must be > 0, got $maxRows")
+    val expr = graft.serving.TargetLang.parse(target)
+    val spark = caches.head.hotView().sparkSession
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("metric", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+    val fetch: String => org.apache.spark.sql.DataFrame = { glob =>
+      val frames = caches.flatMap(_.fetchMerged(None, from, until, now).map(_._2))
+      val all = if (frames.isEmpty) empty
+                else frames.map(_.select(col("metric"), col("ts"), col("value")))
+                  .reduce(_ unionByName _)
+      graft.serving.TargetEval.globFilter(all, glob)
+    }
+    val rows = graft.serving.TargetEval.eval(expr, fetch)
+      .orderBy(col("metric"), col("ts")).limit(maxRows).collect()
+    val byTarget = rows.foldLeft(Vector.empty[(String, StringBuilder)]) { (acc, r) =>
+      val m = r.getString(0)
+      val dp = s"[${r.getLong(1)},${if (r.isNullAt(2)) "null" else r.getDouble(2).toString}]"
+      acc.lastOption match {
+        case Some((last, sb)) if last == m => sb.append(',').append(dp); acc
+        case _ => acc :+ (m -> new StringBuilder(dp))
+      }
+    }
+    val body = byTarget.map { case (m, sb) =>
+      s"""{"target":"${esc(m)}","datapoints":[${sb.toString}]}"""
+    }.mkString("[", ",", "]")
+    (200, body)
   }
 
   private def esc(s: String): String =

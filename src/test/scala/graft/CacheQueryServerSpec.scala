@@ -121,4 +121,28 @@ class CacheQueryServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/list?prefix=db.") == """{"metrics":[]}""")
     assert(get("/list?prefix=web.&limit=0") == """{"metrics":[]}""")
   }
+
+  test("/render evaluates a function target over the merged fetch (render analog)") {
+    def get(path: String): String = {
+      val in = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL.openStream()
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val target = java.net.URLEncoder.encode("scale(sumSeries(web.*),2)", "UTF-8")
+    val body = get(s"/render?target=$target&from=${nowTs - 5}&until=$nowTs&now=$nowTs")
+    assert(body.contains("\"target\":\"scale(sumSeries(web.*),2)\""), body)
+    // hot points (nowTs-i -> i) scaled by 2, ascending
+    for (i <- 1 to 5) assert(body.contains(s"[${nowTs - i},${(2 * i).toDouble}]"), body)
+  }
+
+  test("/render rejects malformed targets and unknown functions with 400") {
+    def status(path: String): Int = {
+      val conn = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      try conn.getResponseCode finally conn.disconnect()
+    }
+    val bad = java.net.URLEncoder.encode("scale(web.*", "UTF-8")
+    assert(status(s"/render?target=$bad&from=0&until=10") == 400)
+    val unknown = java.net.URLEncoder.encode("frobnicate(web.*)", "UTF-8")
+    assert(status(s"/render?target=$unknown&from=0&until=10") == 400)
+  }
 }

@@ -1,0 +1,186 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+import graft.serving._
+
+/** Render-target language: parser shape/error cases, and evaluator
+  * semantics against first-principles expectations over a tiny
+  * hand-computed series frame (two series, step 10, with gaps).
+  */
+class TargetSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // ---- parser -----------------------------------------------------------
+
+  test("parser: paths, numbers, strings, nesting, glob commas") {
+    assert(TargetLang.parse("app.cpu.user") == TPath("app.cpu.user"))
+    assert(TargetLang.parse("scale(a.b,0.5)") ==
+      TCall("scale", List(TPath("a.b"), TNum(0.5, "0.5"))))
+    assert(TargetLang.parse("""alias(a.b,"total")""") ==
+      TCall("alias", List(TPath("a.b"), TStr("total"))))
+    // commas inside {} belong to the glob, not the arg list
+    assert(TargetLang.parse("sumSeries(app.{a,b}.u[0-2])") ==
+      TCall("sumSeries", List(TPath("app.{a,b}.u[0-2]"))))
+    val nested = TargetLang.parse("groupByNode(summarize(a.*,\"1h\",\"max\"),1,\"avg\")")
+    assert(nested == TCall("groupByNode", List(
+      TCall("summarize", List(TPath("a.*"), TStr("1h"), TStr("max"))),
+      TNum(1, "1"), TStr("avg"))))
+    // canonical round-trips re-parse to the same tree
+    assert(TargetLang.parse(nested.canonical) == nested)
+    // whitespace-insensitive
+    assert(TargetLang.parse(" scale( a.b , 2 ) ") ==
+      TCall("scale", List(TPath("a.b"), TNum(2, "2"))))
+  }
+
+  test("parser: malformed input is a client error") {
+    for (bad <- Seq("", "scale(a.b", "scale(a.b,)", "f(a))", "alias(a,\"x)",
+                    "app.{a,b", "a b"))
+      assertThrows[IllegalArgumentException](TargetLang.parse(bad))
+  }
+
+  test("path glob regex: * and ? never cross a dot; braces and classes work") {
+    val re = TargetEval.pathRegex("app.*.u[0-2]")
+    assert("app.click.u0".matches(re))
+    assert(!"app.click.extra.u0".matches(re))   // * confined to one node
+    assert(!"app.click.u3".matches(re))
+    val re2 = TargetEval.pathRegex("app.{click,view}.u?")
+    assert("app.view.u1".matches(re2) && !"app.buy.u1".matches(re2))
+    assert(!"app.view.u11".matches(re2))        // ? is exactly one char
+    assertThrows[IllegalArgumentException](TargetEval.pathRegex("a.[bad"))
+  }
+
+  // ---- evaluator --------------------------------------------------------
+
+  /** Two step-10 series; s.b has a null gap at ts=20 and none at ts=40. */
+  private def frame: DataFrame =
+    Seq[(String, Long, Option[Double])](
+      ("s.a.x", 10L, Some(1.0)), ("s.a.x", 20L, Some(3.0)),
+      ("s.a.x", 30L, Some(2.0)), ("s.a.x", 40L, Some(8.0)),
+      ("s.b.x", 10L, Some(10.0)), ("s.b.x", 20L, None),
+      ("s.b.x", 30L, Some(30.0))
+    ).toDF("metric", "ts", "value")
+
+  private def ev(target: String): Map[(String, Long), Option[Double]] =
+    TargetEval.eval(TargetLang.parse(target),
+        glob => TargetEval.globFilter(frame, glob))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+
+  test("sumSeries skips nulls per timestamp; name is the call text") {
+    val m = ev("sumSeries(s.*.x)")
+    assert(m == Map(
+      ("sumSeries(s.*.x)", 10L) -> Some(11.0),
+      ("sumSeries(s.*.x)", 20L) -> Some(3.0),   // s.b gap skipped
+      ("sumSeries(s.*.x)", 30L) -> Some(32.0),
+      ("sumSeries(s.*.x)", 40L) -> Some(8.0)))
+  }
+
+  test("averageSeries divides by the non-null count") {
+    val m = ev("averageSeries(s.*.x)")
+    assert(m(("averageSeries(s.*.x)", 20L)) == Some(3.0)) // 3/1, not 3/2
+    assert(m(("averageSeries(s.*.x)", 10L)) == Some(5.5))
+  }
+
+  test("scale wraps each series' own name (no cross-series collision)") {
+    val m = ev("scale(s.*.x,2)")
+    assert(m(("scale(s.a.x,2)", 20L)) == Some(6.0))
+    assert(m(("scale(s.b.x,2)", 20L)) == None)   // null stays null
+    assert(m.size == 7)
+  }
+
+  test("derivative family: first point null, resets null for nonNegative") {
+    val d = ev("derivative(s.a.x)")
+    assert(d(("derivative(s.a.x)", 10L)) == None)
+    assert(d(("derivative(s.a.x)", 30L)) == Some(-1.0))
+    val nn = ev("nonNegativeDerivative(s.a.x)")
+    assert(nn(("nonNegativeDerivative(s.a.x)", 30L)) == None) // reset
+    assert(nn(("nonNegativeDerivative(s.a.x)", 40L)) == Some(6.0))
+    val ps = ev("perSecond(s.a.x)")
+    assert(ps(("perSecond(s.a.x)", 40L)) == Some(0.6))
+  }
+
+  test("integral accumulates through gaps, emits null at gaps") {
+    val m = ev("integral(s.b.x)")
+    assert(m(("integral(s.b.x)", 10L)) == Some(10.0))
+    assert(m(("integral(s.b.x)", 20L)) == None)
+    assert(m(("integral(s.b.x)", 30L)) == Some(40.0))
+  }
+
+  test("movingAverage over slots, null-aware") {
+    val m = ev("movingAverage(s.a.x,2)")
+    assert(m(("movingAverage(s.a.x,2)", 10L)) == Some(1.0))
+    assert(m(("movingAverage(s.a.x,2)", 40L)) == Some(5.0))
+    // window with one null: averages the single non-null value
+    val b = ev("movingAverage(s.b.x,2)")
+    assert(b(("movingAverage(s.b.x,2)", 20L)) == Some(10.0))
+  }
+
+  test("keepLastValue forward-fills, honoring the slot limit") {
+    val m = ev("keepLastValue(s.b.x)")
+    assert(m(("keepLastValue(s.b.x)", 20L)) == Some(10.0))
+    // limit 0 is rejected; a gap longer than the limit stays null
+    assertThrows[IllegalArgumentException](ev("keepLastValue(s.b.x,0)"))
+    val lim = ev("keepLastValue(s.b.x,1)")
+    assert(lim(("keepLastValue(s.b.x,1)", 20L)) == Some(10.0))
+  }
+
+  test("summarize re-buckets per series with graphite renaming") {
+    val m = ev("summarize(s.a.x,\"20\",\"sum\")")
+    // buckets [0,20): ts10 -> 1; [20,40): 3+2 -> 5; [40,60): 8
+    assert(m == Map(
+      ("summarize(s.a.x,\"20\",\"sum\")", 0L) -> Some(1.0),
+      ("summarize(s.a.x,\"20\",\"sum\")", 20L) -> Some(5.0),
+      ("summarize(s.a.x,\"20\",\"sum\")", 40L) -> Some(8.0)))
+    val last = ev("summarize(s.a.x,\"20\",\"last\")")
+    assert(last(("summarize(s.a.x,\"20\",\"last\")", 20L)) == Some(2.0))
+  }
+
+  test("timeShift relabels forward; alias and aliasByNode rename") {
+    val m = ev("timeShift(s.a.x,\"30\")")
+    assert(m(("timeShift(s.a.x,\"30\")", 40L)) == Some(1.0))
+    val a = ev("alias(sumSeries(s.*.x),\"total\")")
+    assert(a(("total", 10L)) == Some(11.0))
+    val n = ev("aliasByNode(s.*.x,1)")
+    assert(n(("a", 10L)) == Some(1.0) && n(("b", 10L)) == Some(10.0))
+  }
+
+  test("groupByNode aggregates by name component") {
+    val m = ev("groupByNode(s.*.x,2,\"sum\")")  // node 2 == "x" for both
+    assert(m(("x", 10L)) == Some(11.0))
+    assert(m(("x", 20L)) == Some(3.0))
+  }
+
+  test("grep/exclude filter; highestAverage selects deterministically") {
+    assert(ev("grep(s.*.x,\"b\")").keys.nonEmpty &&
+      ev("grep(s.*.x,\"b\")").keys.forall(_._1 == "s.b.x"))
+    assert(ev("exclude(s.*.x,\"b\")").keys.nonEmpty &&
+      ev("exclude(s.*.x,\"b\")").keys.forall(_._1 == "s.a.x"))
+    // avg(s.a.x)=3.5, avg(s.b.x)=20 -> b wins at k=1, names unchanged
+    val m = ev("highestAverage(s.*.x,1)")
+    assert(m.keys.map(_._1).toSet == Set("s.b.x"))
+    val lo = ev("lowestAverage(s.*.x,1)")
+    assert(lo.keys.map(_._1).toSet == Set("s.a.x"))
+  }
+
+  test("transformNull / removeBelowValue / absolute / offset") {
+    val t = ev("transformNull(s.b.x,-1)")
+    assert(t(("transformNull(s.b.x,-1)", 20L)) == Some(-1.0))
+    val r = ev("removeBelowValue(s.a.x,3)")
+    assert(r(("removeBelowValue(s.a.x,3)", 10L)) == None)
+    assert(r(("removeBelowValue(s.a.x,3)", 20L)) == Some(3.0))
+    val o = ev("offset(absolute(scale(s.a.x,-1)),1)")
+    assert(o(("offset(absolute(scale(s.a.x,-1)),1)", 40L)) == Some(9.0))
+  }
+
+  test("evaluator rejects type and arity errors, unknown functions") {
+    for (bad <- Seq("scale(s.a.x)", "scale(s.a.x,\"2\")", "summarize(s.a.x,\"0\",\"sum\")",
+                    "summarize(s.a.x,\"1h\",\"median\")", "frobnicate(s.a.x)",
+                    "alias(5,\"x\")", "movingAverage(s.a.x,1.5)"))
+      assertThrows[IllegalArgumentException](ev(bad))
+  }
+}
