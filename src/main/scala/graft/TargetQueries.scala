@@ -82,6 +82,30 @@ object TargetQueries {
        |       CASE WHEN delta >= 0 THEN delta END AS value
        |FROM d ORDER BY ts""".stripMargin
 
+  /** Series arithmetic: the graphite ratio idiom (error rate, share-of-
+    * total) — one summed series divided by another, missing/zero divisor
+    * points yielding None. Both sums ride the decimal lane; the single
+    * divide is one IEEE op, so the result is engine-exact.
+    */
+  def tsTargetRatio(s: SparkSession, dir: String): DataFrame =
+    evalOver(s, dir, "divideSeries(sumSeries(app.purchase.u*),sumSeries(app.*.u*))")
+      .orderBy("ts")
+
+  val tsTargetRatioSql: String =
+    s"""WITH base AS ($TargetBaseSql),
+       |p AS (
+       |  SELECT ts, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |  FROM base WHERE regexp_matches(metric, '^app\\.purchase\\.u[^.]*$$')
+       |  GROUP BY ts),
+       |t AS (
+       |  SELECT ts, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |  FROM base WHERE regexp_matches(metric, '^app\\.[^.]*\\.u[^.]*$$')
+       |  GROUP BY ts)
+       |SELECT 'divideSeries(sumSeries(app.purchase.u*),sumSeries(app.*.u*))' AS metric,
+       |       p.ts AS ts,
+       |       CASE WHEN t.value IS NOT NULL AND t.value <> 0 THEN p.value / t.value END AS value
+       |FROM p LEFT JOIN t ON p.ts = t.ts ORDER BY ts""".stripMargin
+
   /** Re-bucket + group: per-series hourly max (summarize), then averaged
     * across series sharing name node 1 (groupByNode) — the graphite
     * "summarize then group" idiom, including graphite's summarize

@@ -70,6 +70,19 @@ object TargetEval {
     re
   }
 
+  /** Graphite-web maxDataPoints consolidation: re-bucket every series to
+    * `bucketSec` tumbling buckets with the named consolidation method —
+    * the serving-side guarantee that a year-long render ships a pixel
+    * budget's worth of points, not range/step raw slots. Same aggregation
+    * semantics (and decimal exact-sum lane) as summarize.
+    */
+  def consolidate(df: DataFrame, bucketSec: Long, method: String): DataFrame = {
+    require(bucketSec > 0, s"consolidation bucket must be > 0, got $bucketSec")
+    df.groupBy(col("metric"), (col("ts") - pmod(col("ts"), lit(bucketSec))).as("ts"))
+      .agg(aggFor(method, col("value"), col("ts")).as("value"))
+      .select(col("metric"), col("ts"), col("value").cast("double").as("value"))
+  }
+
   // ---- helpers ----------------------------------------------------------
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
@@ -174,6 +187,73 @@ object TargetEval {
           .agg(aggFor(method, col("value"), col("ts")).as("value"))
           .select(lit(call.canonical).as("metric"), col("ts"),
             col("value").cast("double").as("value"))
+
+      // -- arithmetic between series --------------------------------------
+      case "divideSeries" =>
+        arity(2)
+        val divisor = series(args(1), fetch)
+        // graphite requires the divisor to be exactly one series; a 2-row
+        // bounded probe (same cost class as the serving collect) enforces
+        // it as a client error instead of silently joining a fan-out
+        val dnames = divisor.select(col("metric")).distinct().limit(2)
+          .collect().map(_.getString(0))
+        if (dnames.length != 1)
+          fail(s"divideSeries divisor must be exactly one series, got ${dnames.length}")
+        val d = broadcast(divisor.select(col("ts").as("__dts"), col("value").as("__dv")))
+        sl0.join(d, col("ts") === col("__dts"), "left")
+          .select(
+            concat(lit("divideSeries("), col("metric"), lit("," + dnames.head + ")"))
+              .as("metric"),
+            col("ts"),
+            // graphite: division by zero (or a missing divisor point) is None
+            when(col("value").isNotNull && col("__dv").isNotNull && col("__dv") =!= 0.0,
+              col("value") / col("__dv")).cast("double").as("value"))
+
+      case "diffSeries" =>
+        atLeast(2)
+        val minuend = sl0
+        val mnames = minuend.select(col("metric")).distinct().limit(2)
+          .collect().map(_.getString(0))
+        if (mnames.length != 1)
+          fail(s"diffSeries minuend must be exactly one series, got ${mnames.length}")
+        // subtrahend: sum across ALL remaining series, None skipped (so a
+        // gap in one subtracted series doesn't null the result)
+        val sub = broadcast(
+          args.tail.map(series(_, fetch)).reduce(_ unionByName _)
+            .groupBy(col("ts"))
+            .agg(sum(dec(col("value"))).cast("double").as("__sv"))
+            .select(col("ts").as("__sts"), col("__sv")))
+        renamed(
+          minuend.join(sub, col("ts") === col("__sts"), "left")
+            .select(col("metric"), col("ts"),
+              when(col("value").isNotNull,
+                col("value") - coalesce(col("__sv"), lit(0.0)))
+                .cast("double").as("value")),
+          call.canonical)
+
+      case "asPercent" =>
+        atLeast(1)
+        if (args.length > 2) fail(s"asPercent expects 1-2 arguments, got ${args.length}")
+        val sl = sl0
+        args.drop(1).headOption match {
+          case Some(TNum(total, _)) =>
+            wrapped(mapValue(sl, v =>
+              when(lit(total) =!= 0.0, v / lit(total) * lit(100.0))), call)
+          case totalArg =>
+            // graphite: an absent total means the sum of the input list; a
+            // seriesList total is summed per timestamp too
+            val totalFrame = totalArg.map(series(_, fetch)).getOrElse(sl)
+              .groupBy(col("ts"))
+              .agg(sum(dec(col("value"))).cast("double").as("__tv"))
+              .select(col("ts").as("__tts"), col("__tv"))
+            wrapped(
+              sl.join(broadcast(totalFrame), col("ts") === col("__tts"), "left")
+                .select(col("metric"), col("ts"),
+                  when(col("value").isNotNull && col("__tv").isNotNull && col("__tv") =!= 0.0,
+                    col("value") / col("__tv") * lit(100.0))
+                    .cast("double").as("value")),
+              call)
+        }
 
       // -- group: aggregate series sharing a name node --------------------
       case "groupByNode" =>

@@ -201,15 +201,35 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
         org.apache.spark.sql.types.StructField("metric", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
-    val fetch: String => org.apache.spark.sql.DataFrame = { glob =>
-      val frames = caches.flatMap(_.fetchMerged(None, from, until, now).map(_._2))
-      val all = if (frames.isEmpty) empty
-                else frames.map(_.select(col("metric"), col("ts"), col("value")))
-                  .reduce(_ unionByName _)
-      graft.serving.TargetEval.globFilter(all, glob)
+    def merged(metricFilter: Option[String]): org.apache.spark.sql.DataFrame = {
+      val frames = caches.flatMap(_.fetchMerged(metricFilter, from, until, now).map(_._2))
+      if (frames.isEmpty) empty
+      else frames.map(_.select(col("metric"), col("ts"), col("value")))
+        .reduce(_ unionByName _)
     }
-    val rows = graft.serving.TargetEval.eval(expr, fetch)
-      .orderBy(col("metric"), col("ts")).limit(maxRows).collect()
+    // one merged hot ∪ historical frame shared by every wildcard glob in
+    // the target (a 3-path target must not rebuild the fetch 3×); a
+    // literal path (no wildcard chars) pushes the exact metric down into
+    // fetchMerged instead, so the level read prunes to one series
+    lazy val mergedAll = merged(None)
+    val fetch: String => org.apache.spark.sql.DataFrame = { glob =>
+      if (glob.forall(c => "*?[{".indexOf(c.toInt) < 0)) merged(Some(glob))
+      else graft.serving.TargetEval.globFilter(mergedAll, glob)
+    }
+    val evaled = graft.serving.TargetEval.eval(expr, fetch)
+    // graphite-web maxDataPoints: consolidate each series to the client's
+    // point budget (bucket = ceil(span / maxDataPoints), consolidateBy
+    // avg/sum/max/min/last, default avg) before anything is collected
+    val out = p.get("maxDataPoints").map(_.toInt) match {
+      case Some(m) =>
+        require(m > 0, s"maxDataPoints must be > 0, got $m")
+        val bucket = math.max(1L, (math.max(1L, until - from) + m - 1) / m)
+        if (bucket <= 1L) evaled
+        else graft.serving.TargetEval.consolidate(
+          evaled, bucket, p.getOrElse("consolidateBy", "avg"))
+      case None => evaled
+    }
+    val rows = out.orderBy(col("metric"), col("ts")).limit(maxRows).collect()
     val byTarget = rows.foldLeft(Vector.empty[(String, StringBuilder)]) { (acc, r) =>
       val m = r.getString(0)
       val dp = s"[${r.getLong(1)},${if (r.isNullAt(2)) "null" else r.getDouble(2).toString}]"

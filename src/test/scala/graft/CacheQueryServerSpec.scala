@@ -134,6 +134,23 @@ class CacheQueryServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (i <- 1 to 5) assert(body.contains(s"[${nowTs - i},${(2 * i).toDouble}]"), body)
   }
 
+  test("/render maxDataPoints consolidates to the point budget (literal path pushdown)") {
+    def get(path: String): String = {
+      val in = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL.openStream()
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    // literal target (no wildcards) takes the exact-metric fetch path;
+    // span 5s / maxDataPoints 2 -> 3s tumbling buckets, consolidateBy avg:
+    // (5), (4,3,2), (1) -> 5.0, 3.0, 1.0
+    val body = get(s"/render?target=web.req&from=${nowTs - 5}&until=$nowTs&now=$nowTs" +
+      "&maxDataPoints=2")
+    assert(body.contains("\"target\":\"web.req\""), body)
+    assert(body.contains(s"[${nowTs - 7},5.0]"), body)
+    assert(body.contains(s"[${nowTs - 4},3.0]"), body)
+    assert(body.contains(s"[${nowTs - 1},1.0]"), body)
+    assert(!body.contains(s"[${nowTs - 2},"), body) // raw slots are gone
+  }
+
   test("/render rejects malformed targets and unknown functions with 400") {
     def status(path: String): Int = {
       val conn = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL

@@ -177,6 +177,35 @@ class TargetSpec extends AnyFunSuite {
     assert(o(("offset(absolute(scale(s.a.x,-1)),1)", 40L)) == Some(9.0))
   }
 
+  test("divideSeries: pointwise ratio, zero/missing divisor -> null") {
+    val m = ev("divideSeries(s.a.x,sumSeries(s.b.x))")
+    assert(m(("divideSeries(s.a.x,sumSeries(s.b.x))", 10L)) == Some(0.1))
+    assert(m(("divideSeries(s.a.x,sumSeries(s.b.x))", 20L)) == None)  // null divisor
+    assert(m(("divideSeries(s.a.x,sumSeries(s.b.x))", 40L)) == None)  // no divisor point
+    // a multi-series divisor is a client error, not a silent fan-out join
+    assertThrows[IllegalArgumentException](ev("divideSeries(s.a.x,s.*.x)"))
+  }
+
+  test("diffSeries: single minuend minus the None-skipping sum of the rest") {
+    val m = ev("diffSeries(s.b.x,s.a.x)")
+    assert(m(("diffSeries(s.b.x,s.a.x)", 10L)) == Some(9.0))
+    assert(m(("diffSeries(s.b.x,s.a.x)", 20L)) == None)    // minuend gap stays None
+    assert(m(("diffSeries(s.b.x,s.a.x)", 30L)) == Some(28.0))
+    assertThrows[IllegalArgumentException](ev("diffSeries(s.*.x,s.a.x)"))
+  }
+
+  test("asPercent: share of list total, constant total, and series total") {
+    val m = ev("asPercent(s.*.x)")
+    assert(m(("asPercent(s.a.x)", 10L)) == Some(1.0 / 11.0 * 100.0))
+    assert(m(("asPercent(s.b.x)", 20L)) == None)           // own gap stays None
+    assert(m(("asPercent(s.a.x)", 20L)) == Some(100.0))    // sole contributor
+    val c = ev("asPercent(s.a.x,4)")
+    assert(c(("asPercent(s.a.x,4)", 20L)) == Some(75.0))
+    val t = ev("asPercent(s.a.x,s.b.x)")
+    assert(t(("asPercent(s.a.x,s.b.x)", 10L)) == Some(10.0))
+    assert(t(("asPercent(s.a.x,s.b.x)", 40L)) == None)     // total has no point
+  }
+
   test("evaluator rejects type and arity errors, unknown functions") {
     for (bad <- Seq("scale(s.a.x)", "scale(s.a.x,\"2\")", "summarize(s.a.x,\"0\",\"sum\")",
                     "summarize(s.a.x,\"1h\",\"median\")", "frobnicate(s.a.x)",
