@@ -117,6 +117,13 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
       val all = httpGet(httpPort, "/list")
       Seq("sys.cpu.a", "sys.mem.b", "sys.net.c").foreach(m =>
         assert(all.contains(s""""$m""""), s"$m missing from $all"))
+      // render-target evaluation over the daemon's merged fetch: a glob
+      // sum across both cpu slots, scaled — the graphite-web render path
+      val target = java.net.URLEncoder.encode("scale(sumSeries(sys.cpu.*),2)", "UTF-8")
+      val r = httpGet(httpPort,
+        s"/render?target=$target&from=${Now - 60}&until=$Now&now=$Now")
+      assert(r.contains("\"target\":\"scale(sumSeries(sys.cpu.*),2)\""), r)
+      assert(r.contains(s"[${Now - 20},1.0]") && r.contains(s"[${Now - 40},1.5]"), r)
     } finally d.stop()
     // shutdown flush: EVERY cached slot is now in the store, none lost
     val afterStop = d.store.fetch(Some("sys.cpu.a"), Now - 600, Now, Now)

@@ -364,4 +364,30 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"broadcast side must be the checkpointed centroids, not the corpus:\n$plan")
     }
   }
+
+  test("target sumSeries partial-aggregates before the exchange (series fan-in map-side)") {
+    val plan = planOf(TargetQueries.tsTargetAgg(spark, sfDir))
+    assert(plan.contains("partial_sum"),
+      s"cross-series sum must partial-aggregate per task:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("target divideSeries broadcasts the bounded divisor, never a sort-merge join") {
+    val plan = planOf(TargetQueries.tsTargetRatio(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"divisor join must be broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"series data must not shuffle for the divide:\n$plan")
+  }
+
+  test("target highestAverage reduces to a broadcast left-semi of k winners") {
+    val base = TargetQueries.targetBase(spark, sfDir)
+    val df = graft.serving.TargetEval.eval(
+      graft.serving.TargetLang.parse("highestAverage(app.*.u*,2)"),
+      glob => graft.serving.TargetEval.globFilter(base, glob))
+    val plan = planOf(df)
+    assert(plan.contains("LeftSemi") && plan.contains("BroadcastExchange"),
+      s"winner selection must be a broadcast semi-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"series data must not shuffle to join winners:\n$plan")
+  }
 }
