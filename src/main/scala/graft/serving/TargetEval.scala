@@ -140,6 +140,22 @@ object TargetEval {
     case other   => fail(s"unknown aggregation method '$other'")
   }
 
+  /** Per-series statistic used by the filter (`averageAbove` family) and
+    * select (`highestAverage` family) functions — graphite-web's
+    * filterSeries statistic names. `current` is the last non-None value
+    * (safeLast), picked by max ts via the struct-ordering idiom aggFor's
+    * `last` uses.
+    */
+  private def seriesStat(kind: String): Column = kind match {
+    case "average" => sum(dec(col("value"))).cast("double") / count(col("value"))
+    case "maximum" => max(col("value"))
+    case "minimum" => min(col("value"))
+    case "current" =>
+      max(when(col("value").isNotNull, struct(col("ts"), col("value"))))
+        .getField("value")
+    case other => fail(s"unknown series statistic '$other'")
+  }
+
   private def renamed(df: DataFrame, name: String): DataFrame =
     df.select(lit(name).as("metric"), col("ts"), col("value"))
 
@@ -186,6 +202,72 @@ object TargetEval {
         all.groupBy(col("ts"))
           .agg(aggFor(method, col("value"), col("ts")).as("value"))
           .select(lit(call.canonical).as("metric"), col("ts"),
+            col("value").cast("double").as("value"))
+
+      case "rangeOfSeries" | "stddevSeries" =>
+        atLeast(1)
+        val all = args.map(series(_, fetch)).reduce(_ unionByName _)
+        val agg = name match {
+          // max - min over the non-None values per timestamp
+          case "rangeOfSeries" => max(col("value")) - min(col("value"))
+          // population stddev, as graphite computes (sqrt(E[x^2]-E[x]^2))
+          case "stddevSeries"  => stddev_pop(col("value"))
+        }
+        all.groupBy(col("ts")).agg(agg.cast("double").as("value"))
+          .select(lit(call.canonical).as("metric"), col("ts"), col("value"))
+
+      case "multiplySeries" =>
+        // graphite safeMul is STRICT about None (any gap -> None), unlike
+        // the None-skipping safeSum lane — pinned by spec. The per-ts
+        // fan-in is the series count, so the collected product list is
+        // bounded exactly like the groupBy(ts) partial rows it replaces.
+        atLeast(1)
+        val all = args.map(series(_, fetch)).reduce(_ unionByName _)
+        all.groupBy(col("ts"))
+          .agg(
+            sum(when(col("value").isNull, 1).otherwise(0)).as("__nulls"),
+            aggregate(sort_array(collect_list(col("value"))), lit(1.0),
+              (acc, x) => acc * x).as("__prod"))
+          .select(lit(call.canonical).as("metric"), col("ts"),
+            when(col("__nulls") === 0, col("__prod")).cast("double").as("value"))
+
+      case "percentileOfSeries" =>
+        // one synthesized series: graphite's non-interpolating rank
+        // percentile (rank = ceil(p/100 * (n+1)), clamped to [1, n]) over
+        // the non-None values at each timestamp
+        arity(2)
+        val p = num(args(1))
+        require(p >= 0 && p <= 100, s"percentile must be in [0,100], got $p")
+        val lst = sort_array(collect_list(col("value")))
+        sl0.groupBy(col("ts")).agg(lst.as("__l"))
+          .select(lit(call.canonical).as("metric"), col("ts"),
+            when(size(col("__l")) > 0,
+              element_at(col("__l"),
+                least(greatest(ceil(lit(p) * (size(col("__l")) + 1) / 100), lit(1L)),
+                  size(col("__l")).cast("long")).cast("int")))
+              .cast("double").as("value"))
+
+      case "group" =>
+        // concatenate series lists (graphite's list combiner)
+        atLeast(1)
+        args.map(series(_, fetch)).reduce(_ unionByName _)
+
+      case "sumSeriesWithWildcards" | "averageSeriesWithWildcards" =>
+        // strip the named name nodes, then aggregate series that collapse
+        // to the same stripped name — groupByNode's generalization; the
+        // index-aware filter keeps this one groupBy, no UDF
+        atLeast(2)
+        val drop = args.tail.map(int)
+        drop.foreach(i => require(i >= 0, s"$name node index must be >= 0, got $i"))
+        val dropArr = array(drop.map(lit(_)): _*)
+        val parts = split(col("metric"), "\\.")
+        val stripped = array_join(
+          filter(parts, (_, i) => !array_contains(dropArr, i.cast("int"))), ".")
+        val method = if (name.startsWith("sum")) "sum" else "avg"
+        sl0.withColumn("__name", stripped)
+          .groupBy(col("__name"), col("ts"))
+          .agg(aggFor(method, col("value"), col("ts")).as("value"))
+          .select(col("__name").as("metric"), col("ts"),
             col("value").cast("double").as("value"))
 
       // -- arithmetic between series --------------------------------------
@@ -273,6 +355,49 @@ object TargetEval {
       case "scale"            => arity(2); wrapped(mapValue(sl0, _ * lit(num(args(1)))), call)
       case "offset"           => arity(2); wrapped(mapValue(sl0, _ + lit(num(args(1)))), call)
       case "absolute"         => arity(1); wrapped(mapValue(sl0, abs(_)), call)
+      case "invert" =>
+        // graphite: 1/x via safeDiv — division by zero is None
+        arity(1); wrapped(mapValue(sl0, v => when(v =!= 0.0, lit(1.0) / v)), call)
+      case "logarithm" =>
+        atLeast(1)
+        if (args.length > 2) fail(s"logarithm expects 1-2 arguments, got ${args.length}")
+        val base = if (args.length == 2) num(args(1)) else 10.0
+        require(base > 0 && base != 1.0, s"logarithm base must be > 0 and != 1, got $base")
+        // graphite: non-positive values are None (math.log domain error)
+        wrapped(mapValue(sl0, v => when(v > 0.0, log(base, v))), call)
+      case "pow" =>
+        arity(2)
+        val factor = num(args(1))
+        // graphite safePow: a math domain error ((-1)^0.5 -> NaN), overflow,
+        // or 0^negative (Infinity here, ValueError there) is None
+        wrapped(mapValue(sl0, v => {
+          val r = pow(v, lit(factor))
+          when(v.isNotNull && !isnan(r) &&
+            r =!= Double.PositiveInfinity && r =!= Double.NegativeInfinity, r)
+        }), call)
+      case "squareRoot" =>
+        arity(1); wrapped(mapValue(sl0, v => when(v >= 0.0, sqrt(v))), call)
+      case "isNonNull" =>
+        // every slot becomes 1.0 (has a value) or 0.0 (gap) — the gap-
+        // visualization idiom; unlike other transforms this maps nulls too
+        arity(1)
+        wrapped(sl0.select(col("metric"), col("ts"),
+          when(col("value").isNotNull, 1.0).otherwise(0.0).as("value")), call)
+      case "offsetToZero" =>
+        // subtract each series' own minimum: per-series min over an
+        // unordered whole-partition window (no join, no extra shuffle
+        // beyond the metric partitioning every per-series transform has)
+        arity(1)
+        val mn = min(col("value")).over(Window.partitionBy(col("metric")))
+        wrapped(sl0.select(col("metric"), col("ts"),
+          (col("value") - mn).cast("double").as("value")), call)
+      case "delay" =>
+        // shift each series' values by N slots (negative N shifts back);
+        // vacated slots are None, as in graphite
+        arity(2)
+        val steps = int(args(1))
+        wrapped(sl0.select(col("metric"), col("ts"),
+          lag(col("value"), steps).over(perSeries).cast("double").as("value")), call)
       case "transformNull" =>
         atLeast(1)
         if (args.length > 2) fail(s"transformNull expects 1-2 arguments, got ${args.length}")
@@ -309,14 +434,37 @@ object TargetEval {
         wrapped(sl0.select(col("metric"), col("ts"),
           when(col("value").isNotNull, running.cast("double")).as("value")), call)
 
-      case "movingAverage" =>
+      case "integralByInterval" =>
+        // integral that resets at each interval boundary — the per-day
+        // running-total idiom; same accumulate-through-gaps / None-at-gap
+        // semantics as integral, with the bucket joining the partition key
+        arity(2)
+        val interval = seconds(str(args(1)))
+        require(interval > 0, s"integralByInterval interval must be > 0, got $interval")
+        val bucket = col("ts") - pmod(col("ts"), lit(interval))
+        val w = Window.partitionBy(col("metric"), bucket).orderBy(col("ts"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val running = sum(dec(coalesce(col("value"), lit(0.0)))).over(w)
+        wrapped(sl0.select(col("metric"), col("ts"),
+          when(col("value").isNotNull, running.cast("double")).as("value")), call)
+
+      case "movingAverage" | "movingSum" | "movingMax" | "movingMin" =>
         arity(2)
         val n = int(args(1))
-        require(n > 0, s"movingAverage window must be > 0 slots, got $n")
+        require(n > 0, s"$name window must be > 0 slots, got $n")
         val w = perSeries.rowsBetween(-(n - 1).toLong, Window.currentRow)
-        wrapped(sl0.select(col("metric"), col("ts"),
-          (sum(dec(col("value"))).over(w).cast("double") /
-            count(col("value")).over(w)).as("value")), call)
+        // same partial-window-at-start semantics as the pinned
+        // movingAverage behavior; an all-None window is None (count 0 /
+        // null-skipping max & min over no rows)
+        val out = name match {
+          case "movingAverage" =>
+            sum(dec(col("value"))).over(w).cast("double") /
+              count(col("value")).over(w)
+          case "movingSum" => sum(dec(col("value"))).over(w).cast("double")
+          case "movingMax" => max(col("value")).over(w)
+          case "movingMin" => min(col("value")).over(w)
+        }
+        wrapped(sl0.select(col("metric"), col("ts"), out.as("value")), call)
 
       case "keepLastValue" =>
         atLeast(1)
@@ -366,29 +514,91 @@ object TargetEval {
         val nodes = idx.map(i => coalesce(get(parts, lit(i)), lit("")))
         sl0.select(concat_ws(".", nodes: _*).as("metric"), col("ts"), col("value"))
 
+      case "aliasSub" =>
+        // re.sub on every series name; graphite backreferences (\1) are
+        // translated to the JVM's ($1). Both patterns are validated at
+        // parse time so a bad regex is a 400, not an executor failure.
+        arity(3)
+        val search = str(args(1))
+        try { java.util.regex.Pattern.compile(search); () }
+        catch {
+          case e: java.util.regex.PatternSyntaxException =>
+            fail(s"bad aliasSub pattern '$search': ${e.getMessage}")
+        }
+        val replace = str(args(2)).replaceAll("""\\(\d)""", """\$$1""")
+        sl0.select(regexp_replace(col("metric"), search, replace).as("metric"),
+          col("ts"), col("value"))
+
       // -- filter ---------------------------------------------------------
       case "grep" =>
         arity(2); sl0.where(col("metric").rlike(str(args(1))))
       case "exclude" =>
         arity(2); sl0.where(!col("metric").rlike(str(args(1))))
 
+      // -- filter: keep series whose per-series statistic clears a bar ----
+      // (modern graphite-web routes all eight through filterSeries with
+      // strict > / < against the threshold)
+      case "averageAbove" | "averageBelow" | "maximumAbove" | "maximumBelow"
+         | "minimumAbove" | "minimumBelow" | "currentAbove" | "currentBelow" =>
+        arity(2)
+        val n = num(args(1))
+        val sl = sl0
+        val stat = seriesStat(name.stripSuffix("Above").stripSuffix("Below"))
+        val keep =
+          if (name.endsWith("Above")) col("__stat") > lit(n)
+          else col("__stat") < lit(n)
+        val winners = sl.groupBy(col("metric")).agg(stat.as("__stat"))
+          .where(keep).select(col("metric"))
+        sl.join(broadcast(winners), Seq("metric"), "left_semi")
+
       // -- select: top/bottom k series by a per-series statistic ----------
-      case "highestAverage" | "highestMax" | "lowestAverage" =>
+      case "highestAverage" | "highestMax" | "highestCurrent"
+         | "lowestAverage" | "lowestCurrent" =>
         arity(2)
         val k = int(args(1))
         require(k >= 0, s"$name k must be >= 0, got $k")
         val sl = sl0
         val stat = name match {
-          case "highestMax" => max(col("value"))
-          case _            => sum(dec(col("value"))).cast("double") / count(col("value"))
+          case "highestMax"                        => seriesStat("maximum")
+          case "highestCurrent" | "lowestCurrent"  => seriesStat("current")
+          case _                                   => seriesStat("average")
         }
         val ranked = sl.groupBy(col("metric")).agg(stat.as("__stat"))
         // deterministic winners: stat, then name; k rows broadcast back
         val order =
-          if (name == "lowestAverage") Seq(col("__stat").asc_nulls_last, col("metric").asc)
+          if (name.startsWith("lowest")) Seq(col("__stat").asc_nulls_last, col("metric").asc)
           else Seq(col("__stat").desc_nulls_last, col("metric").asc)
         val winners = ranked.orderBy(order: _*).limit(k).select(col("metric"))
         sl.join(broadcast(winners), Seq("metric"), "left_semi")
+
+      case "limit" =>
+        // graphite takes the first n series of the list; a frame has no
+        // list order, so the deterministic reading is name order — the
+        // order the reference web UI displays and /render emits
+        arity(2)
+        val k = int(args(1))
+        require(k >= 0, s"limit n must be >= 0, got $k")
+        val sl = sl0
+        val winners = sl.select(col("metric")).distinct()
+          .orderBy(col("metric").asc).limit(k)
+        sl.join(broadcast(winners), Seq("metric"), "left_semi")
+
+      case "nPercentile" =>
+        // each series becomes a flat line at its own rank percentile
+        // (graphite fills EVERY slot, including former gaps); whole-
+        // partition window, so no join and no second shuffle
+        arity(2)
+        val p = num(args(1))
+        require(p >= 0 && p <= 100, s"percentile must be in [0,100], got $p")
+        val wSeries = Window.partitionBy(col("metric"))
+        val lst = sort_array(collect_list(col("value")).over(wSeries))
+        wrapped(sl0.select(col("metric"), col("ts"), lst.as("__l"))
+          .select(col("metric"), col("ts"),
+            when(size(col("__l")) > 0,
+              element_at(col("__l"),
+                least(greatest(ceil(lit(p) * (size(col("__l")) + 1) / 100), lit(1L)),
+                  size(col("__l")).cast("long")).cast("int")))
+              .cast("double").as("value")), call)
 
       case other =>
         fail(s"unknown render function '$other'")

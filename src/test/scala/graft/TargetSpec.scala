@@ -212,4 +212,157 @@ class TargetSpec extends AnyFunSuite {
                     "alias(5,\"x\")", "movingAverage(s.a.x,1.5)"))
       assertThrows[IllegalArgumentException](ev(bad))
   }
+
+  // ---- round-6 function-library expansion -------------------------------
+
+  test("rangeOfSeries / stddevSeries aggregate the non-null spread per ts") {
+    val r = ev("rangeOfSeries(s.*.x)")
+    assert(r(("rangeOfSeries(s.*.x)", 10L)) == Some(9.0))
+    assert(r(("rangeOfSeries(s.*.x)", 20L)) == Some(0.0))  // lone value
+    assert(r(("rangeOfSeries(s.*.x)", 30L)) == Some(28.0))
+    val sd = ev("stddevSeries(s.*.x)")
+    assert(sd(("stddevSeries(s.*.x)", 10L)) == Some(4.5))  // pop stddev of {1,10}
+    assert(sd(("stddevSeries(s.*.x)", 20L)) == Some(0.0))
+  }
+
+  test("multiplySeries is None-strict (any gap nulls the product)") {
+    val m = ev("multiplySeries(s.*.x)")
+    assert(m(("multiplySeries(s.*.x)", 10L)) == Some(10.0))
+    assert(m(("multiplySeries(s.*.x)", 20L)) == None)   // s.b gap -> None
+    assert(m(("multiplySeries(s.*.x)", 30L)) == Some(60.0))
+    assert(m(("multiplySeries(s.*.x)", 40L)) == Some(8.0))
+  }
+
+  test("percentileOfSeries uses graphite's non-interpolating rank") {
+    val m = ev("percentileOfSeries(s.*.x,50)")
+    // rank = ceil(0.5 * (n+1)): n=2 -> rank 2 (upper median), n=1 -> rank 1
+    assert(m(("percentileOfSeries(s.*.x,50)", 10L)) == Some(10.0))
+    assert(m(("percentileOfSeries(s.*.x,50)", 20L)) == Some(3.0))
+    assert(m(("percentileOfSeries(s.*.x,50)", 30L)) == Some(30.0))
+    assertThrows[IllegalArgumentException](ev("percentileOfSeries(s.*.x,101)"))
+  }
+
+  test("group concatenates series lists; names survive") {
+    val m = ev("group(s.a.x,s.b.x)")
+    assert(m.size == 7 && m.keys.map(_._1).toSet == Set("s.a.x", "s.b.x"))
+  }
+
+  test("sum/averageSeriesWithWildcards collapse the stripped name") {
+    val m = ev("sumSeriesWithWildcards(s.*.x,1)")
+    assert(m == Map(
+      ("s.x", 10L) -> Some(11.0), ("s.x", 20L) -> Some(3.0),
+      ("s.x", 30L) -> Some(32.0), ("s.x", 40L) -> Some(8.0)))
+    val a = ev("averageSeriesWithWildcards(s.*.x,1)")
+    assert(a(("s.x", 10L)) == Some(5.5))
+  }
+
+  test("invert / logarithm / pow / squareRoot null the domain errors") {
+    val i = ev("invert(s.a.x)")
+    assert(i(("invert(s.a.x)", 20L)) == Some(1.0 / 3.0))
+    // 1/0 is None, like graphite's safeDiv
+    assert(ev("invert(transformNull(s.b.x,0))")
+      .apply(("invert(transformNull(s.b.x,0))", 20L)) == None)
+    val lg = ev("logarithm(s.a.x)")
+    assert(lg(("logarithm(s.a.x)", 10L)) == Some(0.0))
+    val lg2 = ev("logarithm(s.a.x,2)")
+    assert(lg2(("logarithm(s.a.x,2)", 40L)) == Some(3.0))
+    assert(ev("logarithm(scale(s.a.x,-1))").values.forall(_ == None))
+    assertThrows[IllegalArgumentException](ev("logarithm(s.a.x,1)"))
+    val p = ev("pow(s.a.x,2)")
+    assert(p(("pow(s.a.x,2)", 20L)) == Some(9.0))
+    // (-v)^0.5 is a domain error -> None; 0^-1 (Infinity) likewise
+    assert(ev("pow(scale(s.a.x,-1),0.5)").values.forall(_ == None))
+    assert(ev("pow(transformNull(s.b.x,0),-1)")
+      .apply(("pow(transformNull(s.b.x,0),-1)", 20L)) == None)
+    val sq = ev("squareRoot(s.a.x)")
+    assert(sq(("squareRoot(s.a.x)", 40L)) == Some(math.sqrt(8.0)))
+    assert(ev("squareRoot(scale(s.a.x,-1))").values.forall(_ == None))
+  }
+
+  test("isNonNull maps gaps to 0 and values to 1") {
+    val m = ev("isNonNull(s.b.x)")
+    assert(m == Map(
+      ("isNonNull(s.b.x)", 10L) -> Some(1.0),
+      ("isNonNull(s.b.x)", 20L) -> Some(0.0),
+      ("isNonNull(s.b.x)", 30L) -> Some(1.0)))
+  }
+
+  test("offsetToZero subtracts each series' own minimum") {
+    val m = ev("offsetToZero(s.a.x)")
+    assert(m(("offsetToZero(s.a.x)", 10L)) == Some(0.0))
+    assert(m(("offsetToZero(s.a.x)", 40L)) == Some(7.0))
+  }
+
+  test("delay shifts slots, vacated slots None; negative shifts back") {
+    val m = ev("delay(s.a.x,1)")
+    assert(m(("delay(s.a.x,1)", 10L)) == None)
+    assert(m(("delay(s.a.x,1)", 40L)) == Some(2.0))
+    val b = ev("delay(s.a.x,-1)")
+    assert(b(("delay(s.a.x,-1)", 10L)) == Some(3.0))
+    assert(b(("delay(s.a.x,-1)", 40L)) == None)
+  }
+
+  test("integralByInterval resets the running sum at bucket boundaries") {
+    val m = ev("integralByInterval(s.a.x,\"20\")")
+    assert(m(("integralByInterval(s.a.x,\"20\")", 20L)) == Some(3.0)) // reset
+    assert(m(("integralByInterval(s.a.x,\"20\")", 30L)) == Some(5.0))
+    assert(m(("integralByInterval(s.a.x,\"20\")", 40L)) == Some(8.0)) // reset
+    val b = ev("integralByInterval(s.b.x,\"20\")")
+    assert(b(("integralByInterval(s.b.x,\"20\")", 20L)) == None)      // gap stays None
+    assert(b(("integralByInterval(s.b.x,\"20\")", 30L)) == Some(30.0))
+  }
+
+  test("movingSum / movingMax / movingMin over slots, null-aware") {
+    val s = ev("movingSum(s.a.x,2)")
+    assert(s(("movingSum(s.a.x,2)", 20L)) == Some(4.0))
+    assert(s(("movingSum(s.a.x,2)", 40L)) == Some(10.0))
+    val mx = ev("movingMax(s.a.x,3)")
+    assert(mx(("movingMax(s.a.x,3)", 30L)) == Some(3.0))
+    assert(mx(("movingMax(s.a.x,3)", 40L)) == Some(8.0))
+    val mn = ev("movingMin(s.b.x,2)")
+    assert(mn(("movingMin(s.b.x,2)", 20L)) == Some(10.0)) // null skipped
+    // a window of only the gap row is None
+    val one = ev("movingMin(s.b.x,1)")
+    assert(one(("movingMin(s.b.x,1)", 20L)) == None)
+  }
+
+  test("aliasSub rewrites names with graphite backreferences") {
+    val m = ev("aliasSub(s.*.x,\"^s\\.(.)\\.x$\",\"m_\\1\")")
+    assert(m.keys.map(_._1).toSet == Set("m_a", "m_b"))
+    assert(m(("m_a", 10L)) == Some(1.0))
+    assertThrows[IllegalArgumentException](ev("aliasSub(s.*.x,\"[bad\",\"x\")"))
+  }
+
+  test("filterSeries family keeps series clearing the bar, names unchanged") {
+    // avg a=3.5 b=20; max a=8 b=30; min a=1 b=10; current a=8 b=30
+    def names(t: String): Set[String] = ev(t).keys.map(_._1).toSet
+    assert(names("averageAbove(s.*.x,5)") == Set("s.b.x"))
+    assert(names("averageBelow(s.*.x,5)") == Set("s.a.x"))
+    assert(names("maximumAbove(s.*.x,8)") == Set("s.b.x"))   // strict >
+    assert(names("maximumBelow(s.*.x,10)") == Set("s.a.x"))
+    assert(names("minimumAbove(s.*.x,1)") == Set("s.b.x"))   // strict >
+    assert(names("minimumBelow(s.*.x,5)") == Set("s.a.x"))
+    assert(names("currentAbove(s.*.x,9)") == Set("s.b.x"))
+    assert(names("currentBelow(s.*.x,9)") == Set("s.a.x"))
+    assert(names("averageAbove(s.*.x,0)") == Set("s.a.x", "s.b.x"))
+  }
+
+  test("highestCurrent / lowestCurrent select by the last non-null value") {
+    assert(ev("highestCurrent(s.*.x,1)").keys.map(_._1).toSet == Set("s.b.x"))
+    assert(ev("lowestCurrent(s.*.x,1)").keys.map(_._1).toSet == Set("s.a.x"))
+  }
+
+  test("limit takes the first n series in name order") {
+    val m = ev("limit(s.*.x,1)")
+    assert(m.keys.map(_._1).toSet == Set("s.a.x") && m.size == 4)
+    assert(ev("limit(s.*.x,0)").isEmpty)
+  }
+
+  test("nPercentile flattens each series to its own rank percentile") {
+    val m = ev("nPercentile(s.*.x,50)")
+    // s.a sorted [1,2,3,8]: rank ceil(0.5*5)=3 -> 3; s.b [10,30]: rank 2 -> 30
+    assert(m(("nPercentile(s.a.x,50)", 10L)) == Some(3.0))
+    assert(m(("nPercentile(s.a.x,50)", 40L)) == Some(3.0))
+    assert(m(("nPercentile(s.b.x,50)", 20L)) == Some(30.0)) // former gap filled
+  }
 }
