@@ -125,4 +125,76 @@ object TargetQueries {
        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS value
        |  FROM sm GROUP BY 1, 2)
        |SELECT metric, ts, value FROM g ORDER BY metric, ts""".stripMargin
+
+  /** Filter + windowed transform: keep series whose per-series average
+    * clears a bar (filterSeries/averageAbove — a broadcast-semi-join winner
+    * frame, not a collect), then a 3-slot moving sum per surviving series.
+    * Exactness: the average is decimal-sum / count and the comparison is
+    * strict, so the winner set is engine-stable; the moving sum rides the
+    * decimal lane with one cast at the end.
+    */
+  def tsTargetSelect(s: SparkSession, dir: String): DataFrame =
+    evalOver(s, dir, "movingSum(averageAbove(app.*.u*,50),3)")
+      .orderBy("metric", "ts")
+
+  val tsTargetSelectSql: String =
+    s"""WITH base AS ($TargetBaseSql),
+       |winners AS (
+       |  SELECT metric FROM base GROUP BY metric
+       |  HAVING CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) > 50),
+       |f AS (SELECT b.* FROM base b JOIN winners w USING (metric)),
+       |m AS (
+       |  SELECT metric, ts,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+       |           PARTITION BY metric ORDER BY ts
+       |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS value
+       |  FROM f)
+       |SELECT 'movingSum(' || metric || ',3)' AS metric, ts, value
+       |FROM m ORDER BY metric, ts""".stripMargin
+
+  /** Wildcard aggregation + per-series rebase: collapse the user-shard
+    * node (sumSeriesWithWildcards strips node 2), then subtract each
+    * collapsed series' own minimum (offsetToZero — a whole-partition
+    * window, no join). The stripped-name groupBy is the same one-shuffle
+    * shape as groupByNode.
+    */
+  def tsTargetWild(s: SparkSession, dir: String): DataFrame =
+    evalOver(s, dir, "offsetToZero(sumSeriesWithWildcards(app.*.u*,2))")
+      .orderBy("metric", "ts")
+
+  val tsTargetWildSql: String =
+    s"""WITH base AS ($TargetBaseSql),
+       |w AS (
+       |  SELECT string_split(metric, '.')[1] || '.' || string_split(metric, '.')[2] AS metric,
+       |         ts, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |  FROM base GROUP BY 1, 2),
+       |o AS (
+       |  SELECT metric, ts, value - MIN(value) OVER (PARTITION BY metric) AS value
+       |  FROM w)
+       |SELECT 'offsetToZero(' || metric || ')' AS metric, ts, value
+       |FROM o ORDER BY metric, ts""".stripMargin
+
+  /** Cross-series rank percentile: one synthesized series holding the
+    * per-timestamp median (graphite's non-interpolating rank, ceil(p/100 *
+    * (n+1)) clamped to [1,n]). At p=50 the float rank is exact ((n+1)/2 is
+    * a half-integer, correctly-rounded division), so the oracle's integer
+    * (n+2) DIV 2 is identical — the selected value is an input value, no
+    * arithmetic to diverge.
+    */
+  def tsTargetPct(s: SparkSession, dir: String): DataFrame =
+    evalOver(s, dir, "percentileOfSeries(app.*.u*,50)")
+      .orderBy("ts")
+
+  val tsTargetPctSql: String =
+    s"""WITH base AS ($TargetBaseSql),
+       |r AS (
+       |  SELECT ts, value,
+       |         ROW_NUMBER() OVER (PARTITION BY ts ORDER BY value) AS rn,
+       |         COUNT(*) OVER (PARTITION BY ts) AS cnt
+       |  FROM base WHERE value IS NOT NULL),
+       |p AS (
+       |  SELECT ts, value FROM r
+       |  WHERE rn = LEAST(GREATEST((cnt + 2) // 2, 1), cnt))
+       |SELECT 'percentileOfSeries(app.*.u*,50)' AS metric, ts, value
+       |FROM p ORDER BY ts""".stripMargin
 }
