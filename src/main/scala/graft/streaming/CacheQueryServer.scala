@@ -64,7 +64,7 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
     server.createContext("/fetch", handler(handleFetch))
     server.createContext("/list", handler(handleList))
     server.createContext("/find", handler(handleFind))
-    server.createContext("/render", handler(handleRender))
+    server.createContext("/render", handlerSeq(handleRender))
     server.start()
     server.getAddress.getPort
   }
@@ -72,6 +72,12 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
   def stop(): Unit = synchronized { if (server != null) server.stop(0) }
 
   private def handler(f: Map[String, String] => (Int, String)): HttpHandler =
+    handlerSeq(pairs => f(pairs.toMap))
+
+  /** Like [[handler]] but preserves repeated query parameters (graphite's
+    * render API takes any number of `target=` params per request).
+    */
+  private def handlerSeq(f: Seq[(String, String)] => (Int, String)): HttpHandler =
     new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val (code, body) = try f(params(ex)) catch {
@@ -86,12 +92,12 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
       }
     }
 
-  private def params(ex: HttpExchange): Map[String, String] = {
+  private def params(ex: HttpExchange): Seq[(String, String)] = {
     val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-    q.split("&").filter(_.contains("=")).map { kv =>
+    q.split("&").filter(_.contains("=")).toSeq.map { kv =>
       val Array(k, v) = kv.split("=", 2)
       k -> java.net.URLDecoder.decode(v, "UTF-8")
-    }.toMap
+    }
   }
 
   private def need(p: Map[String, String], k: String): String =
@@ -174,26 +180,32 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
     (200, nodes.mkString("""{"nodes":[""", ",", "]}"))
   }
 
-  /** Graphite render-API analog: parse `target` as a function expression
-    * (serving/TargetLang) and evaluate it (serving/TargetEval) over the
-    * merged hot ∪ historical fetch of every schema — the full graphite-web
-    * `/render?target=scale(sumSeries(a.*.b),0.5)&from=..&until=..` path
-    * in one process. Response: `[{"target":"name","datapoints":[[ts,v|
-    * null],...]},...]` ordered by target then ts.
+  /** Graphite render-API analog: parse each `target` parameter (the API
+    * accepts any number per request, like graphite-web) as a function
+    * expression (serving/TargetLang) and evaluate it (serving/TargetEval)
+    * over the merged hot ∪ historical fetch of every schema — the full
+    * graphite-web `/render?target=scale(sumSeries(a.*.b),0.5)&target=...
+    * &from=..&until=..` path in one process. Response: `[{"target":"name",
+    * "datapoints":[[ts,v|null],...]},...]` in request target order, each
+    * target's series ordered by name then ts.
     *
     * Bounded like /fetch: each schema's frame is clamped + archive-
-    * selected before evaluation, and the final collect is capped at
-    * `maxRows` (default 100k slots — a render window is range/step slots
-    * per output series).
+    * selected before evaluation, and `maxRows` (default 100k slots — a
+    * render window is range/step slots per output series) is ONE collect
+    * budget shared across all targets in the request.
     */
-  private def handleRender(p: Map[String, String]): (Int, String) = {
-    val target = need(p, "target")
+  private def handleRender(pairs: Seq[(String, String)]): (Int, String) = {
+    val p = pairs.toMap
+    val targets = pairs.collect { case ("target", v) => v }
+    require(targets.nonEmpty, "missing parameter 'target'")
     val from = need(p, "from").toLong
     val until = need(p, "until").toLong
     val now = p.get("now").map(_.toLong).getOrElse(System.currentTimeMillis() / 1000L)
     val maxRows = math.min(p.get("maxRows").map(_.toInt).getOrElse(100000), 1000000)
     require(maxRows > 0, s"maxRows must be > 0, got $maxRows")
-    val expr = graft.serving.TargetLang.parse(target)
+    // parse every target up front: one malformed target fails the whole
+    // request as a 400 before any evaluation work starts
+    val exprs = targets.map(graft.serving.TargetLang.parse)
     val spark = caches.head.hotView().sparkSession
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -216,32 +228,43 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
       if (glob.forall(c => "*?[{".indexOf(c.toInt) < 0)) merged(Some(glob))
       else graft.serving.TargetEval.globFilter(mergedAll, glob)
     }
-    val evaled = graft.serving.TargetEval.eval(expr, fetch)
     // graphite-web maxDataPoints: consolidate each series to the client's
     // point budget (bucket = ceil(span / maxDataPoints), consolidateBy
     // avg/sum/max/min/last, default avg) before anything is collected
-    val out = p.get("maxDataPoints").map(_.toInt) match {
-      case Some(m) =>
-        require(m > 0, s"maxDataPoints must be > 0, got $m")
-        val bucket = math.max(1L, (math.max(1L, until - from) + m - 1) / m)
-        if (bucket <= 1L) evaled
-        else graft.serving.TargetEval.consolidate(
-          evaled, bucket, p.getOrElse("consolidateBy", "avg"))
-      case None => evaled
-    }
-    val rows = out.orderBy(col("metric"), col("ts")).limit(maxRows).collect()
-    val byTarget = rows.foldLeft(Vector.empty[(String, StringBuilder)]) { (acc, r) =>
-      val m = r.getString(0)
-      val dp = s"[${r.getLong(1)},${if (r.isNullAt(2)) "null" else r.getDouble(2).toString}]"
-      acc.lastOption match {
-        case Some((last, sb)) if last == m => sb.append(',').append(dp); acc
-        case _ => acc :+ (m -> new StringBuilder(dp))
+    def consolidated(evaled: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      p.get("maxDataPoints").map(_.toInt) match {
+        case Some(m) =>
+          require(m > 0, s"maxDataPoints must be > 0, got $m")
+          val bucket = math.max(1L, (math.max(1L, until - from) + m - 1) / m)
+          if (bucket <= 1L) evaled
+          else graft.serving.TargetEval.consolidate(
+            evaled, bucket, p.getOrElse("consolidateBy", "avg"))
+        case None => evaled
+      }
+    // evaluate targets in request order over the SAME shared merged frame
+    // (mergedAll is built once); maxRows is one budget across all targets,
+    // so N targets can't multiply the serving collect
+    var budget = maxRows
+    val entries = Vector.newBuilder[String]
+    for (expr <- exprs) {
+      val out = consolidated(graft.serving.TargetEval.eval(expr, fetch))
+      val rows =
+        if (budget <= 0) Array.empty[org.apache.spark.sql.Row]
+        else out.orderBy(col("metric"), col("ts")).limit(budget).collect()
+      budget -= rows.length
+      val byTarget = rows.foldLeft(Vector.empty[(String, StringBuilder)]) { (acc, r) =>
+        val m = r.getString(0)
+        val dp = s"[${r.getLong(1)},${if (r.isNullAt(2)) "null" else r.getDouble(2).toString}]"
+        acc.lastOption match {
+          case Some((last, sb)) if last == m => sb.append(',').append(dp); acc
+          case _ => acc :+ (m -> new StringBuilder(dp))
+        }
+      }
+      byTarget.foreach { case (m, sb) =>
+        entries += s"""{"target":"${esc(m)}","datapoints":[${sb.toString}]}"""
       }
     }
-    val body = byTarget.map { case (m, sb) =>
-      s"""{"target":"${esc(m)}","datapoints":[${sb.toString}]}"""
-    }.mkString("[", ",", "]")
-    (200, body)
+    (200, entries.result().mkString("[", ",", "]"))
   }
 
   private def esc(s: String): String =

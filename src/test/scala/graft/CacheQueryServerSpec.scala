@@ -151,6 +151,33 @@ class CacheQueryServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!body.contains(s"[${nowTs - 2},"), body) // raw slots are gone
   }
 
+  test("/render accepts multiple targets, sharing one fetch and row budget") {
+    def get(path: String): String = {
+      val in = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL.openStream()
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val t1 = java.net.URLEncoder.encode("sumSeries(web.*)", "UTF-8")
+    val t2 = java.net.URLEncoder.encode("scale(web.req,10)", "UTF-8")
+    val body = get(s"/render?target=$t1&target=$t2&from=${nowTs - 5}&until=$nowTs&now=$nowTs")
+    // both entries present, in request target order
+    val i1 = body.indexOf("\"target\":\"sumSeries(web.*)\"")
+    val i2 = body.indexOf("\"target\":\"scale(web.req,10)\"")
+    assert(i1 >= 0 && i2 > i1, body)
+    assert(body.contains(s"[${nowTs - 1},10.0]"), body)
+    // maxRows is one budget across targets: 7 rows total caps the second
+    // target at 2 of its 5 slots
+    val capped = get(s"/render?target=$t1&target=$t2&from=${nowTs - 5}&until=$nowTs" +
+      s"&now=$nowTs&maxRows=7")
+    assert(capped.contains("\"target\":\"scale(web.req,10)\""), capped)
+    assert("\\[\\d".r.findAllIn(capped).size == 7, capped)
+    // one malformed target fails the whole request before evaluation
+    val bad = java.net.URLEncoder.encode("scale(web.*", "UTF-8")
+    val conn = java.net.URI.create(
+      s"http://127.0.0.1:$port/render?target=$t1&target=$bad&from=0&until=10")
+      .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try assert(conn.getResponseCode == 400) finally conn.disconnect()
+  }
+
   test("/render rejects malformed targets and unknown functions with 400") {
     def status(path: String): Int = {
       val conn = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL
