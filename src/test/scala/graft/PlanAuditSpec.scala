@@ -390,4 +390,43 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"winner selection must be a broadcast semi-join:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"series data must not shuffle to join winners:\n$plan")
   }
+
+  test("target filterSeries family keeps the broadcast-semi winner shape under a window chain") {
+    // the ts_target_select shape: averageAbove's winner set must broadcast
+    // back (never sort-merge), and movingSum's per-series window must ride
+    // the same metric partitioning — series data shuffles once for the
+    // window, not per stage
+    val plan = planOf(TargetQueries.tsTargetSelect(spark, sfDir))
+    assert(plan.contains("LeftSemi") && plan.contains("BroadcastExchange"),
+      s"threshold filter must be a broadcast semi-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"series data must not shuffle to join winners:\n$plan")
+    assert(plan.contains("partial_avg") || plan.contains("partial_sum"),
+      s"the per-series statistic must partial-aggregate map-side:\n$plan")
+  }
+
+  test("target wildcard-strip aggregation partial-aggregates; offsetToZero adds no join") {
+    val plan = planOf(TargetQueries.tsTargetWild(spark, sfDir))
+    assert(plan.contains("partial_sum"),
+      s"stripped-name sum must partial-aggregate per task:\n$plan")
+    // offsetToZero is a whole-partition window, not a min-table join
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"per-series min must be a window, never a join:\n$plan")
+  }
+
+  test("target percentileOfSeries groups once by ts, no per-row window over raw points") {
+    // isolate the percentile step from the base rollup's own exchange: the
+    // rank selection itself must be ONE groupBy(ts), not a window + join
+    val base = (0 until 100).map(i => (s"m.${i % 5}", (i / 5) * 10L, i.toDouble))
+      .toDF("metric", "ts", "value")
+    val df = graft.serving.TargetEval.eval(
+      graft.serving.TargetLang.parse("percentileOfSeries(m.*,95)"),
+      glob => graft.serving.TargetEval.globFilter(base, glob))
+    val plan = planOf(df)
+    val dataExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(dataExchanges == 1,
+      s"rank percentile is ONE groupBy(ts) — expected exactly 1 hash exchange, got $dataExchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+  }
 }
