@@ -156,6 +156,15 @@ object TargetEval {
     case other => fail(s"unknown series statistic '$other'")
   }
 
+  /** Graphite's non-interpolating rank percentile over a sorted value
+    * array: rank = ceil(p/100 * (n+1)) clamped to [1, n]; empty -> null.
+    */
+  private def rankPercentile(sorted: Column, p: Double): Column =
+    when(size(sorted) > 0,
+      element_at(sorted,
+        least(greatest(ceil(lit(p) * (size(sorted) + 1) / 100), lit(1L)),
+          size(sorted).cast("long")).cast("int")))
+
   private def renamed(df: DataFrame, name: String): DataFrame =
     df.select(lit(name).as("metric"), col("ts"), col("value"))
 
@@ -241,11 +250,7 @@ object TargetEval {
         val lst = sort_array(collect_list(col("value")))
         sl0.groupBy(col("ts")).agg(lst.as("__l"))
           .select(lit(call.canonical).as("metric"), col("ts"),
-            when(size(col("__l")) > 0,
-              element_at(col("__l"),
-                least(greatest(ceil(lit(p) * (size(col("__l")) + 1) / 100), lit(1L)),
-                  size(col("__l")).cast("long")).cast("int")))
-              .cast("double").as("value"))
+            rankPercentile(col("__l"), p).cast("double").as("value"))
 
       case "group" =>
         // concatenate series lists (graphite's list combiner)
@@ -407,6 +412,22 @@ object TargetEval {
         arity(2); wrapped(mapValue(sl0, v => when(v >= lit(num(args(1))), v)), call)
       case "removeAboveValue" =>
         arity(2); wrapped(mapValue(sl0, v => when(v <= lit(num(args(1))), v)), call)
+      case "removeAbovePercentile" | "removeBelowPercentile" =>
+        // null out points beyond each series' OWN rank percentile (same
+        // non-interpolating rank as nPercentile); strict compare, as
+        // graphite's removeAbove/BelowPercentile — a whole-partition
+        // window, no join
+        arity(2)
+        val p = num(args(1))
+        require(p >= 0 && p <= 100, s"percentile must be in [0,100], got $p")
+        val pct = rankPercentile(
+          sort_array(collect_list(col("value")).over(Window.partitionBy(col("metric")))), p)
+        val keep =
+          if (name == "removeAbovePercentile") col("value") <= col("__pct")
+          else col("value") >= col("__pct")
+        wrapped(sl0.select(col("metric"), col("ts"), col("value"), pct.as("__pct"))
+          .select(col("metric"), col("ts"),
+            when(keep, col("value")).cast("double").as("value")), call)
 
       // -- transform: per-series windowed ---------------------------------
       case "derivative" | "nonNegativeDerivative" | "perSecond" =>
@@ -465,6 +486,21 @@ object TargetEval {
           case "movingMin" => min(col("value")).over(w)
         }
         wrapped(sl0.select(col("metric"), col("ts"), out.as("value")), call)
+
+      case "stdev" =>
+        // moving population stddev over the last N slots; graphite's
+        // windowTolerance (default 0.1) nulls windows with fewer than 10%
+        // non-None points. Window width at the series head is the rows
+        // seen so far, as in graphite's growing initial window.
+        arity(2)
+        val n = int(args(1))
+        require(n > 0, s"stdev window must be > 0 slots, got $n")
+        val w = perSeries.rowsBetween(-(n - 1).toLong, Window.currentRow)
+        val valid = count(col("value")).over(w)
+        val width = least(row_number().over(perSeries).cast("long"), lit(n.toLong))
+        wrapped(sl0.select(col("metric"), col("ts"),
+          when(valid.cast("double") / width.cast("double") >= 0.1,
+            stddev_pop(col("value")).over(w)).cast("double").as("value")), call)
 
       case "keepLastValue" =>
         atLeast(1)
@@ -594,11 +630,7 @@ object TargetEval {
         val lst = sort_array(collect_list(col("value")).over(wSeries))
         wrapped(sl0.select(col("metric"), col("ts"), lst.as("__l"))
           .select(col("metric"), col("ts"),
-            when(size(col("__l")) > 0,
-              element_at(col("__l"),
-                least(greatest(ceil(lit(p) * (size(col("__l")) + 1) / 100), lit(1L)),
-                  size(col("__l")).cast("long")).cast("int")))
-              .cast("double").as("value")), call)
+            rankPercentile(col("__l"), p).cast("double").as("value")), call)
 
       case other =>
         fail(s"unknown render function '$other'")

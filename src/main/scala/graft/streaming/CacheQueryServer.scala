@@ -103,6 +103,31 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
   private def need(p: Map[String, String], k: String): String =
     p.getOrElse(k, throw new IllegalArgumentException(s"missing parameter '$k'"))
 
+  /** Graphite-style time parameter: epoch seconds, `now`, or a signed
+    * relative offset in retention units (`-1h`, `-15min`, `+90`) resolved
+    * against `now` — the graphite-web from/until grammar users type into
+    * dashboards.
+    */
+  private def timeParam(p: Map[String, String], k: String, now: Long): Long = {
+    val v = need(p, k)
+    if (v == "now") now
+    else if (v.startsWith("-") || v.startsWith("+")) {
+      val sign = if (v.startsWith("-")) -1L else 1L
+      val secs =
+        try graft.core.RetentionParser.parseTimeStr(v.substring(1))
+        catch {
+          case e: Exception =>
+            throw new IllegalArgumentException(s"bad time '$v': ${e.getMessage}")
+        }
+      now + sign * secs
+    } else
+      try v.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"bad time '$v'")
+      }
+  }
+
   private def handleQuery(p: Map[String, String]): (Int, String) = {
     val metric = need(p, "metric")
     instr.foreach(_.incr("cacheQueries"))
@@ -117,9 +142,9 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
 
   private def handleFetch(p: Map[String, String]): (Int, String) = {
     val metric = need(p, "metric")
-    val from = need(p, "from").toLong
-    val until = need(p, "until").toLong
     val now = p.get("now").map(_.toLong).getOrElse(System.currentTimeMillis() / 1000L)
+    val from = timeParam(p, "from", now)
+    val until = timeParam(p, "until", now)
     val hot = cacheFor(metric)
     hot.fetchMerged(Some(metric), from, until, now) match {
       case None => (200, jsonSeries(metric, 0, Array.empty))
@@ -198,9 +223,9 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
     val p = pairs.toMap
     val targets = pairs.collect { case ("target", v) => v }
     require(targets.nonEmpty, "missing parameter 'target'")
-    val from = need(p, "from").toLong
-    val until = need(p, "until").toLong
     val now = p.get("now").map(_.toLong).getOrElse(System.currentTimeMillis() / 1000L)
+    val from = timeParam(p, "from", now)
+    val until = timeParam(p, "until", now)
     val maxRows = math.min(p.get("maxRows").map(_.toInt).getOrElse(100000), 1000000)
     require(maxRows > 0, s"maxRows must be > 0, got $maxRows")
     // parse every target up front: one malformed target fails the whole

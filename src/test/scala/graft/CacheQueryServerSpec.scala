@@ -178,6 +178,23 @@ class CacheQueryServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     try assert(conn.getResponseCode == 400) finally conn.disconnect()
   }
 
+  test("from/until accept graphite relative time specs (-5, -1min, now)") {
+    def get(path: String): String = {
+      val in = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL.openStream()
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val abs = get(s"/fetch?metric=web.req&from=${nowTs - 5}&until=$nowTs&now=$nowTs")
+    assert(get(s"/fetch?metric=web.req&from=-5&until=now&now=$nowTs") == abs)
+    val target = java.net.URLEncoder.encode("scale(web.req,2)", "UTF-8")
+    val absR = get(s"/render?target=$target&from=${nowTs - 60}&until=$nowTs&now=$nowTs")
+    assert(get(s"/render?target=$target&from=-1min&until=now&now=$nowTs") == absR)
+    // a malformed relative spec is a client error
+    val conn = java.net.URI.create(
+      s"http://127.0.0.1:$port/fetch?metric=web.req&from=-1parsec&until=now&now=$nowTs")
+      .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try assert(conn.getResponseCode == 400) finally conn.disconnect()
+  }
+
   test("/render rejects malformed targets and unknown functions with 400") {
     def status(path: String): Int = {
       val conn = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL

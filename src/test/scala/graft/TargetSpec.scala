@@ -358,6 +358,31 @@ class TargetSpec extends AnyFunSuite {
     assert(ev("limit(s.*.x,0)").isEmpty)
   }
 
+  test("removeAbove/BelowPercentile null points beyond the series' own rank percentile") {
+    // s.a sorted [1,2,3,8]: p50 rank ceil(0.5*5)=3 -> percentile 3
+    val ab = ev("removeAbovePercentile(s.a.x,50)")
+    assert(ab(("removeAbovePercentile(s.a.x,50)", 20L)) == Some(3.0)) // == kept
+    assert(ab(("removeAbovePercentile(s.a.x,50)", 40L)) == None)      // 8 > 3
+    val be = ev("removeBelowPercentile(s.a.x,50)")
+    assert(be(("removeBelowPercentile(s.a.x,50)", 10L)) == None)      // 1 < 3
+    assert(be(("removeBelowPercentile(s.a.x,50)", 40L)) == Some(8.0))
+    assertThrows[IllegalArgumentException](ev("removeAbovePercentile(s.a.x,-1)"))
+  }
+
+  test("stdev computes a moving population stddev with window tolerance") {
+    val m = ev("stdev(s.a.x,2)")
+    assert(m(("stdev(s.a.x,2)", 10L)) == Some(0.0))  // single-point window
+    assert(m(("stdev(s.a.x,2)", 20L)) == Some(1.0))  // {1,3}
+    assert(m(("stdev(s.a.x,2)", 30L)) == Some(0.5))  // {3,2}
+    assert(m(("stdev(s.a.x,2)", 40L)) == Some(3.0))  // {2,8}
+    // gap-only window fails the 10% tolerance -> None
+    val one = ev("stdev(s.b.x,1)")
+    assert(one(("stdev(s.b.x,1)", 20L)) == None)
+    // gap inside a wider window: stddev of the remaining value
+    val two = ev("stdev(s.b.x,2)")
+    assert(two(("stdev(s.b.x,2)", 20L)) == Some(0.0))
+  }
+
   test("nPercentile flattens each series to its own rank percentile") {
     val m = ev("nPercentile(s.*.x,50)")
     // s.a sorted [1,2,3,8]: rank ceil(0.5*5)=3 -> 3; s.b [10,30]: rank 2 -> 30
