@@ -550,6 +550,32 @@ object TargetEval {
         val nodes = idx.map(i => coalesce(get(parts, lit(i)), lit("")))
         sl0.select(concat_ws(".", nodes: _*).as("metric"), col("ts"), col("value"))
 
+      case "changed" =>
+        // 1 where the value differs from the LAST NON-NULL value, else 0 —
+        // the state-transition counter idiom. Graphite carries `previous`
+        // across gaps (a None slot leaves it untouched), so the comparison
+        // is against the last seen value, not the previous slot.
+        arity(1)
+        val prev = last(col("value"), ignoreNulls = true)
+          .over(perSeries.rowsBetween(Window.unboundedPreceding, -1))
+        wrapped(sl0.select(col("metric"), col("ts"),
+          when(col("value").isNotNull && prev.isNotNull && col("value") =!= prev, 1.0)
+            .otherwise(0.0).as("value")), call)
+
+      case "substr" =>
+        // trim each series name to node range [start, stop) — graphite's
+        // python-slice semantics, stop 0 meaning "to the end"
+        atLeast(2)
+        if (args.length > 3) fail(s"substr expects 2-3 arguments, got ${args.length}")
+        val start = int(args(1))
+        val stop = if (args.length == 3) int(args(2)) else 0
+        require(start >= 0 && stop >= 0, s"substr indices must be >= 0")
+        val parts = split(col("metric"), "\\.")
+        val sliced =
+          if (stop == 0) slice(parts, start + 1, 1000000)
+          else slice(parts, start + 1, math.max(stop - start, 0))
+        sl0.select(array_join(sliced, ".").as("metric"), col("ts"), col("value"))
+
       case "aliasSub" =>
         // re.sub on every series name; graphite backreferences (\1) are
         // translated to the JVM's ($1). Both patterns are validated at

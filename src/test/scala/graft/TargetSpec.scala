@@ -383,6 +383,20 @@ class TargetSpec extends AnyFunSuite {
     assert(two(("stdev(s.b.x,2)", 20L)) == Some(0.0))
   }
 
+  test("changed flags value transitions; substr slices name nodes") {
+    val c = ev("changed(s.b.x)")
+    assert(c == Map(
+      ("changed(s.b.x)", 10L) -> Some(0.0),   // first point
+      ("changed(s.b.x)", 20L) -> Some(0.0),   // gap emits 0
+      ("changed(s.b.x)", 30L) -> Some(1.0)))  // vs last NON-NULL (10), not the gap
+    val ca = ev("changed(s.a.x)")
+    assert(ca(("changed(s.a.x)", 20L)) == Some(1.0))
+    val sub = ev("substr(s.*.x,1)")
+    assert(sub.keys.map(_._1).toSet == Set("a.x", "b.x"))
+    val mid = ev("substr(s.*.x,1,2)")
+    assert(mid.keys.map(_._1).toSet == Set("a", "b"))
+  }
+
   test("nPercentile flattens each series to its own rank percentile") {
     val m = ev("nPercentile(s.*.x,50)")
     // s.a sorted [1,2,3,8]: rank ceil(0.5*5)=3 -> 3; s.b [10,30]: rank 2 -> 30
