@@ -142,18 +142,19 @@ object TargetEval {
 
   /** Per-series statistic used by the filter (`averageAbove` family) and
     * select (`highestAverage` family) functions — graphite-web's
-    * filterSeries statistic names. `current` is the last non-None value
-    * (safeLast), picked by max ts via the struct-ordering idiom aggFor's
-    * `last` uses.
+    * filterSeries statistic names, delegated to [[aggFor]] so the
+    * filter/select family can never diverge from the combine/summarize
+    * family's aggregation semantics.
     */
-  private def seriesStat(kind: String): Column = kind match {
-    case "average" => sum(dec(col("value"))).cast("double") / count(col("value"))
-    case "maximum" => max(col("value"))
-    case "minimum" => min(col("value"))
-    case "current" =>
-      max(when(col("value").isNotNull, struct(col("ts"), col("value"))))
-        .getField("value")
-    case other => fail(s"unknown series statistic '$other'")
+  private def seriesStat(kind: String): Column = {
+    val method = kind match {
+      case "average" => "avg"
+      case "maximum" => "max"
+      case "minimum" => "min"
+      case "current" => "last"
+      case other     => fail(s"unknown series statistic '$other'")
+    }
+    aggFor(method, col("value"), col("ts"))
   }
 
   /** Graphite's non-interpolating rank percentile over a sorted value
@@ -164,6 +165,25 @@ object TargetEval {
       element_at(sorted,
         least(greatest(ceil(lit(p) * (size(sorted) + 1) / 100), lit(1L)),
           size(sorted).cast("long")).cast("int")))
+
+  /** Add each series' own rank percentile as `__pct` via the two-window
+    * rank idiom: row_number over value order + non-null count, then pick
+    * the rank row — O(S log S) per series (one sort), never a per-row
+    * array sort, and both windows share the metric partitioning (one
+    * exchange). Same rank math as [[rankPercentile]].
+    */
+  private def withSeriesPercentile(df: DataFrame, p: Double): DataFrame = {
+    val byVal = Window.partitionBy(col("metric")).orderBy(col("value").asc_nulls_last)
+    val wSeries = Window.partitionBy(col("metric"))
+    // nulls sort last, so row numbers 1..cnt are exactly the non-null
+    // values in ascending order
+    val rank = least(
+      greatest(ceil(lit(p) * (col("__cnt") + 1) / 100), lit(1L)),
+      col("__cnt")).cast("long")
+    df.withColumn("__rn", row_number().over(byVal).cast("long"))
+      .withColumn("__cnt", count(col("value")).over(wSeries))
+      .withColumn("__pct", max(when(col("__rn") === rank, col("value"))).over(wSeries))
+  }
 
   private def renamed(df: DataFrame, name: String): DataFrame =
     df.select(lit(name).as("metric"), col("ts"), col("value"))
@@ -415,17 +435,14 @@ object TargetEval {
       case "removeAbovePercentile" | "removeBelowPercentile" =>
         // null out points beyond each series' OWN rank percentile (same
         // non-interpolating rank as nPercentile); strict compare, as
-        // graphite's removeAbove/BelowPercentile — a whole-partition
-        // window, no join
+        // graphite's removeAbove/BelowPercentile — windows only, no join
         arity(2)
         val p = num(args(1))
         require(p >= 0 && p <= 100, s"percentile must be in [0,100], got $p")
-        val pct = rankPercentile(
-          sort_array(collect_list(col("value")).over(Window.partitionBy(col("metric")))), p)
         val keep =
           if (name == "removeAbovePercentile") col("value") <= col("__pct")
           else col("value") >= col("__pct")
-        wrapped(sl0.select(col("metric"), col("ts"), col("value"), pct.as("__pct"))
+        wrapped(withSeriesPercentile(sl0, p)
           .select(col("metric"), col("ts"),
             when(keep, col("value")).cast("double").as("value")), call)
 
@@ -563,32 +580,60 @@ object TargetEval {
             .otherwise(0.0).as("value")), call)
 
       case "substr" =>
-        // trim each series name to node range [start, stop) — graphite's
-        // python-slice semantics, stop 0 meaning "to the end"
+        // trim each series name to node range [start, stop) with
+        // graphite's python-slice semantics (negatives count from the
+        // end, stop 0 means "to the end"). Graphite first strips function
+        // wrappers — text up to the last '(' and from the first ')' — so
+        // substr(sumSeries(a.b.*),0,2) slices "a.b.*", not the call text.
         atLeast(2)
         if (args.length > 3) fail(s"substr expects 2-3 arguments, got ${args.length}")
         val start = int(args(1))
         val stop = if (args.length == 3) int(args(2)) else 0
-        require(start >= 0 && stop >= 0, s"substr indices must be >= 0")
-        val parts = split(col("metric"), "\\.")
-        val sliced =
-          if (stop == 0) slice(parts, start + 1, 1000000)
-          else slice(parts, start + 1, math.max(stop - start, 0))
+        val cleaned = regexp_replace(
+          regexp_replace(col("metric"), "^.*\\(", ""), "\\).*$", "")
+        val parts = split(cleaned, "\\.")
+        val n = size(parts).cast("long")
+        def clampIdx(i: Int): Column =
+          if (i >= 0) least(lit(i.toLong), n)
+          else greatest(n + i, lit(0L))
+        val s0 = clampIdx(start)
+        val e0 = if (stop == 0) n else clampIdx(stop)
+        val sliced = slice(parts, (s0 + 1).cast("int"),
+          greatest(e0 - s0, lit(0L)).cast("int"))
         sl0.select(array_join(sliced, ".").as("metric"), col("ts"), col("value"))
 
       case "aliasSub" =>
         // re.sub on every series name; graphite backreferences (\1) are
-        // translated to the JVM's ($1). Both patterns are validated at
-        // parse time so a bad regex is a 400, not an executor failure.
+        // translated to the JVM's ($1), and everything else in the
+        // replacement — including literal '$', which Java would read as a
+        // group reference — is escaped to stay literal. Pattern syntax
+        // AND backreference group numbers are validated here, so every
+        // user error is a 400 at parse time, never an executor failure.
         arity(3)
         val search = str(args(1))
-        try { java.util.regex.Pattern.compile(search); () }
-        catch {
-          case e: java.util.regex.PatternSyntaxException =>
-            fail(s"bad aliasSub pattern '$search': ${e.getMessage}")
+        val groups =
+          try java.util.regex.Pattern.compile(search).matcher("").groupCount()
+          catch {
+            case e: java.util.regex.PatternSyntaxException =>
+              fail(s"bad aliasSub pattern '$search': ${e.getMessage}")
+          }
+        val raw = str(args(2))
+        val replace = new StringBuilder
+        var i = 0
+        while (i < raw.length) {
+          val c = raw.charAt(i)
+          if (c == '\\' && i + 1 < raw.length && raw.charAt(i + 1).isDigit) {
+            val g = raw.charAt(i + 1) - '0'
+            if (g > groups)
+              fail(s"aliasSub replacement references group \\$g but the " +
+                s"pattern has only $groups group(s)")
+            replace.append('$').append(raw.charAt(i + 1)); i += 2
+          } else if (c == '$' || c == '\\') {
+            replace.append('\\').append(c); i += 1
+          } else { replace.append(c); i += 1 }
         }
-        val replace = str(args(2)).replaceAll("""\\(\d)""", """\$$1""")
-        sl0.select(regexp_replace(col("metric"), search, replace).as("metric"),
+        sl0.select(
+          regexp_replace(col("metric"), search, replace.toString).as("metric"),
           col("ts"), col("value"))
 
       // -- filter ---------------------------------------------------------
@@ -647,16 +692,14 @@ object TargetEval {
 
       case "nPercentile" =>
         // each series becomes a flat line at its own rank percentile
-        // (graphite fills EVERY slot, including former gaps); whole-
-        // partition window, so no join and no second shuffle
+        // (graphite fills EVERY slot, including former gaps); windows
+        // only, so no join and no second shuffle
         arity(2)
         val p = num(args(1))
         require(p >= 0 && p <= 100, s"percentile must be in [0,100], got $p")
-        val wSeries = Window.partitionBy(col("metric"))
-        val lst = sort_array(collect_list(col("value")).over(wSeries))
-        wrapped(sl0.select(col("metric"), col("ts"), lst.as("__l"))
+        wrapped(withSeriesPercentile(sl0, p)
           .select(col("metric"), col("ts"),
-            rankPercentile(col("__l"), p).cast("double").as("value")), call)
+            col("__pct").cast("double").as("value")), call)
 
       case other =>
         fail(s"unknown render function '$other'")

@@ -109,7 +109,10 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
     * dashboards.
     */
   private def timeParam(p: Map[String, String], k: String, now: Long): Long = {
-    val v = need(p, k)
+    // a literal '+' in a query string URL-decodes to a space, so a
+    // leading space is the '+2d' form as real clients send it
+    val v0 = need(p, k)
+    val v = if (v0.startsWith(" ")) "+" + v0.trim else v0
     if (v == "now") now
     else if (v.startsWith("-") || v.startsWith("+")) {
       val sign = if (v.startsWith("-")) -1L else 1L
@@ -273,9 +276,14 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
     val entries = Vector.newBuilder[String]
     for (expr <- exprs) {
       val out = consolidated(graft.serving.TargetEval.eval(expr, fetch))
-      val rows =
-        if (budget <= 0) Array.empty[org.apache.spark.sql.Row]
-        else out.orderBy(col("metric"), col("ts")).limit(budget).collect()
+      // collect one row past the remaining budget: silently truncating a
+      // render (or dropping later targets wholesale) would serve data
+      // that LIES — exhaustion is a loud client error instead
+      val rows = out.orderBy(col("metric"), col("ts")).limit(budget + 1).collect()
+      if (rows.length > budget)
+        throw new IllegalArgumentException(
+          s"render result exceeds maxRows=$maxRows across ${exprs.length} " +
+            "target(s); raise maxRows, narrow the range, or use maxDataPoints")
       budget -= rows.length
       val byTarget = rows.foldLeft(Vector.empty[(String, StringBuilder)]) { (acc, r) =>
         val m = r.getString(0)

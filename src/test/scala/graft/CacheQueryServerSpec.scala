@@ -164,12 +164,13 @@ class CacheQueryServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val i2 = body.indexOf("\"target\":\"scale(web.req,10)\"")
     assert(i1 >= 0 && i2 > i1, body)
     assert(body.contains(s"[${nowTs - 1},10.0]"), body)
-    // maxRows is one budget across targets: 7 rows total caps the second
-    // target at 2 of its 5 slots
-    val capped = get(s"/render?target=$t1&target=$t2&from=${nowTs - 5}&until=$nowTs" +
-      s"&now=$nowTs&maxRows=7")
-    assert(capped.contains("\"target\":\"scale(web.req,10)\""), capped)
-    assert("\\[\\d".r.findAllIn(capped).size == 7, capped)
+    // maxRows is one budget across targets, and exhausting it is a loud
+    // 400 — never a silently truncated render
+    val cappedConn = java.net.URI.create(
+      s"http://127.0.0.1:$port/render?target=$t1&target=$t2&from=${nowTs - 5}" +
+        s"&until=$nowTs&now=$nowTs&maxRows=7")
+      .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try assert(cappedConn.getResponseCode == 400) finally cappedConn.disconnect()
     // one malformed target fails the whole request before evaluation
     val bad = java.net.URLEncoder.encode("scale(web.*", "UTF-8")
     val conn = java.net.URI.create(
@@ -185,6 +186,9 @@ class CacheQueryServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val abs = get(s"/fetch?metric=web.req&from=${nowTs - 5}&until=$nowTs&now=$nowTs")
     assert(get(s"/fetch?metric=web.req&from=-5&until=now&now=$nowTs") == abs)
+    // a literal '+' URL-decodes to a space; the server still reads '+1'
+    val absPlus = get(s"/fetch?metric=web.req&from=${nowTs - 6}&until=$nowTs&now=${nowTs - 1}")
+    assert(get(s"/fetch?metric=web.req&from=-5&until=+1&now=${nowTs - 1}") == absPlus)
     val target = java.net.URLEncoder.encode("scale(web.req,2)", "UTF-8")
     val absR = get(s"/render?target=$target&from=${nowTs - 60}&until=$nowTs&now=$nowTs")
     assert(get(s"/render?target=$target&from=-1min&until=now&now=$nowTs") == absR)

@@ -331,6 +331,12 @@ class TargetSpec extends AnyFunSuite {
     assert(m.keys.map(_._1).toSet == Set("m_a", "m_b"))
     assert(m(("m_a", 10L)) == Some(1.0))
     assertThrows[IllegalArgumentException](ev("aliasSub(s.*.x,\"[bad\",\"x\")"))
+    // a literal '$' in the replacement stays literal (re.sub semantics),
+    // never a Java group reference crashing executor-side
+    val dollar = ev("aliasSub(s.a.x,\"^s\",\"$\")")
+    assert(dollar.keys.map(_._1).toSet == Set("$.a.x"))
+    // a backreference past the pattern's group count is a client error
+    assertThrows[IllegalArgumentException](ev("aliasSub(s.*.x,\"(a)\",\"\\2\")"))
   }
 
   test("filterSeries family keeps series clearing the bar, names unchanged") {
@@ -395,6 +401,14 @@ class TargetSpec extends AnyFunSuite {
     assert(sub.keys.map(_._1).toSet == Set("a.x", "b.x"))
     val mid = ev("substr(s.*.x,1,2)")
     assert(mid.keys.map(_._1).toSet == Set("a", "b"))
+    // function wrappers are stripped before slicing, as in graphite
+    val wrap = ev("substr(sumSeries(s.a.x),0,2)")
+    assert(wrap.keys.map(_._1).toSet == Set("s.a"))
+    // negative indices count from the end (python-slice semantics)
+    val neg = ev("substr(s.*.x,-2)")
+    assert(neg.keys.map(_._1).toSet == Set("a.x", "b.x"))
+    val negStop = ev("substr(s.*.x,0,-1)")
+    assert(negStop.keys.map(_._1).toSet == Set("s.a", "s.b"))
   }
 
   test("nPercentile flattens each series to its own rank percentile") {
