@@ -225,6 +225,7 @@ final class Daemon(routes: Seq[Daemon.Route], waitTime: Long,
   private val pendingBytes = new java.util.concurrent.atomic.AtomicLong(0L)
   private val spoolLock = new Object
   private val drainLock = new Object
+  private val memLock = new Object
 
   /** Hand a batch of raw lines to the stream: straight into the
     * MemoryStream, or — in spool mode — onto the shared pending queue the
@@ -233,7 +234,12 @@ final class Daemon(routes: Seq[Daemon.Route], waitTime: Long,
     */
   private def enqueue(batch: Seq[String]): Unit =
     if (batch.nonEmpty) spoolDir match {
-      case None => batch.foreach(mem.addData(_))
+      // ONE addData per batch, under a daemon-side lock: MemoryStream is a
+      // test source whose row serializer is NOT safe for concurrent
+      // addData — two connection handlers flushing simultaneously corrupt
+      // the encode and die, silently losing every later line on their
+      // sockets (found by DaemonLoad: 3 of 4 connections' points vanished)
+      case None => memLock.synchronized { mem.addData(batch); () }
       case Some(_) =>
         batch.foreach(pending.add)
         val sz = pendingBytes.addAndGet(batch.iterator.map(_.length + 1L).sum)
@@ -298,6 +304,10 @@ final class Daemon(routes: Seq[Daemon.Route], waitTime: Long,
       }
     } catch {
       case _: java.io.IOException => () // client went away: drop the conn
+      case e: Throwable =>
+        // anything else dying here silently loses every later line on
+        // this socket — be loud, then still run the finally-flush
+        System.err.println(s"graft-daemon: connection handler died: $e")
     } finally {
       flush()
       sock.close()

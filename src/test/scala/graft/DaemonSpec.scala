@@ -361,6 +361,27 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally d.stop()
   }
 
+  test("concurrent connections lose no points (MemoryStream enqueue race)") {
+    // 8 sockets bursting simultaneously: before the daemon-side enqueue
+    // lock, concurrent MemoryStream.addData corrupted the shared row
+    // serializer, killed most handler threads on their first flush, and
+    // silently dropped every later line on those sockets
+    val d = mkDaemon("conc")
+    val (linePort, _) = d.start()
+    try {
+      val perConn = 500
+      val threads = (0 until 8).map { c =>
+        val t = new Thread(() => send(linePort,
+          (0 until perConn).map(i => s"conc.c$c.m$i 1.0 ${Now - 20}")))
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      drainUntil(d, timeoutMs = 60000) {
+        d.hot.hotView().count() == 8L * perConn
+      }
+    } finally d.stop()
+  }
+
   test("stop is idempotent and a second daemon can reuse the store") {
     val d = mkDaemon("restart")
     val (lp, _) = d.start()
