@@ -49,6 +49,7 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
   require(caches.nonEmpty, "CacheQueryServer needs at least one cache")
 
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   /** First-match schema routing; a metric matching no schema serves from
     * the first cache (it holds no such metric, so the response is the same
@@ -60,6 +61,16 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
   /** Start serving; returns the bound port (pass port=0 for ephemeral). */
   def start(): Int = synchronized {
     server = HttpServer.create(new InetSocketAddress(bindInterface, port), 0)
+    // without an executor every request runs on the single dispatcher
+    // thread — one long render would serialize behind it every cache
+    // query and health probe. Spark is thread-safe for concurrent
+    // actions, so a small pool serves them in parallel.
+    pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+      val t = new Thread(r, "graft-http")
+      t.setDaemon(true)
+      t
+    })
+    server.setExecutor(pool)
     server.createContext("/query", handler(handleQuery))
     server.createContext("/fetch", handler(handleFetch))
     server.createContext("/list", handler(handleList))
@@ -69,7 +80,10 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
     server.getAddress.getPort
   }
 
-  def stop(): Unit = synchronized { if (server != null) server.stop(0) }
+  def stop(): Unit = synchronized {
+    if (server != null) server.stop(0)
+    if (pool != null) { pool.shutdown(); () }
+  }
 
   private def handler(f: Map[String, String] => (Int, String)): HttpHandler =
     handlerSeq(pairs => f(pairs.toMap))

@@ -7,6 +7,7 @@ import graft.storage.MetricStore
 import graft.streaming.{CacheQueryServer, HotCache, Instrumentation}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
+import scala.jdk.CollectionConverters._
 
 /** Real round trips against the running cache-query HTTP service (the
   * reference's CacheManagementHandler + kenshin-cache-query client pair,
@@ -197,6 +198,24 @@ class CacheQueryServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"http://127.0.0.1:$port/fetch?metric=web.req&from=-1parsec&until=now&now=$nowTs")
       .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
     try assert(conn.getResponseCode == 400) finally conn.disconnect()
+  }
+
+  test("requests serve in parallel: queries are not serialized behind a render") {
+    def get(path: String): String = {
+      val in = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL.openStream()
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val target = java.net.URLEncoder.encode("movingAverage(sumSeries(web.*),3)", "UTF-8")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 6).map { i =>
+      val t = new Thread(() => results.add(
+        if (i % 2 == 0) get(s"/render?target=$target&from=${nowTs - 5}&until=$nowTs&now=$nowTs")
+        else get("/query?metric=web.req")))
+      t.start(); t
+    }
+    threads.foreach(_.join(60000))
+    assert(results.size == 6, s"only ${results.size}/6 concurrent requests completed")
+    assert(results.asScala.forall(r => r.contains("datapoints") || r.contains("web.req")))
   }
 
   test("/render rejects malformed targets and unknown functions with 400") {
