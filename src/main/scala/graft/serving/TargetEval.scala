@@ -701,6 +701,18 @@ object TargetEval {
           .select(col("metric"), col("ts"),
             col("__pct").cast("double").as("value")), call)
 
+      // -- presentation/no-op: display attributes and list ordering -------
+      // These change how graphite-web DRAWS, not the data: identity here
+      // keeps real dashboards working against /render. List order is
+      // presentation too — /render always emits deterministic name order
+      // (sortByName's result); the sortBy* variants' orders cannot ride a
+      // DataFrame, which has no row order to carry.
+      case "sortByName" | "sortByTotal" | "sortByMaxima" | "sortByMinima"
+         | "color" | "lineWidth" | "dashed" | "drawAsInfinite"
+         | "secondYAxis" | "stacked" | "areaBetween" =>
+        atLeast(1)
+        sl0
+
       case other =>
         fail(s"unknown render function '$other'")
     }

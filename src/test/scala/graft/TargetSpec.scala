@@ -411,6 +411,16 @@ class TargetSpec extends AnyFunSuite {
     assert(negStop.keys.map(_._1).toSet == Set("s.a", "s.b"))
   }
 
+  test("presentation functions are data-level identity, not 400s") {
+    val base = ev("sumSeries(s.*.x)")
+    for (t <- Seq("sortByName(sumSeries(s.*.x))", "color(sumSeries(s.*.x),\"red\")",
+                  "stacked(sumSeries(s.*.x))", "lineWidth(sumSeries(s.*.x),2)")) {
+      val m = ev(t)
+      assert(m.values.toSeq.sorted(Ordering[Option[Double]]) ==
+        base.values.toSeq.sorted(Ordering[Option[Double]]), t)
+    }
+  }
+
   test("nPercentile flattens each series to its own rank percentile") {
     val m = ev("nPercentile(s.*.x,50)")
     // s.a sorted [1,2,3,8]: rank ceil(0.5*5)=3 -> 3; s.b [10,30]: rank 2 -> 30
