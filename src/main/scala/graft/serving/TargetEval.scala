@@ -295,6 +295,31 @@ object TargetEval {
           .select(col("__name").as("metric"), col("ts"),
             col("value").cast("double").as("value"))
 
+      case "weightedAverage" =>
+        // weighted mean across two parallel series lists matched on name
+        // node(s): per key and ts, value*weight summed over keys, divided
+        // by the weight sum — the cluster-weighted-metric idiom. One
+        // equi-join on (key, ts) + one groupBy(ts); graphite skips pairs
+        // where either side is None (safeMul), as here.
+        atLeast(3)
+        val nodes = args.drop(2).map(int)
+        nodes.foreach(i => require(i >= 0, s"weightedAverage node index must be >= 0, got $i"))
+        def keyed(df: DataFrame, v: String): DataFrame = {
+          val parts = split(col("metric"), "\\.")
+          df.select(
+            concat_ws(".", nodes.map(i => coalesce(get(parts, lit(i)), lit(""))): _*)
+              .as("__k"),
+            col("ts"), col("value").as(v))
+        }
+        val avgs = keyed(sl0, "__a")
+        val wts = keyed(series(args(1), fetch), "__w")
+        avgs.join(wts, Seq("__k", "ts"))
+          .where(col("__a").isNotNull && col("__w").isNotNull)
+          .groupBy(col("ts"))
+          .agg((sum(col("__a") * col("__w")) / sum(col("__w"))).as("value"))
+          .select(lit(call.canonical).as("metric"), col("ts"),
+            col("value").cast("double").as("value"))
+
       // -- arithmetic between series --------------------------------------
       case "divideSeries" =>
         arity(2)

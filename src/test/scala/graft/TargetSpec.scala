@@ -411,6 +411,27 @@ class TargetSpec extends AnyFunSuite {
     assert(negStop.keys.map(_._1).toSet == Set("s.a", "s.b"))
   }
 
+  test("weightedAverage joins lists on name nodes and weights per ts") {
+    // avg list = s.a.x/s.b.x values; weight list = w.a.x/w.b.x
+    val wts = Seq[(String, Long, Option[Double])](
+      ("w.a.x", 10L, Some(1.0)), ("w.a.x", 20L, Some(1.0)),
+      ("w.b.x", 10L, Some(3.0)), ("w.b.x", 20L, Some(2.0))
+    ).toDF("metric", "ts", "value")
+    val all = frame.unionByName(wts)
+    val m = TargetEval.eval(
+      TargetLang.parse("weightedAverage(s.*.x,w.*.x,1)"),
+      glob => TargetEval.globFilter(all, glob))
+      .collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    // ts10: (1*1 + 10*3)/(1+3) = 7.75; ts20: s.b gap -> only a: 3*1/1 = 3
+    assert(m(10L) == Some(7.75))
+    assert(m(20L) == Some(3.0))
+    // no weights at ts30/40 -> those slots vanish (inner join)
+    assert(!m.contains(30L) && !m.contains(40L))
+    assertThrows[IllegalArgumentException](ev("weightedAverage(s.*.x,s.*.x)"))
+  }
+
   test("presentation functions are data-level identity, not 400s") {
     val base = ev("sumSeries(s.*.x)")
     for (t <- Seq("sortByName(sumSeries(s.*.x))", "color(sumSeries(s.*.x),\"red\")",
