@@ -703,6 +703,50 @@ object TargetEval {
         val winners = ranked.orderBy(order: _*).limit(k).select(col("metric"))
         sl.join(broadcast(winners), Seq("metric"), "left_semi")
 
+      case "averageOutsidePercentile" =>
+        // keep series whose average falls OUTSIDE the (100-n, n) rank-
+        // percentile band of all the averages (band edges are outside:
+        // graphite's strict `not low < avg < high`). The stat frame is
+        // bounded by series count; the band is one broadcast row.
+        arity(2)
+        val n0 = num(args(1))
+        require(n0 >= 0 && n0 <= 100, s"percentile must be in [0,100], got $n0")
+        val p = if (n0 < 50) 100 - n0 else n0
+        val sl = sl0
+        val stats = sl.groupBy(col("metric")).agg(seriesStat("average").as("__avg"))
+        val sorted = sort_array(collect_list(col("__avg")))
+        val band = stats.agg(
+          rankPercentile(sorted, 100 - p).as("__lo"),
+          rankPercentile(sorted, p).as("__hi"))
+        val winners = stats.crossJoin(broadcast(band))
+          .where(!(col("__avg") > col("__lo") && col("__avg") < col("__hi")))
+          .select(col("metric"))
+        sl.join(broadcast(winners), Seq("metric"), "left_semi")
+
+      case "removeBetweenPercentile" =>
+        // keep series with ANY point outside the per-timestamp
+        // (100-n, n) percentile band across series. Unlike graphite's
+        // py2 quirk (None sorts below everything, so a gap counted as
+        // "outside"), gaps here are simply not evidence either way.
+        arity(2)
+        val n0 = num(args(1))
+        require(n0 >= 0 && n0 <= 100, s"percentile must be in [0,100], got $n0")
+        val p = if (n0 < 50) 100 - n0 else n0
+        val sl = sl0
+        val lst = sort_array(collect_list(col("value")))
+        // bands: one row per slot — bounded by range/step, broadcastable
+        val bands = sl.groupBy(col("ts")).agg(lst.as("__l"))
+          .select(col("ts"), rankPercentile(col("__l"), 100 - p).as("__lo"),
+            rankPercentile(col("__l"), p).as("__hi"))
+        val winners = sl.join(broadcast(bands), Seq("ts"))
+          .groupBy(col("metric"))
+          .agg(max(when(col("value").isNotNull &&
+            !(col("value") > col("__lo") && col("value") < col("__hi")), 1)
+            .otherwise(0)).as("__out"))
+          .where(col("__out") === 1)
+          .select(col("metric"))
+        sl.join(broadcast(winners), Seq("metric"), "left_semi")
+
       case "limit" =>
         // graphite takes the first n series of the list; a frame has no
         // list order, so the deterministic reading is name order — the

@@ -432,6 +432,24 @@ class TargetSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ev("weightedAverage(s.*.x,s.*.x)"))
   }
 
+  test("averageOutsidePercentile / removeBetweenPercentile band filters") {
+    // four flat series with averages 1, 2, 3, 10 at a single ts
+    val f = Seq[(String, Long, Option[Double])](
+      ("q.m1.x", 10L, Some(1.0)), ("q.m2.x", 10L, Some(2.0)),
+      ("q.m3.x", 10L, Some(3.0)), ("q.m4.x", 10L, Some(10.0))
+    ).toDF("metric", "ts", "value")
+    def names(t: String): Set[String] =
+      TargetEval.eval(TargetLang.parse(t), g => TargetEval.globFilter(f, g))
+        .collect().map(_.getString(0)).toSet
+    // p=75: sorted [1,2,3,10], hi = rank ceil(.75*5)=4 -> 10, lo = rank 2 -> 2
+    // outside the strict band (2,10): m1 (1), m2 (edge 2), m4 (edge 10)
+    assert(names("averageOutsidePercentile(q.*.x,75)") == Set("q.m1.x", "q.m2.x", "q.m4.x"))
+    // n<50 normalizes to 100-n: same result
+    assert(names("averageOutsidePercentile(q.*.x,25)") == Set("q.m1.x", "q.m2.x", "q.m4.x"))
+    assert(names("removeBetweenPercentile(q.*.x,75)") == Set("q.m1.x", "q.m2.x", "q.m4.x"))
+    assertThrows[IllegalArgumentException](ev("removeBetweenPercentile(s.*.x,101)"))
+  }
+
   test("presentation functions are data-level identity, not 400s") {
     val base = ev("sumSeries(s.*.x)")
     for (t <- Seq("sortByName(sumSeries(s.*.x))", "color(sumSeries(s.*.x),\"red\")",
