@@ -76,9 +76,12 @@ object DaemonLoad {
           println(f"  it=$it count=$count t=${(System.nanoTime() - t0) / 1e9}%.1fs")
       }
       val tAll = (System.nanoTime() - t0) / 1e9
+      // rate from what actually became queryable — a timeout must print a
+      // loud marker and an honest (lower) rate, never n/t
+      val marker = if (count < n) " TIMEOUT-POINTS-LOST" else ""
       println(f"DAEMONLOAD mode=$mode%-6s n=$n conns=$conns " +
-        f"send=${tSend}%.1fs e2e=${tAll}%.1fs rate=${n / tAll}%.0f pts/s " +
-        f"(count=$count)")
+        f"send=${tSend}%.1fs e2e=${tAll}%.1fs rate=${count / tAll}%.0f pts/s " +
+        f"(count=$count)$marker")
       d.stop()
     }
     spark.stop()

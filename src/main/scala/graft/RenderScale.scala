@@ -24,14 +24,20 @@ object RenderScale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def frame(series: Int) =
+    def frame(series: Int) = {
+      // Spark's `/` on a bigint is FRACTIONAL division — a stray double in
+      // the name would add dots and break the 3-node glob silently, so the
+      // series index floors to an integer and the group node is a function
+      // of the SERIES (constant across its slots), not the row
+      val sid = floor(col("id") / slots.toDouble).cast("long")
       spark.range(series.toLong * slots).select(
-        concat(lit("app.g"), (col("id") % 50).cast("string"),
-          lit(".m"), (col("id") / slots).cast("string")).as("metric"),
-        (col("id") % slots) * 60L + 60L as "ts",
+        concat(lit("app.g"), pmod(sid, lit(50L)).cast("string"),
+          lit(".m"), sid.cast("string")).as("metric"),
+        pmod(col("id"), lit(slots.toLong)) * 60L + 60L as "ts",
         // deterministic, non-constant, a sprinkling of nulls (gaps)
         when(pmod(col("id"), lit(97)) =!= 0,
           pmod(col("id") * 7919L, lit(10007)).cast("double") / 100.0).as("value"))
+    }
 
     val targets = Seq(
       "sumSeries(app.*.*)",                 // cross-series combine
@@ -41,13 +47,18 @@ object RenderScale {
       "nPercentile(app.*.*,95)",            // two-window per-series rank
       "highestAverage(app.*.*,10)",         // winner-frame selector
       "averageAbove(app.*.*,50)")           // threshold filter
+    def evalT(df: org.apache.spark.sql.DataFrame, t: String) =
+      serving.TargetEval.eval(serving.TargetLang.parse(t),
+        g => serving.TargetEval.globFilter(df, g))
     for (mult <- Seq(1, 10); s = baseS * mult) {
       val df = frame(s)
+      // guard against the measure-nothing failure mode: the glob must
+      // actually select the synthesized series before anything is timed
+      require(evalT(df, "sumSeries(app.*.*)").limit(1).count() == 1,
+        "scaling frame produced no glob-matching series")
       for (t <- targets) {
-        val expr = serving.TargetLang.parse(t)
         val t0 = System.nanoTime()
-        serving.TargetEval.eval(expr, g => serving.TargetEval.globFilter(df, g))
-          .write.format("noop").mode("overwrite").save()
+        evalT(df, t).write.format("noop").mode("overwrite").save()
         println(f"RENDERSCALE S=$s%-7d ${(System.nanoTime() - t0) / 1e9}%8.2fs  $t")
       }
     }

@@ -152,6 +152,7 @@ object TargetEval {
       case "maximum" => "max"
       case "minimum" => "min"
       case "current" => "last"
+      case "total"   => "sum"
       case other     => fail(s"unknown series statistic '$other'")
     }
     aggFor(method, col("value"), col("ts"))
@@ -297,13 +298,17 @@ object TargetEval {
 
       case "weightedAverage" =>
         // weighted mean across two parallel series lists matched on name
-        // node(s): per key and ts, value*weight summed over keys, divided
-        // by the weight sum — the cluster-weighted-metric idiom. One
-        // equi-join on (key, ts) + one groupBy(ts); graphite skips pairs
-        // where either side is None (safeMul), as here.
+        // node(s) — the cluster-weighted-metric idiom, with graphite's
+        // exact shape: the numerator sums value*weight over matched pairs
+        // (safeMul skips pairs where either side is None), but the
+        // denominator is sumSeries over ALL weights — unmatched or
+        // gap-opposed weights still divide. Division by a missing or zero
+        // weight sum is None. Sums ride a decimal(27,6) lane (each product
+        // is one IEEE op, the sums exact) so results are partition-stable.
         atLeast(3)
         val nodes = args.drop(2).map(int)
         nodes.foreach(i => require(i >= 0, s"weightedAverage node index must be >= 0, got $i"))
+        def dec6(c: Column): Column = c.cast("decimal(27,6)")
         def keyed(df: DataFrame, v: String): DataFrame = {
           val parts = split(col("metric"), "\\.")
           df.select(
@@ -311,14 +316,17 @@ object TargetEval {
               .as("__k"),
             col("ts"), col("value").as(v))
         }
-        val avgs = keyed(sl0, "__a")
         val wts = keyed(series(args(1), fetch), "__w")
-        avgs.join(wts, Seq("__k", "ts"))
+        val num = keyed(sl0, "__a").join(wts, Seq("__k", "ts"))
           .where(col("__a").isNotNull && col("__w").isNotNull)
           .groupBy(col("ts"))
-          .agg((sum(col("__a") * col("__w")) / sum(col("__w"))).as("value"))
+          .agg(sum(dec6(col("__a") * col("__w"))).cast("double").as("__num"))
+        val den = wts.groupBy(col("ts"))
+          .agg(sum(dec6(col("__w"))).cast("double").as("__den"))
+        den.join(num, Seq("ts"), "left")
           .select(lit(call.canonical).as("metric"), col("ts"),
-            col("value").cast("double").as("value"))
+            when(col("__num").isNotNull && col("__den").isNotNull && col("__den") =!= 0.0,
+              col("__num") / col("__den")).cast("double").as("value"))
 
       // -- arithmetic between series --------------------------------------
       case "divideSeries" =>
@@ -748,15 +756,32 @@ object TargetEval {
         sl.join(broadcast(winners), Seq("metric"), "left_semi")
 
       case "limit" =>
-        // graphite takes the first n series of the list; a frame has no
-        // list order, so the deterministic reading is name order — the
-        // order the reference web UI displays and /render emits
+        // graphite takes the first n series of the list. A frame has no
+        // list order, so the order must come from the expression: when the
+        // input is a sortBy* call, the first-n read IS the top/bottom-n of
+        // that statistic (the documented limit(sortByMaxima(x),n) idiom);
+        // otherwise the deterministic reading is name order — the order
+        // /render emits (sortByName's result).
         arity(2)
         val k = int(args(1))
         require(k >= 0, s"limit n must be >= 0, got $k")
         val sl = sl0
-        val winners = sl.select(col("metric")).distinct()
-          .orderBy(col("metric").asc).limit(k)
+        val ordered = args.head match {
+          case TCall("sortByTotal", _)  => Some((seriesStat("total"), false))
+          case TCall("sortByMaxima", _) => Some((seriesStat("maximum"), false))
+          case TCall("sortByMinima", _) => Some((seriesStat("minimum"), true))
+          case _                        => None
+        }
+        val winners = ordered match {
+          case Some((stat, asc)) =>
+            val ranked = sl.groupBy(col("metric")).agg(stat.as("__stat"))
+            val order =
+              if (asc) Seq(col("__stat").asc_nulls_last, col("metric").asc)
+              else Seq(col("__stat").desc_nulls_last, col("metric").asc)
+            ranked.orderBy(order: _*).limit(k).select(col("metric"))
+          case None =>
+            sl.select(col("metric")).distinct().orderBy(col("metric").asc).limit(k)
+        }
         sl.join(broadcast(winners), Seq("metric"), "left_semi")
 
       case "nPercentile" =>

@@ -50,6 +50,11 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
 
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
+  /** The installed request pool — exposed so tests can pin that requests
+    * are NOT serialized on the dispatcher thread (a timing-based
+    * concurrency assertion would flake; this one can't).
+    */
+  private[graft] def requestPool: java.util.concurrent.ExecutorService = pool
 
   /** First-match schema routing; a metric matching no schema serves from
     * the first cache (it holds no such metric, so the response is the same

@@ -304,12 +304,19 @@ final class Daemon(routes: Seq[Daemon.Route], waitTime: Long,
       }
     } catch {
       case _: java.io.IOException => () // client went away: drop the conn
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         // anything else dying here silently loses every later line on
         // this socket — be loud, then still run the finally-flush
         System.err.println(s"graft-daemon: connection handler died: $e")
     } finally {
-      flush()
+      // the flush can hit the same failure the catch above did; it must
+      // not skip the close/remove below, or stop() spins its whole
+      // 30s deadline on a connection that is already dead
+      try flush()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"graft-daemon: final connection flush failed: $e")
+      }
       sock.close()
       conns.remove(sock)
       ()

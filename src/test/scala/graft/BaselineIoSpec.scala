@@ -37,13 +37,19 @@ class BaselineIoSpec extends AnyFunSuite with BeforeAndAfterAll {
     ()
   }
 
-  /** Distinct pday partition dirs holding a parquet part newer than t0. */
-  private def touchedPartitions(dir: java.io.File, t0: Long): Set[String] = {
+  /** Distinct pday partition dirs holding a parquet part not yet counted.
+    * Tracking (path, mtime) pairs instead of a time window avoids both
+    * double-counting a file across back-to-back batches and missing one
+    * to mtime granularity.
+    */
+  private val seen = scala.collection.mutable.Set.empty[(String, Long)]
+  private def touchedPartitions(dir: java.io.File): Set[String] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isFile) Seq(f)
       else Option(f.listFiles).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
     walk(dir)
-      .filter(f => f.getName.endsWith(".parquet") && f.lastModified >= t0)
+      .filter(_.getName.endsWith(".parquet"))
+      .filter(f => seen.add((f.getAbsolutePath, f.lastModified)))
       .map(_.getParentFile.getAbsolutePath)
       .toSet
   }
@@ -61,13 +67,12 @@ class BaselineIoSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     var writes = 0
     for (batch <- 0 until 12) {
-      val t0 = System.currentTimeMillis() - 1000
       val lo = T0 + batch * 600L
       val rows = for (m <- metrics; s <- 0 until 600)
         yield (m, lo + s, (batch * 600 + s).toDouble, batch.toLong)
       store.writeBatch(rows.toDF("metric", "ts", "value", "arrival"), lo + 600L)
       store.cascadeAuto() // xff-gated, exactly like the daemon's cadence
-      writes += touchedPartitions(storeDir, t0).size
+      writes += touchedPartitions(storeDir).size
     }
 
     // 2h is 1/12 of the day: the table-wide budget share is 1152/12 = 96

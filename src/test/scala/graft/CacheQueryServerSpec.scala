@@ -216,6 +216,14 @@ class CacheQueryServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     threads.foreach(_.join(60000))
     assert(results.size == 6, s"only ${results.size}/6 concurrent requests completed")
     assert(results.asScala.forall(r => r.contains("datapoints") || r.contains("web.req")))
+    // pin the pool itself: with no executor installed, HttpServer runs
+    // every handler on its single dispatcher thread and this completion
+    // test would still pass
+    server.requestPool match {
+      case tp: java.util.concurrent.ThreadPoolExecutor =>
+        assert(tp.getMaximumPoolSize > 1, "request pool must allow parallel handlers")
+      case other => fail(s"expected a thread pool executor, got $other")
+    }
   }
 
   test("/render rejects malformed targets and unknown functions with 400") {

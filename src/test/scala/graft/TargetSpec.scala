@@ -364,6 +364,14 @@ class TargetSpec extends AnyFunSuite {
     assert(ev("limit(s.*.x,0)").isEmpty)
   }
 
+  test("limit over sortBy* selects by the sort statistic, not name order") {
+    // max a=8 b=30; min a=1 b=10; total a=14 b=40
+    assert(ev("limit(sortByMaxima(s.*.x),1)").keys.map(_._1).toSet == Set("s.b.x"))
+    assert(ev("limit(sortByMinima(s.*.x),1)").keys.map(_._1).toSet == Set("s.a.x"))
+    assert(ev("limit(sortByTotal(s.*.x),1)").keys.map(_._1).toSet == Set("s.b.x"))
+    assert(ev("limit(sortByName(s.*.x),1)").keys.map(_._1).toSet == Set("s.a.x"))
+  }
+
   test("removeAbove/BelowPercentile null points beyond the series' own rank percentile") {
     // s.a sorted [1,2,3,8]: p50 rank ceil(0.5*5)=3 -> percentile 3
     val ab = ev("removeAbovePercentile(s.a.x,50)")
@@ -424,10 +432,12 @@ class TargetSpec extends AnyFunSuite {
       .collect()
       .map(r => r.getLong(1) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
       .toMap
-    // ts10: (1*1 + 10*3)/(1+3) = 7.75; ts20: s.b gap -> only a: 3*1/1 = 3
+    // ts10: (1*1 + 10*3)/(1+3) = 7.75
+    // ts20: numerator skips the s.b gap pair (3*1=3) but the denominator
+    // still sums ALL weights (1+2=3), graphite's sumSeries(weights) -> 1.0
     assert(m(10L) == Some(7.75))
-    assert(m(20L) == Some(3.0))
-    // no weights at ts30/40 -> those slots vanish (inner join)
+    assert(m(20L) == Some(1.0))
+    // no weights at ts30/40 -> no denominator slot
     assert(!m.contains(30L) && !m.contains(40L))
     assertThrows[IllegalArgumentException](ev("weightedAverage(s.*.x,s.*.x)"))
   }
