@@ -264,14 +264,27 @@ object TargetEval {
       case "percentileOfSeries" =>
         // one synthesized series: graphite's non-interpolating rank
         // percentile (rank = ceil(p/100 * (n+1)), clamped to [1, n]) over
-        // the non-None values at each timestamp
+        // the non-None values at each timestamp. Two windows over the ts
+        // partitioning (row_number in value order + non-null count), NOT a
+        // collect_list: the array shape holds every series' value for a
+        // slot in one in-memory element and falls over around the
+        // million-series mark, while the sort-based rank spills and scales
+        // (found by RenderScale at S=2M).
         arity(2)
         val p = num(args(1))
         require(p >= 0 && p <= 100, s"percentile must be in [0,100], got $p")
-        val lst = sort_array(collect_list(col("value")))
-        sl0.groupBy(col("ts")).agg(lst.as("__l"))
+        val byVal = Window.partitionBy(col("ts")).orderBy(col("value").asc_nulls_last)
+        val wTs = Window.partitionBy(col("ts"))
+        val rank = least(
+          greatest(ceil(lit(p) * (col("__cnt") + 1) / 100), lit(1L)),
+          col("__cnt")).cast("long")
+        sl0.withColumn("__rn", row_number().over(byVal).cast("long"))
+          .withColumn("__cnt", count(col("value")).over(wTs))
+          // one row per slot: the rank row, or (all-None slot) row 1 as None
+          .where((col("__cnt") > 0 && col("__rn") === rank) ||
+            (col("__cnt") === 0 && col("__rn") === 1))
           .select(lit(call.canonical).as("metric"), col("ts"),
-            rankPercentile(col("__l"), p).cast("double").as("value"))
+            when(col("__cnt") > 0, col("value")).cast("double").as("value"))
 
       case "group" =>
         // concatenate series lists (graphite's list combiner)
