@@ -602,6 +602,25 @@ object TargetEval {
         wrapped(sl0.select(col("metric"), (col("ts") + lit(delta)).as("ts"), col("value")),
           call)
 
+      case "timeStack" =>
+        // the week-over-week overlay: one shifted copy of every series per
+        // step in [start, end), each named timeShift(name,unit,i) as
+        // graphite does. The fan-out is the step count — a bounded union,
+        // no join.
+        arity(4)
+        val unitRaw = str(args(1))
+        val unit = seconds(unitRaw)
+        val lo = int(args(2)); val hi = int(args(3))
+        require(hi > lo, s"timeStack end must be > start, got [$lo, $hi)")
+        require(hi - lo <= 64, s"timeStack fans out ${hi - lo} copies; cap is 64")
+        val sl = sl0
+        (lo until hi).map { i =>
+          sl.select(
+            concat(lit("timeShift("), col("metric"),
+              lit(s""","$unitRaw",$i)""")).as("metric"),
+            (col("ts") + lit(unit * i)).as("ts"), col("value"))
+        }.reduce(_ unionByName _)
+
       // -- alias ----------------------------------------------------------
       case "alias" =>
         arity(2); renamed(sl0, str(args(1)))

@@ -460,6 +460,15 @@ class TargetSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ev("removeBetweenPercentile(s.*.x,101)"))
   }
 
+  test("timeStack emits shifted copies named per step") {
+    val m = ev("timeStack(s.a.x,\"10\",0,2)")
+    // copy 0 unshifted, copy 1 labeled one 10s step later
+    assert(m(("timeShift(s.a.x,\"10\",0)", 10L)) == Some(1.0))
+    assert(m(("timeShift(s.a.x,\"10\",1)", 20L)) == Some(1.0))
+    assert(m.size == 8)
+    assertThrows[IllegalArgumentException](ev("timeStack(s.a.x,\"10\",2,2)"))
+  }
+
   test("presentation functions are data-level identity, not 400s") {
     val base = ev("sumSeries(s.*.x)")
     for (t <- Seq("sortByName(sumSeries(s.*.x))", "color(sumSeries(s.*.x),\"red\")",
