@@ -605,21 +605,27 @@ object TargetEval {
       case "timeStack" =>
         // the week-over-week overlay: one shifted copy of every series per
         // step in [start, end), each named timeShift(name,unit,i) as
-        // graphite does. The fan-out is the step count — a bounded union,
-        // no join.
-        arity(4)
-        val unitRaw = str(args(1))
+        // graphite does. ONE scan: each row explodes into its step copies
+        // (a row-level sequence), so the inner expression is never
+        // re-evaluated per shift. Optional args default like graphite's
+        // (unit "1d", start 0, end 7). The cap compares in Long — an
+        // Int-overflowing [start, end) must be a 400, not a 4-billion-step
+        // explode.
+        atLeast(1)
+        if (args.length > 4) fail(s"timeStack expects 1-4 arguments, got ${args.length}")
+        val unitRaw = if (args.length >= 2) str(args(1)) else "1d"
         val unit = seconds(unitRaw)
-        val lo = int(args(2)); val hi = int(args(3))
-        require(hi > lo, s"timeStack end must be > start, got [$lo, $hi)")
-        require(hi - lo <= 64, s"timeStack fans out ${hi - lo} copies; cap is 64")
-        val sl = sl0
-        (lo until hi).map { i =>
-          sl.select(
-            concat(lit("timeShift("), col("metric"),
-              lit(s""","$unitRaw",$i)""")).as("metric"),
-            (col("ts") + lit(unit * i)).as("ts"), col("value"))
-        }.reduce(_ unionByName _)
+        val lo = if (args.length >= 3) int(args(2)) else 0
+        val hi = if (args.length >= 4) int(args(3)) else 7
+        val steps = hi.toLong - lo.toLong
+        require(steps > 0, s"timeStack end must be > start, got [$lo, $hi)")
+        require(steps <= 64, s"timeStack fans out $steps copies; cap is 64")
+        sl0.select(col("metric"), col("ts"), col("value"),
+            explode(sequence(lit(lo.toLong), lit(hi.toLong - 1))).as("__i"))
+          .select(
+            concat(lit("timeShift("), col("metric"), lit(s""","$unitRaw","""),
+              col("__i").cast("string"), lit(")")).as("metric"),
+            (col("ts") + lit(unit) * col("__i")).as("ts"), col("value"))
 
       // -- alias ----------------------------------------------------------
       case "alias" =>

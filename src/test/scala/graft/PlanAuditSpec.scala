@@ -415,9 +415,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-series min must be a window, never a join:\n$plan")
   }
 
-  test("target percentileOfSeries groups once by ts, no per-row window over raw points") {
-    // isolate the percentile step from the base rollup's own exchange: the
-    // rank selection itself must be ONE groupBy(ts), not a window + join
+  test("target percentileOfSeries shares one ts exchange across both rank windows") {
+    // isolate the percentile step from the base rollup's own exchange:
+    // the sort-based rank (row_number in value order + non-null count,
+    // both over the ts partitioning) must plan ONE hash exchange shared
+    // by the two windows — never a second shuffle, a join, or the
+    // collect_list array shape that died at the million-series mark
     val base = (0 until 100).map(i => (s"m.${i % 5}", (i / 5) * 10L, i.toDouble))
       .toDF("metric", "ts", "value")
     val df = graft.serving.TargetEval.eval(

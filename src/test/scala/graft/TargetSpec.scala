@@ -467,6 +467,11 @@ class TargetSpec extends AnyFunSuite {
     assert(m(("timeShift(s.a.x,\"10\",1)", 20L)) == Some(1.0))
     assert(m.size == 8)
     assertThrows[IllegalArgumentException](ev("timeStack(s.a.x,\"10\",2,2)"))
+    // graphite's optional-arg default is 7 daily steps
+    assert(ev("timeStack(s.a.x)").size == 28)
+    // an Int-overflowing range is a 400, never a multi-billion-step explode
+    assertThrows[IllegalArgumentException](
+      ev("timeStack(s.a.x,\"10\",-2000000000,2000000000)"))
   }
 
   test("presentation functions are data-level identity, not 400s") {
