@@ -565,6 +565,40 @@ object TargetEval {
           when(valid.cast("double") / width.cast("double") >= 0.1,
             stddev_pop(col("value")).over(w)).cast("double").as("value")), call)
 
+      case "holtWintersForecast" | "holtWintersConfidenceBands" | "holtWintersAberration" =>
+        // the graphite alerting family (see serving/HoltWinters): one
+        // sequential analysis pass per series, then per-row arithmetic
+        atLeast(1)
+        val delta =
+          if (args.length >= 2) num(args(1))
+          else 3.0 // graphite's default band width
+        if (name == "holtWintersForecast" && args.length > 1)
+          fail(s"holtWintersForecast expects 1 argument, got ${args.length}")
+        if (args.length > 2) fail(s"$name expects 1-2 arguments, got ${args.length}")
+        val an = HoltWinters.analyzed(sl0)
+        def named(prefix: String, valueCol: Column): DataFrame =
+          an.select(
+            concat(lit(prefix + "("), col("metric"), lit(")")).as("metric"),
+            col("ts"), valueCol.cast("double").as("value"))
+        val upper = col("prediction") + lit(delta) * col("deviation")
+        val lower = col("prediction") - lit(delta) * col("deviation")
+        name match {
+          case "holtWintersForecast" =>
+            named("holtWintersForecast", col("prediction"))
+          case "holtWintersConfidenceBands" =>
+            named("holtWintersConfidenceUpper", upper)
+              .unionByName(named("holtWintersConfidenceLower", lower))
+          case "holtWintersAberration" =>
+            // excess beyond the bands, 0 inside them (graphite's shape)
+            named("holtWintersAberration",
+              when(col("value").isNotNull && upper.isNotNull && col("value") > upper,
+                col("value") - upper)
+                .otherwise(when(
+                  col("value").isNotNull && lower.isNotNull && col("value") < lower,
+                  col("value") - lower).otherwise(
+                  when(col("value").isNotNull, lit(0.0)))))
+        }
+
       case "keepLastValue" =>
         atLeast(1)
         if (args.length > 2) fail(s"keepLastValue expects 1-2 arguments, got ${args.length}")

@@ -474,6 +474,35 @@ class TargetSpec extends AnyFunSuite {
       ev("timeStack(s.a.x,\"10\",-2000000000,2000000000)"))
   }
 
+  test("holtWinters family: forecast, bands, aberration (hand-computed recurrence)") {
+    def approx(a: Option[Double], b: Double): Boolean =
+      a.exists(v => math.abs(v - b) < 1e-9)
+    // s.a.x = 1,3,2,8; short series -> seasonal terms AND the seasonal
+    // deviation feedback (one season ago) are all 0:
+    //   i0: pred=1, intercept=1, slope=0, dev=0
+    //   i1: pred=1, intercept=1.2, slope=0.0007, dev=0.1*|3-1|=0.2
+    //   i2: pred=1.2007, dev=0.1*|2-1.2007|=0.07993
+    //   i3: pred=1.281609755, dev=0.1*|8-pred|=0.6718390245
+    val f = ev("holtWintersForecast(s.a.x)")
+    assert(approx(f(("holtWintersForecast(s.a.x)", 10L)), 1.0))
+    assert(approx(f(("holtWintersForecast(s.a.x)", 30L)), 1.2007))
+    assert(approx(f(("holtWintersForecast(s.a.x)", 40L)), 1.281609755))
+    val b = ev("holtWintersConfidenceBands(s.a.x)")
+    assert(approx(b(("holtWintersConfidenceUpper(s.a.x)", 20L)), 1.6))   // 1 + 3*0.2
+    assert(approx(b(("holtWintersConfidenceLower(s.a.x)", 20L)), 0.4))
+    val ab = ev("holtWintersAberration(s.a.x)")
+    assert(approx(ab(("holtWintersAberration(s.a.x)", 10L)), 0.0))       // inside bands
+    assert(approx(ab(("holtWintersAberration(s.a.x)", 20L)), 1.4))       // 3 - 1.6
+    assert(approx(ab(("holtWintersAberration(s.a.x)", 40L)),
+      8.0 - (1.281609755 + 3 * 0.6718390245)))
+    // gaps: the None branch carries the prediction once, then resets it
+    val g = ev("holtWintersForecast(s.b.x)")
+    assert(approx(g(("holtWintersForecast(s.b.x)", 10L)), 10.0))
+    assert(approx(g(("holtWintersForecast(s.b.x)", 20L)), 10.0))
+    assert(g(("holtWintersForecast(s.b.x)", 30L)) == None)
+    assertThrows[IllegalArgumentException](ev("holtWintersForecast(s.a.x,5)"))
+  }
+
   test("presentation functions are data-level identity, not 400s") {
     val base = ev("sumSeries(s.*.x)")
     for (t <- Seq("sortByName(sumSeries(s.*.x))", "color(sumSeries(s.*.x),\"red\")",
