@@ -73,7 +73,6 @@ object HoltWinters {
           val intercept = alpha * (actual - ls) + (1 - alpha) * (lastIntercept + lastSlope)
           val slope = beta * (intercept - lastIntercept) + (1 - beta) * lastSlope
           val seasonal = gamma * (actual - intercept) + (1 - gamma) * ls
-          val nextLastSeasonal = lastSeasonal(i + 1)
           val deviation =
             gamma * math.abs(actual - prediction.getOrElse(0.0)) + (1 - gamma) * lastDeviation(i)
           intercepts(i) = Some(intercept)
@@ -81,6 +80,10 @@ object HoltWinters {
           seasonals(i) = seasonal
           predictions(i) = prediction
           deviations(i) = Some(deviation)
+          // AFTER seasonals(i) is written: at seasonLength == 1 (daily or
+          // coarser slots) lastSeasonal(i + 1) reads index i — before the
+          // write it silently returned the array default 0
+          val nextLastSeasonal = lastSeasonal(i + 1)
           nextPred = Some(intercept + slope + nextLastSeasonal)
       }
       i += 1

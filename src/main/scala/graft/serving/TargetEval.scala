@@ -567,36 +567,50 @@ object TargetEval {
 
       case "holtWintersForecast" | "holtWintersConfidenceBands" | "holtWintersAberration" =>
         // the graphite alerting family (see serving/HoltWinters): one
-        // sequential analysis pass per series, then per-row arithmetic
+        // sequential analysis pass per series, then per-row arithmetic.
+        // Signatures: forecast(series[, bootstrapInterval]),
+        // bands/aberration(series[, delta[, bootstrapInterval]]); the
+        // bootstrap interval is validated then ignored (the documented
+        // deviation — this evaluator analyzes the fetched window).
         atLeast(1)
-        val delta =
-          if (args.length >= 2) num(args(1))
-          else 3.0 // graphite's default band width
-        if (name == "holtWintersForecast" && args.length > 1)
-          fail(s"holtWintersForecast expects 1 argument, got ${args.length}")
-        if (args.length > 2) fail(s"$name expects 1-2 arguments, got ${args.length}")
+        val (delta, rest) =
+          if (name == "holtWintersForecast") (3.0, args.drop(1))
+          else args.drop(1) match {
+            case TNum(v, _) :: tail => (v, tail)
+            case other              => (3.0, other)
+          }
+        if (rest.length > 1) fail(s"$name: too many arguments (${args.length})")
+        rest.headOption.foreach(b => seconds(str(b)))
         val an = HoltWinters.analyzed(sl0)
-        def named(prefix: String, valueCol: Column): DataFrame =
+        def named(prefix: Column, valueCol: Column): DataFrame =
           an.select(
-            concat(lit(prefix + "("), col("metric"), lit(")")).as("metric"),
+            concat(prefix, lit("("), col("metric"), lit(")")).as("metric"),
             col("ts"), valueCol.cast("double").as("value"))
         val upper = col("prediction") + lit(delta) * col("deviation")
         val lower = col("prediction") - lit(delta) * col("deviation")
         name match {
           case "holtWintersForecast" =>
-            named("holtWintersForecast", col("prediction"))
+            named(lit("holtWintersForecast"), col("prediction"))
           case "holtWintersConfidenceBands" =>
-            named("holtWintersConfidenceUpper", upper)
-              .unionByName(named("holtWintersConfidenceLower", lower))
+            // both bands from ONE analysis pass: explode a 2-element
+            // array per row rather than unioning two copies of the
+            // sequential mapGroups subtree
+            an.select(col("metric"), col("ts"),
+                explode(array(
+                  struct(lit("holtWintersConfidenceUpper").as("p"), upper.as("v")),
+                  struct(lit("holtWintersConfidenceLower").as("p"), lower.as("v"))))
+                  .as("__e"))
+              .select(
+                concat(col("__e.p"), lit("("), col("metric"), lit(")")).as("metric"),
+                col("ts"), col("__e.v").cast("double").as("value"))
           case "holtWintersAberration" =>
-            // excess beyond the bands, 0 inside them (graphite's shape)
-            named("holtWintersAberration",
-              when(col("value").isNotNull && upper.isNotNull && col("value") > upper,
-                col("value") - upper)
-                .otherwise(when(
-                  col("value").isNotNull && lower.isNotNull && col("value") < lower,
-                  col("value") - lower).otherwise(
-                  when(col("value").isNotNull, lit(0.0)))))
+            // excess beyond the bands; inside them, a gap, or a missing
+            // band all emit 0, exactly graphite's loop (null comparisons
+            // fall through to the otherwise)
+            named(lit("holtWintersAberration"),
+              when(col("value") > upper, col("value") - upper)
+                .when(col("value") < lower, col("value") - lower)
+                .otherwise(lit(0.0)))
         }
 
       case "keepLastValue" =>

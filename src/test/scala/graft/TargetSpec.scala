@@ -495,12 +495,27 @@ class TargetSpec extends AnyFunSuite {
     assert(approx(ab(("holtWintersAberration(s.a.x)", 20L)), 1.4))       // 3 - 1.6
     assert(approx(ab(("holtWintersAberration(s.a.x)", 40L)),
       8.0 - (1.281609755 + 3 * 0.6718390245)))
-    // gaps: the None branch carries the prediction once, then resets it
+    // gaps: the None branch carries the prediction once, then resets it;
+    // an aberration over a gap (or a missing band) is graphite's 0, not None
     val g = ev("holtWintersForecast(s.b.x)")
     assert(approx(g(("holtWintersForecast(s.b.x)", 10L)), 10.0))
     assert(approx(g(("holtWintersForecast(s.b.x)", 20L)), 10.0))
     assert(g(("holtWintersForecast(s.b.x)", 30L)) == None)
+    val abg = ev("holtWintersAberration(s.b.x)")
+    assert(approx(abg(("holtWintersAberration(s.b.x)", 20L)), 0.0))
+    assert(approx(abg(("holtWintersAberration(s.b.x)", 30L)), 0.0))
+    // graphite's bootstrapInterval argument is accepted (and ignored)
+    assert(ev("holtWintersForecast(s.a.x,\"7d\")").size == 4)
+    assert(ev("holtWintersConfidenceBands(s.a.x,3,\"7d\")").size == 8)
     assertThrows[IllegalArgumentException](ev("holtWintersForecast(s.a.x,5)"))
+  }
+
+  test("holtWinters seasonal feedback is consistent at season length 1") {
+    // daily-or-coarser slots: nextPred must read the seasonal value just
+    // written, not the array default
+    val a = HoltWinters.analysis(Array(Some(1.0), Some(3.0), Some(2.0)), 1)
+    // i1: intercept 1.2, slope 0.0007, seasonal 0.18 -> pred[2] = 1.3807
+    assert(math.abs(a.predictions(2).get - 1.3807) < 1e-9)
   }
 
   test("presentation functions are data-level identity, not 400s") {
