@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   *
   * Determinism rules (so the DuckDB hash-compare is exact):
   *  - money math on DECIMAL (exact, associative) then CAST to DOUBLE;
-  *  - event timestamps kept as nanosecond longs (ns parquet type), floored
-  *    to epoch seconds with integer division;
+  *  - event timestamps normalized to nanosecond longs at the source
+  *    (schema-adaptive, see [[Queries.events]]), floored to epoch seconds
+  *    with integer division;
   *  - every query ORDER BYs its full key set; aggregates aliased identically
   *    in Spark and SQL.
   */
@@ -48,14 +49,44 @@ object Queries {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as a raw
-    * long; we want that anyway — ns longs give exact last-write-wins
-    * ordering and exact second flooring (`ts DIV 1e9`). Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` at session build (set by
-    * Verify/Bench/SparkTestBase) — query builders never mutate session conf.
+  /** Epoch micros of a TIMESTAMP_NTZ wall clock interpreted as UTC, by pure
+    * field extraction (days/hours/minutes + exact DECIMAL(8,6) seconds).
+    * Every term is timezone-free — unlike `unix_micros(ntz)`, whose implicit
+    * NTZ→TIMESTAMP cast routes through the session timezone and is only
+    * exact when the session happens to be UTC.
     */
-  def events(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events")
+  def ntzEpochMicros(c: Column): Column =
+    unix_date(c.cast("date")) * lit(86400000000L) +
+      hour(c) * lit(3600000000L) + minute(c) * lit(60000000L) +
+      (date_part(lit("SECOND"), c) * lit(1000000)).cast("long")
+
+  /** Schema-adaptive events source: whatever parquet encoding `ts` arrives
+    * in, downstream always sees a nanosecond *LongType* `ts` — ns longs give
+    * exact last-write-wins ordering and exact second flooring (`ts DIV 1e9`).
+    *
+    *  - `LongType`: TIMESTAMP(NANOS) parquet read under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` — already ns, pass through;
+    *  - `TimestampType` (isAdjustedToUTC=true): an instant —
+    *    `unix_micros` is timezone-free, ×1000 is exact;
+    *  - `TimestampNTZType` (µs wall clock, e.g. pandas `timestamp[us]`):
+    *    interpreted as UTC via [[ntzEpochMicros]] (no session-tz dependence),
+    *    matching DuckDB's `epoch_ns(ts)` on the same file.
+    *
+    * µs×1000 preserves ordering and LWW tie-breaks exactly; the DuckDB
+    * oracle (`epoch_ns`) returns the same µs×1000, so hashes match for
+    * every encoding.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw
+      case TimestampType    => raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType => raw.withColumn("ts", ntzEpochMicros(col("ts")) * lit(1000L))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported type $other (expected ns-long, timestamp, or timestamp_ntz)")
+    }
+  }
 
   /** Long-format metric stream view of events: (metric, ns, sec, value). */
   def metricStream(s: SparkSession, dir: String): DataFrame =

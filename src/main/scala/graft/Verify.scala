@@ -16,8 +16,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Pre-flight: log every table's actual on-disk schema, so a driver-side
+    // data regeneration (round 6: events.ts ns-long → timestamp[us]) is
+    // visible in the round log even before any query runs.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"))
+      try println(s"[verify] schema $t: " +
+        spark.read.parquet(s"$sfDir/$t.parquet").schema.simpleString)
+      catch { case e: Throwable =>
+        println(s"[verify] schema $t: UNREADABLE: ${e.getMessage}") }
     // dev-only subset filter (comma-separated names); driver leaves it unset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -25,6 +35,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) =
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(4000)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +54,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A failing query must never silently vanish from the scorecard (round
+    // 6: 32 broken queries read as "56/56 green"). The errors map is always
+    // written — empty `{}` is the healthy signal.
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // Loud but rc-0: the driver must still score the queries that DID run.
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -16,11 +16,11 @@ import org.apache.spark.sql.functions.col
   * the minimum positive ts delta per series); the first point predicts
   * itself; a gap (None) appends a None intercept / zero slope /
   * zero seasonal / carried prediction and resets the next prediction,
-  * exactly the reference's "do the best we can" branch. One documented
-  * deviation: graphite bootstraps the analysis with 7 extra days
-  * re-fetched before the render window; this evaluator analyzes the
-  * fetched window itself (the serving layer controls how much history
-  * that is).
+  * exactly the reference's "do the best we can" branch. The bootstrap
+  * (graphite re-fetches 7 extra days before the render window to warm
+  * the seasonal state, then crops) lives in TargetEval's holtWinters
+  * branch + the serving layer's windowed fetch; this object analyzes
+  * whatever window it is handed.
   */
 object HoltWinters {
 

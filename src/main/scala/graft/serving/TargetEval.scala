@@ -40,13 +40,33 @@ import graft.storage.SeriesFind
   */
 object TargetEval {
 
+  /** Windowed fetch: (glob, extraHistorySec) -> step-aligned series frame.
+    * `extraHistorySec` asks for that many extra seconds of history BEFORE
+    * the render window's `from` (the holtWinters bootstrap re-fetch);
+    * fetchers with no window clamp ignore it.
+    */
+  type WindowedFetch = (String, Long) => DataFrame
+
   /** Evaluate `expr` against `fetch`: glob -> step-aligned series frame.
     * The returned frame has the same (metric, ts, value) shape, with
-    * function outputs named by the expression's canonical text.
+    * function outputs named by the expression's canonical text. This
+    * entry point has no render window, so holtWinters bootstrap re-fetch
+    * and crop are no-ops (the caller already fetched all history it wants
+    * analyzed — the judged-query path).
     */
-  def eval(expr: TExpr, fetch: String => DataFrame): DataFrame = expr match {
-    case TPath(glob) => fetch(glob)
-    case c: TCall    => evalCall(c, fetch)
+  def eval(expr: TExpr, fetch: String => DataFrame): DataFrame =
+    evalWindowed(expr, (g, _) => fetch(g), None)
+
+  /** Serving-layer entry point: `cropFrom` is the render window's original
+    * `from` — holtWinters functions evaluate their child with
+    * `bootstrapInterval` (default 7d) of extra pre-window history via
+    * `fetch`, then crop the analysis back to `ts >= cropFrom`, exactly
+    * graphite-web's bootstrap semantics.
+    */
+  def evalWindowed(expr: TExpr, fetch: WindowedFetch, cropFrom: Option[Long],
+                   extraHistory: Long = 0L): DataFrame = expr match {
+    case TPath(glob) => fetch(glob, extraHistory)
+    case c: TCall    => evalCall(c, fetch, cropFrom, extraHistory)
     case other =>
       fail(s"'${other.canonical}' is not a series expression")
   }
@@ -93,8 +113,9 @@ object TargetEval {
   private def perSeries: org.apache.spark.sql.expressions.WindowSpec =
     Window.partitionBy(col("metric")).orderBy(col("ts"))
 
-  private def series(e: TExpr, fetch: String => DataFrame): DataFrame = e match {
-    case TPath(_) | TCall(_, _) => eval(e, fetch)
+  private def seriesW(e: TExpr, fetch: WindowedFetch, cropFrom: Option[Long],
+                      extraHistory: Long): DataFrame = e match {
+    case TPath(_) | TCall(_, _) => evalWindowed(e, fetch, cropFrom, extraHistory)
     case other => fail(s"expected a series expression, got '${other.canonical}'")
   }
 
@@ -209,13 +230,18 @@ object TargetEval {
 
   // ---- function dispatch ------------------------------------------------
 
-  private def evalCall(call: TCall, fetch: String => DataFrame): DataFrame = {
+  private def evalCall(call: TCall, wfetch: WindowedFetch,
+                       cropFrom: Option[Long], extraHistory: Long): DataFrame = {
     val TCall(name, args) = call
+    // plain glob fetch at THIS node's history depth; nested calls recurse
+    // through `series`, which threads the window context down the tree
+    val fetch: String => DataFrame = g => wfetch(g, extraHistory)
+    def series(e: TExpr): DataFrame = seriesW(e, wfetch, cropFrom, extraHistory)
     def arity(n: Int): Unit =
       if (args.length != n) fail(s"$name expects $n argument(s), got ${args.length}")
     def atLeast(n: Int): Unit =
       if (args.length < n) fail(s"$name expects >= $n argument(s), got ${args.length}")
-    def sl0: DataFrame = series(args.head, fetch)
+    def sl0: DataFrame = series(args.head)
 
     name match {
       // -- combine: N series lists -> one synthesized series -------------
@@ -228,7 +254,7 @@ object TargetEval {
           case "maxSeries"     => "max"
           case "countSeries"   => "count"
         }
-        val all = args.map(series(_, fetch)).reduce(_ unionByName _)
+        val all = args.map(series(_)).reduce(_ unionByName _)
         all.groupBy(col("ts"))
           .agg(aggFor(method, col("value"), col("ts")).as("value"))
           .select(lit(call.canonical).as("metric"), col("ts"),
@@ -236,7 +262,7 @@ object TargetEval {
 
       case "rangeOfSeries" | "stddevSeries" =>
         atLeast(1)
-        val all = args.map(series(_, fetch)).reduce(_ unionByName _)
+        val all = args.map(series(_)).reduce(_ unionByName _)
         val agg = name match {
           // max - min over the non-None values per timestamp
           case "rangeOfSeries" => max(col("value")) - min(col("value"))
@@ -252,7 +278,7 @@ object TargetEval {
         // fan-in is the series count, so the collected product list is
         // bounded exactly like the groupBy(ts) partial rows it replaces.
         atLeast(1)
-        val all = args.map(series(_, fetch)).reduce(_ unionByName _)
+        val all = args.map(series(_)).reduce(_ unionByName _)
         all.groupBy(col("ts"))
           .agg(
             sum(when(col("value").isNull, 1).otherwise(0)).as("__nulls"),
@@ -289,7 +315,7 @@ object TargetEval {
       case "group" =>
         // concatenate series lists (graphite's list combiner)
         atLeast(1)
-        args.map(series(_, fetch)).reduce(_ unionByName _)
+        args.map(series(_)).reduce(_ unionByName _)
 
       case "sumSeriesWithWildcards" | "averageSeriesWithWildcards" =>
         // strip the named name nodes, then aggregate series that collapse
@@ -329,7 +355,7 @@ object TargetEval {
               .as("__k"),
             col("ts"), col("value").as(v))
         }
-        val wts = keyed(series(args(1), fetch), "__w")
+        val wts = keyed(series(args(1)), "__w")
         val num = keyed(sl0, "__a").join(wts, Seq("__k", "ts"))
           .where(col("__a").isNotNull && col("__w").isNotNull)
           .groupBy(col("ts"))
@@ -344,7 +370,7 @@ object TargetEval {
       // -- arithmetic between series --------------------------------------
       case "divideSeries" =>
         arity(2)
-        val divisor = series(args(1), fetch)
+        val divisor = series(args(1))
         // graphite requires the divisor to be exactly one series; a 2-row
         // bounded probe (same cost class as the serving collect) enforces
         // it as a client error instead of silently joining a fan-out
@@ -372,7 +398,7 @@ object TargetEval {
         // subtrahend: sum across ALL remaining series, None skipped (so a
         // gap in one subtracted series doesn't null the result)
         val sub = broadcast(
-          args.tail.map(series(_, fetch)).reduce(_ unionByName _)
+          args.tail.map(series(_)).reduce(_ unionByName _)
             .groupBy(col("ts"))
             .agg(sum(dec(col("value"))).cast("double").as("__sv"))
             .select(col("ts").as("__sts"), col("__sv")))
@@ -395,7 +421,7 @@ object TargetEval {
           case totalArg =>
             // graphite: an absent total means the sum of the input list; a
             // seriesList total is summed per timestamp too
-            val totalFrame = totalArg.map(series(_, fetch)).getOrElse(sl)
+            val totalFrame = totalArg.map(series(_)).getOrElse(sl)
               .groupBy(col("ts"))
               .agg(sum(dec(col("value"))).cast("double").as("__tv"))
               .select(col("ts").as("__tts"), col("__tv"))
@@ -569,9 +595,13 @@ object TargetEval {
         // the graphite alerting family (see serving/HoltWinters): one
         // sequential analysis pass per series, then per-row arithmetic.
         // Signatures: forecast(series[, bootstrapInterval]),
-        // bands/aberration(series[, delta[, bootstrapInterval]]); the
-        // bootstrap interval is validated then ignored (the documented
-        // deviation — this evaluator analyzes the fetched window).
+        // bands/aberration(series[, delta[, bootstrapInterval]]).
+        // Bootstrap: the child subtree is evaluated with bootstrapInterval
+        // (default 7d) of extra pre-window history so the seasonal state is
+        // warm at the window head, then the analysis is cropped back to the
+        // request window — graphite-web's holtWintersForecast re-fetch.
+        // Under the windowless [[eval]] entry point the re-fetch and crop
+        // are identity (the whole fetched history is the window).
         atLeast(1)
         val (delta, rest) =
           if (name == "holtWintersForecast") (3.0, args.drop(1))
@@ -580,8 +610,12 @@ object TargetEval {
             case other              => (3.0, other)
           }
         if (rest.length > 1) fail(s"$name: too many arguments (${args.length})")
-        rest.headOption.foreach(b => seconds(str(b)))
-        val an = HoltWinters.analyzed(sl0)
+        val bootstrapSec = rest.headOption.map(b => seconds(str(b)))
+          .getOrElse(7L * 86400L)
+        require(bootstrapSec >= 0, s"$name: negative bootstrapInterval")
+        val slBoot = seriesW(args.head, wfetch, cropFrom, extraHistory + bootstrapSec)
+        val an0 = HoltWinters.analyzed(slBoot)
+        val an = cropFrom.fold(an0)(f => an0.where(col("ts") >= f))
         def named(prefix: Column, valueCol: Column): DataFrame =
           an.select(
             concat(prefix, lit("("), col("metric"), lit(")")).as("metric"),

@@ -260,20 +260,25 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
         org.apache.spark.sql.types.StructField("metric", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
-    def merged(metricFilter: Option[String]): org.apache.spark.sql.DataFrame = {
-      val frames = caches.flatMap(_.fetchMerged(metricFilter, from, until, now).map(_._2))
+    def merged(metricFilter: Option[String],
+               extraSec: Long): org.apache.spark.sql.DataFrame = {
+      val frames =
+        caches.flatMap(_.fetchMerged(metricFilter, from - extraSec, until, now).map(_._2))
       if (frames.isEmpty) empty
       else frames.map(_.select(col("metric"), col("ts"), col("value")))
         .reduce(_ unionByName _)
     }
     // one merged hot ∪ historical frame shared by every wildcard glob in
-    // the target (a 3-path target must not rebuild the fetch 3×); a
-    // literal path (no wildcard chars) pushes the exact metric down into
-    // fetchMerged instead, so the level read prunes to one series
-    lazy val mergedAll = merged(None)
-    val fetch: String => org.apache.spark.sql.DataFrame = { glob =>
-      if (glob.forall(c => "*?[{".indexOf(c.toInt) < 0)) merged(Some(glob))
-      else graft.serving.TargetEval.globFilter(mergedAll, glob)
+    // the target (a 3-path target must not rebuild the fetch 3×), cached
+    // per history depth (holtWinters bootstrap fetches from-7d; everything
+    // else from); a literal path (no wildcard chars) pushes the exact
+    // metric down into fetchMerged instead, so the level read prunes to
+    // one series
+    val mergedAll = scala.collection.mutable.Map.empty[Long, org.apache.spark.sql.DataFrame]
+    val fetch: graft.serving.TargetEval.WindowedFetch = { (glob, extraSec) =>
+      if (glob.forall(c => "*?[{".indexOf(c.toInt) < 0)) merged(Some(glob), extraSec)
+      else graft.serving.TargetEval.globFilter(
+        mergedAll.getOrElseUpdate(extraSec, merged(None, extraSec)), glob)
     }
     // graphite-web maxDataPoints: consolidate each series to the client's
     // point budget (bucket = ceil(span / maxDataPoints), consolidateBy
@@ -294,7 +299,8 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
     var budget = maxRows
     val entries = Vector.newBuilder[String]
     for (expr <- exprs) {
-      val out = consolidated(graft.serving.TargetEval.eval(expr, fetch))
+      val out = consolidated(
+        graft.serving.TargetEval.evalWindowed(expr, fetch, Some(from)))
       // collect one row past the remaining budget: silently truncating a
       // render (or dropping later targets wholesale) would serve data
       // that LIES — exhaustion is a loud client error instead
