@@ -197,4 +197,122 @@ object TargetQueries {
        |  WHERE rn = LEAST(GREATEST((cnt + 2) // 2, 1), cnt))
        |SELECT 'percentileOfSeries(app.*.u*,50)' AS metric, ts, value
        |FROM p ORDER BY ts""".stripMargin
+
+  /** Hourly sum-rollup frame for the Holt-Winters query: hourly slots keep
+    * the inferred season (86400/step = 24) and the oracle's recursion depth
+    * (~31 days of slots per series) both honest and bounded.
+    */
+  def hwBase(s: SparkSession, dir: String): DataFrame =
+    Queries.events(s, dir)
+      .select(
+        concat(lit("app."), col("event_type"), lit(".u"),
+          pmod(col("user_id"), lit(4L)).cast("string")).as("metric"),
+        expr("ts DIV 1000000000").as("sec"),
+        col("value"))
+      .groupBy(col("metric"), Queries.alignSec(3600))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("value"))
+
+  val HwBaseSql: String =
+    """SELECT 'app.' || event_type || '.u' || (user_id % 4) AS metric,
+      |       (epoch_ns(ts) // 1000000000) - ((epoch_ns(ts) // 1000000000) % 3600) AS ts,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** The graphite alerting family through the real target pipeline:
+    * holtWintersConfidenceBands over a glob-pruned hourly frame. The
+    * sequential recurrence (serving/HoltWinters.analysis — graphite-web
+    * functions.py holtWintersAnalysis semantics) is replayed in the oracle
+    * as a DuckDB recursive CTE carrying (intercept, slope, season-length
+    * seasonal/deviation FIFO lists) per series, term-for-term in the same
+    * IEEE op order (only +,-,*,abs — all correctly rounded), so the hash
+    * compare is bit-exact. Season is inferred from the data identically on
+    * both sides (86400 / min positive ts delta per series).
+    */
+  def tsTargetHw(s: SparkSession, dir: String): DataFrame =
+    TargetEval.eval(
+      TargetLang.parse("holtWintersConfidenceBands(app.{click,purchase}.u[0-3])"),
+      glob => TargetEval.globFilter(hwBase(s, dir), glob))
+      .orderBy("metric", "ts")
+
+  val tsTargetHwSql: String =
+    s"""WITH RECURSIVE
+       |hwbase AS MATERIALIZED (
+       |  SELECT metric, ts, value FROM ($HwBaseSql)
+       |  WHERE regexp_matches(metric, '^app\\.(?:click|purchase)\\.u[0-3]$$')),
+       |slots AS MATERIALIZED (
+       |  SELECT metric, ts, value,
+       |         ROW_NUMBER() OVER (PARTITION BY metric ORDER BY ts) - 1 AS i
+       |  FROM hwbase),
+       |sn AS MATERIALIZED (
+       |  SELECT m.metric,
+       |         GREATEST(1, 86400 // GREATEST(1, COALESCE(d.step, 60))) AS season
+       |  FROM (SELECT DISTINCT metric FROM slots) m
+       |  LEFT JOIN (SELECT metric, MIN(d) AS step
+       |             FROM (SELECT metric,
+       |                          ts - LAG(ts) OVER (PARTITION BY metric ORDER BY ts) AS d
+       |                   FROM slots)
+       |             WHERE d > 0 GROUP BY metric) d USING (metric)),
+       |rec AS (
+       |  -- i = 0: ls/ld empty-history zeros; the first point predicts itself
+       |  SELECT metric, i, ts, value, pred, dev, icpt, slope,
+       |         icpt + slope +
+       |           (CASE WHEN season = 1 THEN snl ELSE CAST(0 AS DOUBLE) END) AS npred,
+       |         [snl] AS seas, [dev] AS devs, season
+       |  FROM (
+       |    SELECT metric, i, ts, value, pred, dev, icpt, season,
+       |           CAST(0.0035 AS DOUBLE) * (icpt - value)
+       |             + (CAST(1 AS DOUBLE) - CAST(0.0035 AS DOUBLE)) * CAST(0 AS DOUBLE) AS slope,
+       |           CAST(0.1 AS DOUBLE) * (value - icpt)
+       |             + (CAST(1 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * CAST(0 AS DOUBLE) AS snl
+       |    FROM (
+       |      SELECT s.metric, s.i, s.ts, s.value,
+       |             s.value AS pred,
+       |             CAST(0.1 AS DOUBLE) * ABS(s.value - s.value)
+       |               + (CAST(1 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * CAST(0 AS DOUBLE) AS dev,
+       |             CAST(0.1 AS DOUBLE) * (s.value - CAST(0 AS DOUBLE))
+       |               + (CAST(1 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * (s.value + CAST(0 AS DOUBLE)) AS icpt,
+       |             n.season
+       |      FROM slots s JOIN sn n ON n.metric = s.metric
+       |      WHERE s.i = 0))
+       |  UNION ALL
+       |  SELECT metric, i, ts, value, pred, dev, icpt, slope,
+       |         icpt + slope +
+       |           (CASE WHEN len(nseas) = season THEN nseas[1] ELSE CAST(0 AS DOUBLE) END) AS npred,
+       |         nseas AS seas, ndevs AS devs, season
+       |  FROM (
+       |    SELECT metric, i, ts, value, pred, dev, icpt, slope, season,
+       |           list_append(CASE WHEN len(seas) = season THEN seas[2:] ELSE seas END, snl) AS nseas,
+       |           list_append(CASE WHEN len(devs) = season THEN devs[2:] ELSE devs END, dev) AS ndevs
+       |    FROM (
+       |      SELECT metric, i, ts, value, pred,
+       |             CAST(0.1 AS DOUBLE) * ABS(value - pred)
+       |               + (CAST(1 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * ld AS dev,
+       |             icpt,
+       |             CAST(0.0035 AS DOUBLE) * (icpt - licpt)
+       |               + (CAST(1 AS DOUBLE) - CAST(0.0035 AS DOUBLE)) * lslope AS slope,
+       |             CAST(0.1 AS DOUBLE) * (value - icpt)
+       |               + (CAST(1 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * ls AS snl,
+       |             seas, devs, season
+       |      FROM (
+       |        SELECT s.metric, s.i, s.ts, s.value,
+       |               r.npred AS pred,
+       |               r.icpt AS licpt, r.slope AS lslope,
+       |               CASE WHEN len(r.seas) = r.season THEN r.seas[1]
+       |                    ELSE CAST(0 AS DOUBLE) END AS ls,
+       |               CASE WHEN len(r.devs) = r.season THEN r.devs[1]
+       |                    ELSE CAST(0 AS DOUBLE) END AS ld,
+       |               CAST(0.1 AS DOUBLE) * (s.value -
+       |                 CASE WHEN len(r.seas) = r.season THEN r.seas[1]
+       |                      ELSE CAST(0 AS DOUBLE) END)
+       |                 + (CAST(1 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * (r.icpt + r.slope) AS icpt,
+       |               r.seas, r.devs, r.season AS season
+       |        FROM rec r JOIN slots s ON s.metric = r.metric AND s.i = r.i + 1)))),
+       |hw AS MATERIALIZED (SELECT metric, ts, pred, dev FROM rec)
+       |SELECT metric, ts, value FROM (
+       |  SELECT 'holtWintersConfidenceUpper(' || metric || ')' AS metric, ts,
+       |         pred + CAST(3 AS DOUBLE) * dev AS value FROM hw
+       |  UNION ALL
+       |  SELECT 'holtWintersConfidenceLower(' || metric || ')' AS metric, ts,
+       |         pred - CAST(3 AS DOUBLE) * dev AS value FROM hw)
+       |ORDER BY metric, ts""".stripMargin
 }

@@ -504,10 +504,53 @@ class TargetSpec extends AnyFunSuite {
     val abg = ev("holtWintersAberration(s.b.x)")
     assert(approx(abg(("holtWintersAberration(s.b.x)", 20L)), 0.0))
     assert(approx(abg(("holtWintersAberration(s.b.x)", 30L)), 0.0))
-    // graphite's bootstrapInterval argument is accepted (and ignored)
+    // graphite's bootstrapInterval argument parses; under the windowless
+    // eval entry point the re-fetch/crop are identity (no render window)
     assert(ev("holtWintersForecast(s.a.x,\"7d\")").size == 4)
     assert(ev("holtWintersConfidenceBands(s.a.x,3,\"7d\")").size == 8)
     assertThrows[IllegalArgumentException](ev("holtWintersForecast(s.a.x,5)"))
+  }
+
+  test("holtWinters bootstrap warms the seasonal state before the render window") {
+    import org.apache.spark.sql.functions.col
+    // 4 days of hourly slots, daily sawtooth + drift: seasonal state only
+    // converges with history, so a cold start at the window head diverges
+    val full = (0 until 96).map { i =>
+      ("h.x", 3600L * i, Some((i % 24).toDouble + i * 0.01))
+    }.toDF("metric", "ts", "value")
+    val from = 3600L * 48; val until = 3600L * 96
+    val wfetch: TargetEval.WindowedFetch = (glob, extra) =>
+      TargetEval.globFilter(full, glob)
+        .where(col("ts") >= from - extra && col("ts") < until)
+    def m(df: DataFrame): Map[Long, Option[Double]] =
+      df.collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val target = TargetLang.parse("holtWintersForecast(h.x)")
+    val boot = m(TargetEval.evalWindowed(target, wfetch, Some(from)))
+    // cropped to the window, and bit-identical to analyzing the full
+    // history then cropping (the ground truth the bootstrap approximates
+    // when history is deeper than 7d; here 7d covers everything)
+    val truth = HoltWinters.analyzed(full)
+      .where(col("ts") >= from)
+      .collect().map(r => r.getLong(1) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(boot.keySet == truth.keySet)
+    assert(boot.keys.forall(_ >= from))
+    assert(boot.forall { case (ts, v) => truth(ts) == v })
+    // a cold (windowless) analysis of just the render window differs at
+    // the head — this is exactly the deviation the bootstrap removes
+    val cold = m(TargetEval.eval(target,
+      glob => TargetEval.globFilter(full, glob)
+        .where(col("ts") >= from && col("ts") < until)))
+    assert(cold(from) != boot(from))
+    // an explicit "1d" bootstrapInterval prefetches exactly one day
+    val oneDay = m(TargetEval.evalWindowed(
+      TargetLang.parse("holtWintersForecast(h.x,\"1d\")"), wfetch, Some(from)))
+    val oneDayTruth = HoltWinters.analyzed(full.where(col("ts") >= from - 86400L))
+      .where(col("ts") >= from)
+      .collect().map(r => r.getLong(1) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(oneDay == oneDayTruth && oneDay(from) != cold(from))
   }
 
   test("holtWinters seasonal feedback is consistent at season length 1") {
