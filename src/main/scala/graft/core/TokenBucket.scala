@@ -23,5 +23,17 @@ final class TokenBucket(val capacity: Double, val fillRate: Double,
     if (n <= tokens) { tokens -= n; true } else false
   }
 
+  /** Take up to `n` whole tokens; returns how many were taken. The batch
+    * form of n× consume(1): same grant count (whole tokens only), one
+    * lock round — lets a caller admit "the first k of a sorted batch"
+    * without walking the batch on the driver.
+    */
+  def consumeUpTo(n: Long): Long = synchronized {
+    refill()
+    val k = math.max(0L, math.min(n, tokens.toLong))
+    tokens -= k
+    k
+  }
+
   def available: Double = synchronized { refill(); tokens }
 }

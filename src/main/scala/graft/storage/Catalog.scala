@@ -55,32 +55,58 @@ final class Catalog(val root: String, val schemas: StorageSchemas,
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], catalogSchema)
     else spark.read.parquet(path)
 
+  /** First-match-wins schema assignment as a plan column (chained
+    * prefix-anchored rlike — `Regex.lookingAt` == `^(?:pattern)` find), so
+    * registration never round-trips metric names through the driver.
+    */
+  private def schemaNameCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    schemas.schemas.foldRight(
+      lit(graft.core.StorageSchemas.defaultSchema.name)) { (sch, acc) =>
+      when(c.rlike("^(?:" + sch.pattern.regex + ")"), lit(sch.name)).otherwise(acc)
+    }
+
+  /** Shard-local gate as a plan column (pmod == Python's non-negative %,
+    * like Fnv1a.shard). */
+  private def shardOkCol: org.apache.spark.sql.Column =
+    if (numInstances > 1)
+      pmod(Fnv1a.fnv1a32(col("metric")), lit(numInstances)) === lit(instance)
+    else lit(true)
+
   /** Register every first-seen metric in `points`, then return the points
     * filtered to admitted metrics. New metrics pass (in deterministic
     * name order) through the shard check and the token bucket; rejects are
-    * dropped and counted. The collect is bounded: new-metric names only,
-    * themselves capped by the throttle over time.
+    * dropped and counted. Nothing row-shaped ever reaches the driver: the
+    * shard gate and schema assignment run in-plan, the throttle grant is
+    * one bounded 1-row aggregate + a bulk token take, and the admitted
+    * prefix is an orderBy/limit — at a 3M-metric estate the old
+    * name-collect here was the last admin-path driver list.
     */
   def admit(points: DataFrame, now: Long): DataFrame = {
     val fresh = points.select(col("metric")).distinct()
       .join(metrics().select(col("metric")), Seq("metric"), "left_anti")
-      .collect().map(_.getString(0)).sorted
-    if (fresh.nonEmpty) {
-      val admitted = fresh.filter { m =>
-        if (numInstances > 1 && Fnv1a.shard(m, numInstances) != instance) {
-          droppedCreates += 1; false // mis-routed (UnexpectedMetric)
-        } else if (!bucket.forall(_.consume(1))) {
-          droppedCreates += 1; false // create storm (TokenBucketFull)
-        } else { creates += 1; true }
+      .persist()
+    try {
+      val row = fresh
+        .agg(count(lit(1)).as("total"), count(when(shardOkCol, 1)).as("ok")).head()
+      val total = row.getLong(0); val ok = row.getLong(1)
+      if (total > 0) {
+        // the reference walks creates in sorted name order, shard rejects
+        // consuming no tokens (rurouni/cache.py:112-151): granting
+        // min(tokens, ok) to the first `grant` shard-local names is the
+        // same admitted set, without the per-name driver walk
+        val grant = bucket.fold(ok)(_.consumeUpTo(ok))
+        if (grant > 0) {
+          fresh.where(shardOkCol).orderBy(col("metric"))
+            .limit(math.min(grant, Int.MaxValue.toLong).toInt)
+            .select(col("metric"), schemaNameCol(col("metric")).as("schema_name"),
+              lit(now).as("created_ts"))
+            .coalesce(1)
+            .write.mode(SaveMode.Append).parquet(path)
+        }
+        creates += grant
+        droppedCreates += total - grant
       }
-      if (admitted.nonEmpty) {
-        import spark.implicits._
-        admitted.toSeq.map(m => (m, schemas.schemaFor(m).name, now))
-          .toDF("metric", "schema_name", "created_ts")
-          .coalesce(1)
-          .write.mode(SaveMode.Append).parquet(path)
-      }
-    }
+    } finally fresh.unpersist(false)
     points.join(broadcast(metrics().select(col("metric"))), Seq("metric"), "left_semi")
   }
 
@@ -111,16 +137,19 @@ final class Catalog(val root: String, val schemas: StorageSchemas,
     if (perLevel.isEmpty) return 0L
     val found = perLevel.reduce(_ unionByName _)
       .groupBy(col("metric")).agg(min(col("first_ts")).as("first_ts"))
+    // recovery stays fully in-plan: schema assignment is the rlike chain,
+    // the driver sees only a count (a 3M-metric rebuild collects nothing)
     val missing = found.join(metrics().select(col("metric")), Seq("metric"), "left_anti")
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    if (missing.nonEmpty) {
-      import spark.implicits._
-      missing.toSeq.map { case (m, ts) => (m, schemas.schemaFor(m).name, ts) }
-        .toDF("metric", "schema_name", "created_ts")
-        .coalesce(1)
-        .write.mode(SaveMode.Append).parquet(path)
-    }
-    missing.length.toLong
+      .select(col("metric"), schemaNameCol(col("metric")).as("schema_name"),
+        col("first_ts").as("created_ts"))
+      .persist()
+    try {
+      val n = missing.count()
+      if (n > 0)
+        missing.coalesce(1).sortWithinPartitions("metric")
+          .write.mode(SaveMode.Append).parquet(path)
+      n
+    } finally missing.unpersist(false)
   }
 
   /** Remove metrics from the catalog (delete-metrics admin op). Backup-swap

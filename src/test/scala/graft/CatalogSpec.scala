@@ -42,6 +42,28 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!b.consume(1))
   }
 
+  test("consumeUpTo grants whole tokens in one take (batch form of consume(1))") {
+    var now = 0.0
+    val b = new TokenBucket(10, 1, () => now)
+    assert(b.consumeUpTo(4) == 4)
+    assert(b.consumeUpTo(100) == 6) // capped by what's left
+    assert(b.consumeUpTo(1) == 0)
+    now = 2.5 // fractional refill: only whole tokens grant
+    assert(b.consumeUpTo(5) == 2)
+    assert(b.consume(0.5)) // the fractional remainder is still there
+  }
+
+  test("in-plan schema assignment (rlike chain) matches schemaFor for every name shape") {
+    // prefix-anchored first-match: an interior occurrence of the pattern
+    // ("xsys.cpu.y") must NOT match, exactly like Regex.lookingAt
+    val names = Seq("sys.cpu.user", "sys.cpux", "app.x", "m.1", "xsys.cpu.y")
+    val cat = new Catalog(s"$root/cparity", schemas)
+    cat.admit(pts(names: _*), 100L)
+    val reg = cat.metrics().as[(String, String, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    names.foreach(n => assert(reg(n) == schemas.schemaFor(n).name, n))
+  }
+
   test("first sight registers with first-match schema; re-sight does not duplicate") {
     val cat = new Catalog(s"$root/c1", schemas)
     val out1 = cat.admit(pts("sys.cpu.user", "app.latency"), 100L)

@@ -365,6 +365,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("admin paths never collect row data to the driver (grep gate)") {
+    // the admin path (catalog registration / recovery rebuild / delete /
+    // rehash) must stay fully in-plan: at the reference's 3M-metric estate
+    // a metric-name collect is ~100s of MB of driver heap. Bounded k-row
+    // collects live in serving (capped) and clustering (k centroids), not
+    // here.
+    for (f <- Seq("storage/Catalog.scala", "ops/Admin.scala")) {
+      val src = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"src/main/scala/graft/$f")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(!src.contains(".collect()"),
+        s"$f must not collect row data to the driver")
+    }
+  }
+
   test("target sumSeries partial-aggregates before the exchange (series fan-in map-side)") {
     val plan = planOf(TargetQueries.tsTargetAgg(spark, sfDir))
     assert(plan.contains("partial_sum"),
