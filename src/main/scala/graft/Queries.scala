@@ -80,27 +80,60 @@ object Queries {
     * oracle (`epoch_ns`) returns the same µs×1000, so hashes match for
     * every encoding.
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
+  def events(s: SparkSession, dir: String): DataFrame =
+    eventsRange(s, dir, None, None)
+
+  /** [[events]] with a [fromSec, untilSec) window expressed on the RAW
+    * on-disk `ts` type BEFORE normalization — the predicate reaches the
+    * parquet scan (`PushedFilters`: row-group/page pruning, the difference
+    * between reading a day and reading 100 TB), where a filter on the
+    * computed ns column cannot push past the projection. Second-aligned
+    * bounds are exact against every encoding (ns ≥ f·1e9 ⇔ floor-sec ≥ f).
+    */
+  def eventsRange(s: SparkSession, dir: String,
+                  fromSec: Option[Long], untilSec: Option[Long]): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case LongType         => raw
-      case TimestampType    => raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+    val dt = raw.schema("ts").dataType
+    def bound(sec: Long): Column = dt match {
+      case LongType      => lit(sec * 1000000000L)
+      case TimestampType => timestamp_seconds(lit(sec))
+      case TimestampNTZType =>
+        // wall clock == the UTC rendering of the instant (tz-free literal)
+        lit(java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported type $other (expected ns-long, timestamp, or timestamp_ntz)")
+    }
+    val clamped = (fromSec, untilSec) match {
+      case (Some(f), Some(u)) => raw.where(col("ts") >= bound(f) && col("ts") < bound(u))
+      case (Some(f), None)    => raw.where(col("ts") >= bound(f))
+      case (None, Some(u))    => raw.where(col("ts") < bound(u))
+      case (None, None)       => raw
+    }
+    dt match {
+      case LongType         => clamped
+      case TimestampType    => clamped.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       case TimestampNTZType =>
         val sessionUtc = java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone"))
           .normalized() == java.time.ZoneOffset.UTC
         val micros =
           if (sessionUtc) unix_micros(col("ts").cast("timestamp"))
           else ntzEpochMicros(col("ts"))
-        raw.withColumn("ts", micros * lit(1000L))
+        clamped.withColumn("ts", micros * lit(1000L))
       case other => throw new IllegalArgumentException(
-        s"events.ts: unsupported type $other (expected ns-long, timestamp, or timestamp_ntz)")
+        s"events.ts: unsupported type $other")
     }
   }
 
   /** Long-format metric stream view of events: (metric, ns, sec, value). */
   def metricStream(s: SparkSession, dir: String): DataFrame =
-    events(s, dir).select(
+    metricStreamRange(s, dir, None, None)
+
+  /** [[metricStream]] over [[eventsRange]]: the [fromSec, untilSec) window
+    * prunes the scan itself. */
+  def metricStreamRange(s: SparkSession, dir: String,
+                        fromSec: Option[Long], untilSec: Option[Long]): DataFrame =
+    eventsRange(s, dir, fromSec, untilSec).select(
       col("event_type").as("metric"),
       col("ts").as("ns"),
       expr("ts DIV 1000000000").as("sec"),
@@ -189,7 +222,8 @@ object Queries {
     */
   def tsGapfill(s: SparkSession, dir: String): DataFrame = {
     val ms = metricStream(s, dir)
-    val agg = ms.where(col("sec") >= GapFrom && col("sec") < GapUntil)
+    // window clamp on the raw scan (PushedFilters), not the derived sec
+    val agg = metricStreamRange(s, dir, Some(GapFrom), Some(GapUntil))
       .groupBy(col("metric"), alignSec(600))
       .agg(exactAvg(col("value")).as("avg_value"))
     val spine = ms.select(col("metric")).distinct()
@@ -218,11 +252,11 @@ object Queries {
     * of hot.
     */
   def tsCacheMerge(s: SparkSession, dir: String): DataFrame = {
-    val ms = metricStream(s, dir)
     def lww60(df: DataFrame): DataFrame =
       df.groupBy(col("metric"), alignSec(60)).agg(max_by(col("value"), col("ns")).as("value"))
-    val hist = lww60(ms.where(col("sec") < HistHi))
-    val hot = lww60(ms.where(col("sec") >= HotLo))
+    // each side's window clamps its own scan (PushedFilters both reads)
+    val hist = lww60(metricStreamRange(s, dir, None, Some(HistHi)))
+    val hot = lww60(metricStreamRange(s, dir, Some(HotLo), None))
     graft.storage.TimeSeries.mergeHotHistorical(hot, hist).orderBy("metric", "ts")
   }
 
@@ -246,8 +280,7 @@ object Queries {
     * result.
     */
   def tsHotView(s: SparkSession, dir: String): DataFrame =
-    metricStream(s, dir)
-      .where(col("sec") >= HotLo)
+    metricStreamRange(s, dir, Some(HotLo), None)
       .groupBy(col("metric"), alignSec(10))
       .agg(max_by(col("value"), col("ns")).as("value"))
       .orderBy("metric", "ts")
@@ -449,7 +482,7 @@ object Queries {
     val f = graft.storage.TimeSeries.roundup(from, FetchStep)
     val u = graft.storage.TimeSeries.roundup(until, FetchStep)
     val ms = metricStream(s, dir)
-    val agg = ms.where(col("sec") >= f && col("sec") < u)
+    val agg = metricStreamRange(s, dir, Some(f), Some(u))
       .groupBy(col("metric"), alignSec(FetchStep))
       .agg(exactAvg(col("value")).as("value"))
     val spine = ms.select(col("metric")).distinct()

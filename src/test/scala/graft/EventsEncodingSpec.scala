@@ -80,6 +80,23 @@ class EventsEncodingSpec extends AnyFunSuite {
     assert(pair(ltzDir) == ((ns, nsT)))
   }
 
+  test("range pushdown bounds select identical rows across encodings") {
+    // [fromSec, untilSec) expressed on the raw ts type must equal the
+    // derived-sec filter on every encoding, including the sub-second edges
+    // (row 4 at 23:59:59.999999 is IN day 1; row 5 at +1µs is OUT)
+    val from = 1704067205L; val until = 1704153600L
+    def ranged(d: String): Seq[Long] =
+      Queries.eventsRange(spark, d, Some(from), Some(until))
+        .orderBy("event_id").select("event_id").as[Long].collect().toSeq
+    val expected = rows.filter { case (_, us, _, _, _, _) =>
+      val sec = us / 1000000L; sec >= from && sec < until
+    }.map(_._1)
+    assert(expected == Seq(3L, 4L)) // the fixture exercises both edges
+    assert(ranged(nsDir) == expected)
+    assert(ranged(ntzDir) == expected)
+    assert(ranged(ltzDir) == expected)
+  }
+
   test("normalization is session-timezone independent (non-UTC regression)") {
     val expected = stream(ntzDir)
     val ltzExpected = stream(ltzDir)

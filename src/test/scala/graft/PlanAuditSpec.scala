@@ -65,6 +65,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
   }
 
+  test("events time-window queries push the range onto the raw ts scan (PushedFilters)") {
+    // the clamp must be expressed on the ON-DISK ts type before
+    // normalization: a predicate on the derived ns/sec column stays above
+    // the projection and the scan reads the full history
+    for (df <- Seq(Queries.tsHotView(spark, sfDir),
+                   Queries.tsCacheMerge(spark, sfDir))) {
+      val plan = planOf(df)
+      assert(plan.contains("PushedFilters") &&
+        (plan.contains("GreaterThanOrEqual(ts") || plan.contains("LessThan(ts")),
+        s"ts window must reach the parquet scan:\n${plan.take(3000)}")
+    }
+  }
+
   test("q1 pricing scan pushes the shipdate filter down") {
     val plan = planOf(Queries.q1Pricing(spark, sfDir))
     assert(plan.contains("PushedFilters") && plan.contains("LessThanOrEqual(l_shipdate"),
