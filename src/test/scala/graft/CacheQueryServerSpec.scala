@@ -152,6 +152,33 @@ class CacheQueryServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!body.contains(s"[${nowTs - 2},"), body) // raw slots are gone
   }
 
+  test("/render holtWinters bootstrap re-fetches pre-window history, then crops to the window") {
+    def get(path: String): String = {
+      val in = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL.openStream()
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    def render(target: String): Map[Long, String] = {
+      val body = get(s"/render?target=${java.net.URLEncoder.encode(target, "UTF-8")}" +
+        s"&from=${nowTs - 3}&until=$nowTs&now=$nowTs")
+      """\[(\d+),([^\]]+)\]""".r.findAllMatchIn(body)
+        .map(m => m.group(1).toLong -> m.group(2)).toMap
+    }
+    // a "1min" bootstrap keeps the expanded fetch inside the 1s archive
+    // (the default 7d would re-fetch through the coarser 3s level — the
+    // same archive-selection graphite applies to its bootstrap re-fetch —
+    // and the slot grids would legitimately differ)
+    val boot = render("holtWintersForecast(web.req,\"1min\")")
+    val cold = render("holtWintersForecast(web.req,\"0s\")") // no pre-window history
+    // crop: nothing before the render window leaks out, with or without
+    // the expanded fetch underneath
+    assert(boot.nonEmpty && boot.keys.forall(_ >= nowTs - 3), boot)
+    assert(cold.nonEmpty && cold.keys.forall(_ >= nowTs - 3), cold)
+    // warm state: the window-head forecast is chained from the pre-window
+    // points (5.0, 4.0) under bootstrap, but cold-start without them
+    assert(boot(nowTs - 3) != cold(nowTs - 3),
+      s"bootstrap must change the window-head forecast: $boot vs $cold")
+  }
+
   test("/render accepts multiple targets, sharing one fetch and row budget") {
     def get(path: String): String = {
       val in = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL.openStream()
