@@ -709,9 +709,36 @@ object TargetEval {
               col("__i").cast("string"), lit(")")).as("metric"),
             (col("ts") + lit(unit) * col("__i")).as("ts"), col("value"))
 
+      case "scaleToSeconds" =>
+        // value × (seconds / step): the rate-renormalization graphite
+        // users pair with counters. Step is inferred per series from the
+        // slot grid (min positive ts delta — the same inference the
+        // holtWinters family uses; 60 when a series has a single slot),
+        // and the factor applies as ONE float multiply per row.
+        arity(2)
+        val sec = num(args(1))
+        val wAll = Window.partitionBy(col("metric"))
+        wrapped(sl0
+          .select(col("metric"), col("ts"), col("value"),
+            (col("ts") - lag(col("ts"), 1).over(perSeries)).as("__d"))
+          .select(col("metric"), col("ts"), col("value"),
+            min(when(col("__d") > 0, col("__d"))).over(wAll).as("__step"))
+          .select(col("metric"), col("ts"),
+            (col("value") *
+              (lit(sec) / coalesce(col("__step"), lit(60L)).cast("double")))
+              .as("value")), call)
+
       // -- alias ----------------------------------------------------------
       case "alias" =>
         arity(2); renamed(sl0, str(args(1)))
+      case "aliasByMetric" =>
+        // last name node, function wrappers stripped first (same cleanup
+        // as substr) — graphite's "show me just the leaf" rename
+        arity(1)
+        val cleanedMetric = regexp_replace(
+          regexp_replace(col("metric"), "^.*\\(", ""), "\\).*$", "")
+        sl0.select(element_at(split(cleanedMetric, "\\."), -1).as("metric"),
+          col("ts"), col("value"))
       case "aliasByNode" =>
         atLeast(2)
         val idx = args.tail.map(int)

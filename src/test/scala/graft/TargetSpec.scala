@@ -571,6 +571,29 @@ class TargetSpec extends AnyFunSuite {
     }
   }
 
+  test("scaleToSeconds renormalizes by the inferred per-series step") {
+    // step-10 frame: factor = 1/10
+    val m = ev("scaleToSeconds(s.a.x,1)")
+    assert(m(("scaleToSeconds(s.a.x,1)", 10L)) == Some(1.0 * (1.0 / 10.0)))
+    assert(m(("scaleToSeconds(s.a.x,1)", 40L)) == Some(8.0 * (1.0 / 10.0)))
+    // gaps stay gaps; the other series scales by its own step
+    val b = ev("scaleToSeconds(s.*.x,30)")
+    assert(b(("scaleToSeconds(s.b.x,30)", 20L)) == None)
+    assert(b(("scaleToSeconds(s.b.x,30)", 30L)) == Some(30.0 * (30.0 / 10.0)))
+  }
+
+  test("aliasByMetric renames to the leaf node, stripping function wrappers") {
+    val m = ev("aliasByMetric(s.a.x)")
+    assert(m(("x", 10L)) == Some(1.0) && m(("x", 40L)) == Some(8.0))
+    // wrapper stripped before the node slice (same cleanup as substr);
+    // a trailing scalar arg survives into the leaf exactly as graphite's
+    // rfind('(')/find(')') slice does — quirk-faithful
+    val w = ev("aliasByMetric(sumSeries(s.*.x))")
+    assert(w.keySet.map(_._1) == Set("x"))
+    val q = ev("aliasByMetric(scale(s.a.x,2))")
+    assert(q(("x,2", 10L)) == Some(2.0))
+  }
+
   test("nPercentile flattens each series to its own rank percentile") {
     val m = ev("nPercentile(s.*.x,50)")
     // s.a sorted [1,2,3,8]: rank ceil(0.5*5)=3 -> 3; s.b [10,30]: rank 2 -> 30
