@@ -1,9 +1,56 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Dump every query result + oracle_sql.json + _errors.json under
+    * `outDir`; returns the error map (empty == all queries ran). Split
+    * from main so the never-vanish guarantee is spec-testable: a failing
+    * query MUST land in `_errors.json` (round 6: 32 broken queries
+    * silently read as "56/56 green").
+    */
+  def run(queries: Map[String, (SparkSession, String) => DataFrame],
+          oracleSql: Map[String, String],
+          spark: SparkSession, sfDir: String, outDir: String): Map[String, String] = {
+    new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) =
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(4000)}"
+      }
+    }
+    val json = oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The errors map is always written — empty `{}` is the healthy signal.
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // Loud but rc-0: the driver must still score the queries that DID run.
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+    errors.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,7 +62,6 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
     // Pre-flight: log every table's actual on-disk schema, so a driver-side
     // data regeneration (round 6: events.ts ns-long → timestamp[us]) is
     // visible in the round log even before any query runs.
@@ -27,42 +73,9 @@ object Verify {
         println(s"[verify] schema $t: UNREADABLE: ${e.getMessage}") }
     // dev-only subset filter (comma-separated names); driver leaves it unset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        errors(name) =
-          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(4000)}"
-      }
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // A failing query must never silently vanish from the scorecard (round
-    // 6: 32 broken queries read as "56/56 green"). The errors map is always
-    // written — empty `{}` is the healthy signal.
-    Files.writeString(Paths.get(s"$outDir/_errors.json"),
-      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
-    // Loud but rc-0: the driver must still score the queries that DID run.
-    if (errors.nonEmpty)
-      System.err.println(
-        s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+    run(
+      SparkEntry.queries.filter { case (name, _) => only.forall(_.contains(name)) },
+      SparkEntry.oracleSql, spark, sfDir, outDir)
     spark.stop()
   }
 }
