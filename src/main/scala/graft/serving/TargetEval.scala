@@ -61,12 +61,16 @@ object TargetEval {
     * `from` — holtWinters functions evaluate their child with
     * `bootstrapInterval` (default 7d) of extra pre-window history via
     * `fetch`, then crop the analysis back to `ts >= cropFrom`, exactly
-    * graphite-web's bootstrap semantics.
+    * graphite-web's bootstrap semantics. `window`, when the caller has one,
+    * is the full [from, until] render range — it only exists to give the
+    * synthetic sources (constantLine / threshold / timeFunction) a time
+    * axis; fetched data ignores it.
     */
   def evalWindowed(expr: TExpr, fetch: WindowedFetch, cropFrom: Option[Long],
-                   extraHistory: Long = 0L): DataFrame = expr match {
+                   extraHistory: Long = 0L,
+                   window: Option[(Long, Long)] = None): DataFrame = expr match {
     case TPath(glob) => fetch(glob, extraHistory)
-    case c: TCall    => evalCall(c, fetch, cropFrom, extraHistory)
+    case c: TCall    => evalCall(c, fetch, cropFrom, extraHistory, window)
     case other =>
       fail(s"'${other.canonical}' is not a series expression")
   }
@@ -103,6 +107,17 @@ object TargetEval {
       .select(col("metric"), col("ts"), col("value").cast("double").as("value"))
   }
 
+  /** The consolidation method pinned by the outermost consolidateBy call
+    * in a target's AST, if any — the serving layer's maxDataPoints
+    * consolidation honors it over the avg default (graphite's per-series
+    * consolidationFunc).
+    */
+  def consolidationMethod(expr: TExpr): Option[String] = expr match {
+    case TCall("consolidateBy", _ :: TStr(m) :: Nil) => Some(m)
+    case TCall(_, args) => args.iterator.flatMap(consolidationMethod).nextOption()
+    case _ => None
+  }
+
   // ---- helpers ----------------------------------------------------------
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
@@ -114,8 +129,10 @@ object TargetEval {
     Window.partitionBy(col("metric")).orderBy(col("ts"))
 
   private def seriesW(e: TExpr, fetch: WindowedFetch, cropFrom: Option[Long],
-                      extraHistory: Long): DataFrame = e match {
-    case TPath(_) | TCall(_, _) => evalWindowed(e, fetch, cropFrom, extraHistory)
+                      extraHistory: Long,
+                      window: Option[(Long, Long)] = None): DataFrame = e match {
+    case TPath(_) | TCall(_, _) =>
+      evalWindowed(e, fetch, cropFrom, extraHistory, window)
     case other => fail(s"expected a series expression, got '${other.canonical}'")
   }
 
@@ -231,12 +248,14 @@ object TargetEval {
   // ---- function dispatch ------------------------------------------------
 
   private def evalCall(call: TCall, wfetch: WindowedFetch,
-                       cropFrom: Option[Long], extraHistory: Long): DataFrame = {
+                       cropFrom: Option[Long], extraHistory: Long,
+                       window: Option[(Long, Long)] = None): DataFrame = {
     val TCall(name, args) = call
     // plain glob fetch at THIS node's history depth; nested calls recurse
     // through `series`, which threads the window context down the tree
     val fetch: String => DataFrame = g => wfetch(g, extraHistory)
-    def series(e: TExpr): DataFrame = seriesW(e, wfetch, cropFrom, extraHistory)
+    def series(e: TExpr): DataFrame =
+      seriesW(e, wfetch, cropFrom, extraHistory, window)
     def arity(n: Int): Unit =
       if (args.length != n) fail(s"$name expects $n argument(s), got ${args.length}")
     def atLeast(n: Int): Unit =
@@ -316,6 +335,30 @@ object TargetEval {
         // concatenate series lists (graphite's list combiner)
         atLeast(1)
         args.map(series(_)).reduce(_ unionByName _)
+
+      case "unique" =>
+        // collapse duplicate series names (graphite keeps the first list
+        // entry; a frame has no list order, so a conflicting duplicate —
+        // same name, same slot, different value, a degenerate input —
+        // resolves to the minimum non-null value, deterministic under any
+        // partitioning; identical duplicates collapse losslessly)
+        atLeast(1)
+        args.map(series(_)).reduce(_ unionByName _)
+          .groupBy(col("metric"), col("ts"))
+          .agg(min(col("value")).as("value"))
+          .select(col("metric"), col("ts"), col("value").cast("double").as("value"))
+
+      case "fallbackSeries" =>
+        // serve the fallback expression only when the primary matched no
+        // series. The emptiness probe is a 1-row count aggregate cross-
+        // joined back (plan-level — no driver collect); the primary
+        // subtree is evaluated once for the probe and once for the data.
+        arity(2)
+        val prim = sl0
+        val fb = series(args(1))
+        val probe = broadcast(prim.agg(count(lit(1)).as("__pc")))
+        prim.crossJoin(probe).where(col("__pc") > 0).drop("__pc")
+          .unionByName(fb.crossJoin(probe).where(col("__pc") === 0).drop("__pc"))
 
       case "sumSeriesWithWildcards" | "averageSeriesWithWildcards" =>
         // strip the named name nodes, then aggregate series that collapse
@@ -448,6 +491,69 @@ object TargetEval {
           .select(col("__node").as("metric"), col("ts"),
             col("value").cast("double").as("value"))
 
+      case "groupByNodes" =>
+        // groupByNode's multi-node generalization (graphite-web's modern
+        // tag/path grouper): series collapsing to the same dot-joined node
+        // tuple aggregate together. Series missing ANY named node are
+        // dropped, exactly as groupByNode drops a missing single node.
+        atLeast(3)
+        val method = str(args(1))
+        val nodes = args.drop(2).map(int(_))
+        nodes.foreach(i => require(i >= 0, s"groupByNodes node index must be >= 0, got $i"))
+        val parts = split(col("metric"), "\\.")
+        val key = concat_ws(".", nodes.map(i => get(parts, lit(i))): _*)
+        sl0
+          .where(nodes.map(i => get(parts, lit(i)).isNotNull).reduce(_ && _))
+          .withColumn("__key", key)
+          .groupBy(col("__key"), col("ts"))
+          .agg(aggFor(method, col("value"), col("ts")).as("value"))
+          .select(col("__key").as("metric"), col("ts"),
+            col("value").cast("double").as("value"))
+
+      case "aggregate" =>
+        // the modern generic combine — aggregate(list,"sum") ==
+        // sumSeries(list) — with graphite's wider method set (median /
+        // range / stddev / diff / multiply on top of the aggFor core) and
+        // graphite's output naming: the normalized method + "Series(...)".
+        // diff is graphite's safeDiff: first (in name order — a frame has
+        // no list order) non-null value minus the sum of the rest, i.e.
+        // 2·v₀ − Σ in the exact decimal lane. multiply is None-strict like
+        // multiplySeries. median reuses the non-interpolating rank.
+        arity(2)
+        val m0 = str(args(1)).stripSuffix("Series") match {
+          case "avg" | "average" => "average"
+          case "total"           => "sum"
+          case "current"         => "last"
+          case "rangeOf"         => "range"
+          case other             => other
+        }
+        val g = sl0.groupBy(col("ts"))
+        val agged = m0 match {
+          case "average" | "sum" | "min" | "max" | "count" | "last" =>
+            val m = if (m0 == "average") "avg" else m0
+            g.agg(aggFor(m, col("value"), col("ts")).as("value"))
+          case "median" =>
+            g.agg(rankPercentile(sort_array(collect_list(col("value"))), 50.0)
+              .as("value"))
+          case "range" =>
+            g.agg((max(col("value")) - min(col("value"))).as("value"))
+          case "stddev" =>
+            g.agg(stddev_pop(col("value")).as("value"))
+          case "diff" =>
+            g.agg((lit(2) * min(when(col("value").isNotNull,
+                struct(col("metric"), dec(col("value")).as("v")))).getField("v")
+              - sum(dec(col("value")))).cast("double").as("value"))
+          case "multiply" =>
+            g.agg(
+              when(sum(when(col("value").isNull, 1).otherwise(0)) === 0,
+                aggregate(sort_array(collect_list(col("value"))), lit(1.0),
+                  (acc, x) => acc * x)).as("value"))
+          case other => fail(s"aggregate: unknown method '$other'")
+        }
+        renamed(
+          agged.select(col("ts"), col("value").cast("double").as("value")),
+          s"${m0}Series(${args.head.canonical})")
+
       // -- transform: per-point scalar maps -------------------------------
       case "scale"            => arity(2); wrapped(mapValue(sl0, _ * lit(num(args(1)))), call)
       case "offset"           => arity(2); wrapped(mapValue(sl0, _ + lit(num(args(1)))), call)
@@ -474,6 +580,39 @@ object TargetEval {
         }), call)
       case "squareRoot" =>
         arity(1); wrapped(mapValue(sl0, v => when(v >= 0.0, sqrt(v))), call)
+      case "round" =>
+        // python3 round() is banker's rounding — Spark's bround, not round
+        atLeast(1)
+        if (args.length > 2) fail(s"round expects 1-2 arguments, got ${args.length}")
+        val p = if (args.length == 2) int(args(1)) else 0
+        wrapped(mapValue(sl0, v => bround(v, p)), call)
+      case "exp" =>
+        // graphite safeExp: float overflow is None, not Infinity
+        arity(1)
+        wrapped(mapValue(sl0, v => {
+          val r = exp(v)
+          when(r =!= Double.PositiveInfinity, r)
+        }), call)
+      case "sigmoid" =>
+        // 1 / (1 + e^(-x)); the e^(-x) overflow lane (x << 0) is None as
+        // in graphite's safeExp, not the IEEE limit 0.0
+        arity(1)
+        wrapped(mapValue(sl0, v => {
+          val e = exp(-v)
+          when(e =!= Double.PositiveInfinity, lit(1.0) / (lit(1.0) + e))
+        }), call)
+      case "minMax" =>
+        // normalize each series to [0,1] by its own min/max; a flat series
+        // maps to 0 (graphite's range==0 branch). Whole-partition windows
+        // on the metric partitioning — no join, no second shuffle.
+        arity(1)
+        val wm = Window.partitionBy(col("metric"))
+        val lo = min(col("value")).over(wm)
+        val hi = max(col("value")).over(wm)
+        wrapped(sl0.select(col("metric"), col("ts"),
+          when(col("value").isNotNull,
+            when(hi > lo, (col("value") - lo) / (hi - lo)).otherwise(0.0))
+            .cast("double").as("value")), call)
       case "isNonNull" =>
         // every slot becomes 1.0 (has a value) or 0.0 (gap) — the gap-
         // visualization idiom; unlike other transforms this maps nulls too
@@ -576,6 +715,138 @@ object TargetEval {
         }
         wrapped(sl0.select(col("metric"), col("ts"), out.as("value")), call)
 
+      case "movingMedian" =>
+        // graphite's median — sorted[len//2], the upper mid — over the
+        // trailing window's non-null values; exactly the rank-percentile
+        // at p=50 (rank = ceil((n+1)/2) clamps to the upper mid for even
+        // n). The windowed collect is bounded by the window size argument,
+        // never by series length.
+        arity(2)
+        val n = int(args(1))
+        require(n > 0, s"movingMedian window must be > 0 slots, got $n")
+        val w = perSeries.rowsBetween(-(n - 1).toLong, Window.currentRow)
+        wrapped(sl0.select(col("metric"), col("ts"),
+          rankPercentile(sort_array(collect_list(col("value")).over(w)), 50.0)
+            .cast("double").as("value")), call)
+
+      case "linearRegression" =>
+        // per-series ordinary least squares over the fetched window, each
+        // series replaced by its fitted line at every slot (graphite fills
+        // every slot, including former gaps). slope = cov(ts,value)/var(ts)
+        // over the non-null points — covar_pop/var_pop are the numerically
+        // stable forms (raw Σts² at epoch magnitudes ~1e9 would cancel
+        // catastrophically in doubles). Series with < 2 points (var 0)
+        // are dropped, graphite's failed-fit branch. Whole-partition
+        // windows on the metric partitioning — no join.
+        arity(1)
+        val wm = Window.partitionBy(col("metric"))
+        val tsNN = when(col("value").isNotNull, col("ts").cast("double"))
+        val slope = covar_pop(tsNN, col("value")).over(wm) /
+          var_pop(tsNN).over(wm)
+        val meanTs = avg(tsNN).over(wm)
+        val meanV = avg(col("value")).over(wm)
+        wrapped(sl0.select(col("metric"), col("ts"), col("value"),
+            slope.as("__m"), (meanV - slope * meanTs).as("__b"),
+            var_pop(tsNN).over(wm).as("__var"))
+          .where(col("__var") > 0)
+          .select(col("metric"), col("ts"),
+            (col("__m") * col("ts") + col("__b")).cast("double").as("value")),
+          call)
+
+      case "exponentialMovingAverage" =>
+        // EMA with graphite's constant c = 2/(windowSize+1): seeded with
+        // the average of the first window (None skipped), emitted from the
+        // window's last slot on (earlier slots are None — the warm-up), a
+        // gap emits None and leaves the state untouched. The recurrence is
+        // inherently sequential per series, so it runs as the same typed
+        // flatMapGroups shape as HoltWinters: one shuffle on the series
+        // key, each group a bounded slot scan. A time-string windowSize
+        // converts to slots via the inferred step and (in the serving
+        // path) pre-fetches that much extra history, as graphite's
+        // preview window does.
+        arity(2)
+        val (winPts, winSec) = args(1) match {
+          case TNum(v, _) if v == math.rint(v) && v > 0 => (Some(v.toInt), None)
+          case TStr(s2) =>
+            val sec = seconds(s2)
+            require(sec > 0, s"exponentialMovingAverage window must be > 0, got $s2")
+            (None, Some(sec))
+          case other => fail(
+            s"exponentialMovingAverage window: expected points or a time string, got '${other.canonical}'")
+        }
+        val slE = winSec match {
+          case Some(sec) => seriesW(args.head, wfetch, cropFrom, extraHistory + sec, window)
+          case None      => sl0
+        }
+        val spark = slE.sparkSession
+        import spark.implicits._
+        val ema0 = slE.select(col("metric"), col("ts"), col("value"))
+          .as[(String, Long, Option[Double])]
+          .groupByKey(_._1)
+          .flatMapGroups { (metric, it) =>
+            val rows = it.toArray.sortBy(_._2)
+            val step =
+              if (rows.length < 2) 60L
+              else rows.iterator.map(_._2).sliding(2)
+                .map(p => p(1) - p(0)).filter(_ > 0).minOption.getOrElse(60L)
+            val wp = winPts.getOrElse(
+              math.max(1L, winSec.get / math.max(1L, step)).toInt)
+            val out = new Array[Option[Double]](rows.length)
+            val head = rows.take(wp).flatMap(_._3)
+            var ema = if (head.nonEmpty) head.sum / head.length else 0.0
+            var i = 0
+            while (i < rows.length) {
+              if (i < wp - 1) out(i) = None               // warm-up
+              else if (i == wp - 1) out(i) = Some(ema)    // the seed itself
+              else rows(i)._3 match {
+                case None    => out(i) = None             // gap: state holds
+                case Some(v) =>
+                  ema = (2.0 / (wp + 1)) * v + (1.0 - 2.0 / (wp + 1)) * ema
+                  out(i) = Some(ema)
+              }
+              i += 1
+            }
+            rows.indices.iterator.map(i => (metric, rows(i)._2, out(i)))
+          }
+          .toDF("metric", "ts", "value")
+        val emaCropped = (winSec, cropFrom) match {
+          case (Some(_), Some(f)) => ema0.where(col("ts") >= f)
+          case _                  => ema0
+        }
+        wrapped(emaCropped, call)
+
+      case "interpolate" =>
+        // linearly fill interior gaps (graphite's interpolate): each null
+        // run bounded by non-null neighbors on both sides gets the line
+        // between them; leading/trailing runs stay None; an optional limit
+        // caps the run length that may fill. Two whole-partition window
+        // passes (backward fill state, forward fill state) over the one
+        // metric partitioning — no join, frame stays step-aligned.
+        atLeast(1)
+        if (args.length > 2) fail(s"interpolate expects 1-2 arguments, got ${args.length}")
+        val limit = if (args.length == 2) int(args(1)) else Int.MaxValue
+        require(limit >= 0, s"interpolate limit must be >= 0, got $limit")
+        val wB = perSeries.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wF = perSeries.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val rn = row_number().over(perSeries).cast("long")
+        val nnRn = when(col("value").isNotNull, col("__rn"))
+        val nnV = when(col("value").isNotNull, col("value"))
+        wrapped(sl0
+          .select(col("metric"), col("ts"), col("value"), rn.as("__rn"))
+          .select(col("metric"), col("ts"), col("value"), col("__rn"),
+            last(nnRn, ignoreNulls = true).over(wB).as("__prn"),
+            last(nnV, ignoreNulls = true).over(wB).as("__pv"),
+            first(nnRn, ignoreNulls = true).over(wF).as("__nrn"),
+            first(nnV, ignoreNulls = true).over(wF).as("__nv"))
+          .select(col("metric"), col("ts"),
+            when(col("value").isNotNull, col("value"))
+              .otherwise(when(
+                col("__pv").isNotNull && col("__nv").isNotNull &&
+                  col("__nrn") - col("__prn") - 1 <= limit,
+                col("__pv") + (col("__nv") - col("__pv")) *
+                  (col("__rn") - col("__prn")) / (col("__nrn") - col("__prn"))))
+              .cast("double").as("value")), call)
+
       case "stdev" =>
         // moving population stddev over the last N slots; graphite's
         // windowTolerance (default 0.1) nulls windows with fewer than 10%
@@ -613,7 +884,7 @@ object TargetEval {
         val bootstrapSec = rest.headOption.map(b => seconds(str(b)))
           .getOrElse(7L * 86400L)
         require(bootstrapSec >= 0, s"$name: negative bootstrapInterval")
-        val slBoot = seriesW(args.head, wfetch, cropFrom, extraHistory + bootstrapSec)
+        val slBoot = seriesW(args.head, wfetch, cropFrom, extraHistory + bootstrapSec, window)
         val an0 = HoltWinters.analyzed(slBoot)
         val an = cropFrom.fold(an0)(f => an0.where(col("ts") >= f))
         def named(prefix: Column, valueCol: Column): DataFrame =
@@ -675,6 +946,105 @@ object TargetEval {
             .agg(aggFor(method, col("value"), col("ts")).as("value"))
             .select(col("metric"), col("ts"), col("value").cast("double").as("value")),
           call)
+
+      case "smartSummarize" =>
+        // summarize with buckets anchored at the render window's start
+        // (graphite's requestContext startTime) instead of interval
+        // boundaries; windowless, the anchor is the frame's own first
+        // slot — a 1-row aggregate broadcast back, not a collect
+        arity(3)
+        val interval = seconds(str(args(1)))
+        require(interval > 0, s"smartSummarize interval must be > 0, got $interval")
+        val method = str(args(2))
+        val sl = sl0
+        val anchored = cropFrom match {
+          case Some(f) => sl.withColumn("__a", lit(f))
+          case None    => sl.crossJoin(broadcast(sl.agg(min(col("ts")).as("__a"))))
+        }
+        wrapped(anchored
+          .groupBy(col("metric"),
+            (col("ts") - pmod(col("ts") - col("__a"), lit(interval))).as("ts"))
+          .agg(aggFor(method, col("value"), col("ts")).as("value"))
+          .select(col("metric"), col("ts"), col("value").cast("double").as("value")),
+          call)
+
+      case "hitcount" =>
+        // rate → count per bucket: Σ value·step over each interval bucket
+        // (graphite's hitcount — how many events a per-second rate series
+        // represents). Step is inferred per series (min positive ts delta,
+        // 60 when unknowable); buckets anchor at the window start, or at
+        // interval boundaries with alignToInterval=true.
+        atLeast(2)
+        if (args.length > 3) fail(s"hitcount expects 2-3 arguments, got ${args.length}")
+        val interval = seconds(str(args(1)))
+        require(interval > 0, s"hitcount interval must be > 0, got $interval")
+        val alignToInterval = args.length == 3 && (args(2) match {
+          case TStr(s2)   => s2.equalsIgnoreCase("true")
+          case TNum(v, _) => v != 0
+          case _          => false
+        })
+        val sl = sl0
+        val wm = Window.partitionBy(col("metric"))
+        val stepped = sl
+          .select(col("metric"), col("ts"), col("value"),
+            (col("ts") - lag(col("ts"), 1).over(perSeries)).as("__d"))
+          .select(col("metric"), col("ts"), col("value"),
+            coalesce(min(when(col("__d") > 0, col("__d"))).over(wm), lit(60L))
+              .as("__step"))
+        val anchored =
+          if (alignToInterval) stepped.withColumn("__a", lit(0L))
+          else cropFrom match {
+            case Some(f) => stepped.withColumn("__a", lit(f))
+            case None =>
+              stepped.crossJoin(broadcast(sl.agg(min(col("ts")).as("__a"))))
+          }
+        wrapped(anchored
+          .groupBy(col("metric"),
+            (col("ts") - pmod(col("ts") - col("__a"), lit(interval))).as("ts"))
+          .agg(sum(when(col("value").isNotNull,
+            dec(col("value")) * col("__step"))).as("value"))
+          .select(col("metric"), col("ts"), col("value").cast("double").as("value")),
+          call)
+
+      case "timeSlice" =>
+        // null out points outside [start, end] — slots stay, values go
+        // (graphite keeps the grid). Bounds: epoch-second numbers, or
+        // signed time strings relative to the render window's start
+        // ("-1h" = an hour before `from`); the relative form without a
+        // window is a client error, not a guess.
+        atLeast(2)
+        if (args.length > 3) fail(s"timeSlice expects 2-3 arguments, got ${args.length}")
+        def sliceBound(e: TExpr): Long = e match {
+          case TNum(v, _) => v.toLong
+          case TStr(s2) =>
+            cropFrom match {
+              case Some(f) => f + seconds(s2)
+              case None => fail(
+                s"timeSlice: relative bound '$s2' needs a render window (use epoch seconds)")
+            }
+          case other => fail(s"timeSlice: bad bound '${other.canonical}'")
+        }
+        val lo = sliceBound(args(1))
+        val hi = if (args.length == 3) sliceBound(args(2)) else Long.MaxValue
+        wrapped(sl0.select(col("metric"), col("ts"),
+          when(col("ts") >= lo && col("ts") <= hi, col("value"))
+            .cast("double").as("value")), call)
+
+      case "consolidateBy" =>
+        // pins the maxDataPoints consolidation method for this subtree
+        // (avg is the default otherwise); pure pass-through at the data
+        // level — the serving layer reads the method off the parsed AST
+        // via [[consolidationMethod]]. The name wraps so dashboards see
+        // graphite's consolidateBy(name,'func') labels.
+        arity(2)
+        val m = str(args(1))
+        aggFor(m match {
+          case "average" => "avg"
+          case "total"   => "sum"
+          case "current" => "last"
+          case x         => x
+        }, col("value"), col("ts"))  // validate the method eagerly (400, not 500)
+        wrapped(sl0, call)
 
       case "timeShift" =>
         arity(2)
@@ -858,6 +1228,41 @@ object TargetEval {
         val winners = ranked.orderBy(order: _*).limit(k).select(col("metric"))
         sl.join(broadcast(winners), Seq("metric"), "left_semi")
 
+      case "mostDeviant" =>
+        // top-n series by population variance — the "what moved" selector.
+        // Same k-row broadcast-winners shape as highestAverage. Graphite
+        // accepted both (list, n) and the legacy (n, list) order; so do we.
+        arity(2)
+        val (slArg, kArg) = args.head match {
+          case TNum(_, _) => (args(1), args.head)
+          case _          => (args.head, args(1))
+        }
+        val k = int(kArg)
+        require(k >= 0, s"mostDeviant n must be >= 0, got $k")
+        val sl = series(slArg)
+        val ranked = sl.groupBy(col("metric"))
+          .agg(var_pop(col("value")).as("__stat"))
+        val winners = ranked
+          .orderBy(col("__stat").desc_nulls_last, col("metric").asc)
+          .limit(k).select(col("metric"))
+        sl.join(broadcast(winners), Seq("metric"), "left_semi")
+
+      case "removeEmptySeries" =>
+        // drop series with no values at all — or, with an xFilesFactor
+        // argument, series whose non-null fraction is below it (graphite's
+        // xff gate; 0 keeps any series with >= 1 value)
+        atLeast(1)
+        if (args.length > 2) fail(s"removeEmptySeries expects 1-2 arguments, got ${args.length}")
+        val xff = if (args.length == 2) num(args(1)) else 0.0
+        require(xff >= 0 && xff <= 1, s"xFilesFactor must be in [0,1], got $xff")
+        val sl = sl0
+        val winners = sl.groupBy(col("metric"))
+          .agg(count(col("value")).as("__nn"), count(lit(1)).as("__n"))
+          .where(col("__nn") > 0 &&
+            col("__nn").cast("double") / col("__n") >= lit(xff))
+          .select(col("metric"))
+        sl.join(broadcast(winners), Seq("metric"), "left_semi")
+
       case "averageOutsidePercentile" =>
         // keep series whose average falls OUTSIDE the (100-n, n) rank-
         // percentile band of all the averages (band edges are outside:
@@ -942,6 +1347,48 @@ object TargetEval {
           .select(col("metric"), col("ts"),
             col("__pct").cast("double").as("value")), call)
 
+      // -- synthetic sources: series drawn from the render window ---------
+      // These fetch nothing — the time axis IS the render window, so they
+      // exist only on the windowed serving path; the windowless judged
+      // entry point has no axis to draw on and 400s with a clear message.
+      case "constantLine" | "threshold" =>
+        // constantLine(v): a flat line, graphite's three points (from,
+        // midpoint, until), named by the raw value text.
+        // threshold(v[,label[,color]]) is its aliased presentation twin.
+        atLeast(1)
+        if (name == "constantLine") arity(1)
+        else if (args.length > 3) fail(s"threshold expects 1-3 arguments, got ${args.length}")
+        val v = num(args.head)
+        val (f, u) = window.getOrElse(fail(
+          s"$name needs a render window (serving path only)"))
+        val label = (name, args.lift(1)) match {
+          case ("threshold", Some(TStr(l))) => l
+          case _                            => args.head.canonical
+        }
+        val ss = org.apache.spark.sql.SparkSession.active
+        import ss.implicits._
+        Seq(f, (f + u) / 2, u).distinct.map(t => (label, t, v))
+          .toDF("metric", "ts", "value")
+
+      case "timeFunction" | "time" | "identity" =>
+        // time(name[, step=60]) / identity(name): value == its own epoch
+        // timestamp at each step across the window — the test/reference
+        // axis source. Generated distributed (spark.range), never a
+        // driver-side list: a year at step 1 is 31M rows.
+        atLeast(1)
+        if (name == "identity") arity(1)
+        else if (args.length > 2) fail(s"$name expects 1-2 arguments, got ${args.length}")
+        val label = str(args.head)
+        val step = if (args.length == 2) int(args(1)).toLong else 60L
+        require(step > 0, s"$name step must be > 0, got $step")
+        val (f, u) = window.getOrElse(fail(
+          s"$name needs a render window (serving path only)"))
+        val ss = org.apache.spark.sql.SparkSession.active
+        ss.range(0L, (u - f) / step + 1)
+          .select(lit(label).as("metric"),
+            (lit(f) + col("id") * step).as("ts"),
+            (lit(f) + col("id") * step).cast("double").as("value"))
+
       // -- presentation/no-op: display attributes and list ordering -------
       // These change how graphite-web DRAWS, not the data: identity here
       // keeps real dashboards working against /render. List order is
@@ -949,8 +1396,9 @@ object TargetEval {
       // (sortByName's result); the sortBy* variants' orders cannot ride a
       // DataFrame, which has no row order to carry.
       case "sortByName" | "sortByTotal" | "sortByMaxima" | "sortByMinima"
-         | "color" | "lineWidth" | "dashed" | "drawAsInfinite"
-         | "secondYAxis" | "stacked" | "areaBetween" =>
+         | "sortBy" | "color" | "lineWidth" | "dashed" | "drawAsInfinite"
+         | "secondYAxis" | "stacked" | "areaBetween" | "alpha" | "areaAlpha"
+         | "cactiStyle" | "legendValue" | "setXFilesFactor" | "xFilesFactor" =>
         atLeast(1)
         sl0
 

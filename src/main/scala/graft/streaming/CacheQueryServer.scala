@@ -283,14 +283,19 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
     // graphite-web maxDataPoints: consolidate each series to the client's
     // point budget (bucket = ceil(span / maxDataPoints), consolidateBy
     // avg/sum/max/min/last, default avg) before anything is collected
-    def consolidated(evaled: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    // the method priority is graphite's: a consolidateBy() call in the
+    // target pins the method; else the query param; else avg
+    def consolidated(evaled: org.apache.spark.sql.DataFrame,
+                     expr: graft.serving.TExpr): org.apache.spark.sql.DataFrame =
       p.get("maxDataPoints").map(_.toInt) match {
         case Some(m) =>
           require(m > 0, s"maxDataPoints must be > 0, got $m")
           val bucket = math.max(1L, (math.max(1L, until - from) + m - 1) / m)
           if (bucket <= 1L) evaled
           else graft.serving.TargetEval.consolidate(
-            evaled, bucket, p.getOrElse("consolidateBy", "avg"))
+            evaled, bucket,
+            graft.serving.TargetEval.consolidationMethod(expr)
+              .orElse(p.get("consolidateBy")).getOrElse("avg"))
         case None => evaled
       }
     // evaluate targets in request order over the SAME shared merged frame
@@ -300,7 +305,8 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
     val entries = Vector.newBuilder[String]
     for (expr <- exprs) {
       val out = consolidated(
-        graft.serving.TargetEval.evalWindowed(expr, fetch, Some(from)))
+        graft.serving.TargetEval.evalWindowed(expr, fetch, Some(from),
+          window = Some((from, until))), expr)
       // collect one row past the remaining budget: silently truncating a
       // render (or dropping later targets wholesale) would serve data
       // that LIES — exhaustion is a loud client error instead

@@ -601,4 +601,169 @@ class TargetSpec extends AnyFunSuite {
     assert(m(("nPercentile(s.a.x,50)", 40L)) == Some(3.0))
     assert(m(("nPercentile(s.b.x,50)", 20L)) == Some(30.0)) // former gap filled
   }
+
+  test("aggregate: the generic combine covers the wider graphite method set") {
+    val s = ev("aggregate(s.*.x,\"sum\")")
+    assert(s(("sumSeries(s.*.x)", 10L)) == Some(11.0))
+    assert(s(("sumSeries(s.*.x)", 20L)) == Some(3.0))
+    val med = ev("aggregate(s.*.x,\"median\")")
+    assert(med(("medianSeries(s.*.x)", 10L)) == Some(10.0)) // upper mid of [1,10]
+    assert(med(("medianSeries(s.*.x)", 20L)) == Some(3.0))
+    val rg = ev("aggregate(s.*.x,\"range\")")
+    assert(rg(("rangeSeries(s.*.x)", 30L)) == Some(28.0))
+    assert(rg(("rangeSeries(s.*.x)", 40L)) == Some(0.0))
+    // diff = first (name order) minus the rest, None-skipping
+    val df = ev("aggregate(s.*.x,\"diff\")")
+    assert(df(("diffSeries(s.*.x)", 10L)) == Some(-9.0))
+    assert(df(("diffSeries(s.*.x)", 20L)) == Some(3.0))
+    // multiply is None-strict like multiplySeries
+    val mu = ev("aggregate(s.*.x,\"multiply\")")
+    assert(mu(("multiplySeries(s.*.x)", 20L)) == None)
+    assert(mu(("multiplySeries(s.*.x)", 30L)) == Some(60.0))
+    val sd = ev("aggregate(s.*.x,\"stddev\")")
+    assert(sd(("stddevSeries(s.*.x)", 10L)) == Some(4.5))
+    // method aliases normalize into the output name, graphite-style
+    assert(ev("aggregate(s.*.x,\"avg\")").keySet.map(_._1) ==
+      Set("averageSeries(s.*.x)"))
+    assertThrows[IllegalArgumentException](ev("aggregate(s.*.x,\"bogus\")"))
+  }
+
+  test("groupByNodes joins multiple name nodes; missing nodes drop the series") {
+    val m = ev("groupByNodes(s.*.x,\"sum\",0,2)")
+    assert(m(("s.x", 10L)) == Some(11.0) && m(("s.x", 30L)) == Some(32.0))
+    // node 3 does not exist -> every series dropped
+    assert(ev("groupByNodes(s.*.x,\"sum\",3)").isEmpty)
+  }
+
+  test("round is banker's (python3), exp and sigmoid null the overflow lane") {
+    val r = ev("round(scale(s.a.x,0.25),1)")
+    assert(r(("round(scale(s.a.x,0.25),1)", 10L)) == Some(0.2)) // bround(0.25)
+    assert(r(("round(scale(s.a.x,0.25),1)", 20L)) == Some(0.8)) // bround(0.75)
+    val e = ev("exp(scale(s.a.x,100))")
+    assert(e(("exp(scale(s.a.x,100))", 10L)).exists(v => math.abs(v - math.exp(100)) < 1e75))
+    assert(e(("exp(scale(s.a.x,100))", 40L)) == None)            // e^800 overflow
+    val g = ev("sigmoid(s.a.x)")
+    assert(g(("sigmoid(s.a.x)", 10L)).exists(v => math.abs(v - 1.0 / (1 + math.exp(-1.0))) < 1e-12))
+    assert(ev("sigmoid(scale(s.a.x,-100))")(("sigmoid(scale(s.a.x,-100))", 40L)) == None)
+  }
+
+  test("minMax normalizes per series; gaps stay gaps") {
+    val m = ev("minMax(s.*.x)")
+    assert(m(("minMax(s.a.x)", 10L)) == Some(0.0))
+    assert(m(("minMax(s.a.x)", 40L)) == Some(1.0))
+    assert(m(("minMax(s.a.x)", 20L)) == Some(2.0 / 7.0))
+    assert(m(("minMax(s.b.x)", 20L)) == None)
+    assert(m(("minMax(s.b.x)", 30L)) == Some(1.0))
+  }
+
+  test("mostDeviant selects by variance, either argument order") {
+    // var(s.a)=7.25, var(s.b)=100 -> s.b
+    assert(ev("mostDeviant(s.*.x,1)").keySet.map(_._1) == Set("s.b.x"))
+    assert(ev("mostDeviant(1,s.*.x)").keySet.map(_._1) == Set("s.b.x"))
+  }
+
+  test("removeEmptySeries drops all-gap series and honors xFilesFactor") {
+    // every value nulled -> nothing survives
+    assert(ev("removeEmptySeries(removeBelowValue(s.*.x,100))").isEmpty)
+    // xff=1.0: s.b is 2/3 non-null -> dropped, s.a 4/4 -> kept
+    assert(ev("removeEmptySeries(s.*.x,1.0)").keySet.map(_._1) == Set("s.a.x"))
+    assert(ev("removeEmptySeries(s.*.x)").keySet.map(_._1) == Set("s.a.x", "s.b.x"))
+  }
+
+  test("unique collapses duplicate series; fallbackSeries serves the backup only when empty") {
+    val u = ev("unique(group(s.a.x,s.a.x))")
+    assert(u.size == 4 && u(("s.a.x", 40L)) == Some(8.0))
+    assert(ev("fallbackSeries(s.zzz.x,s.a.x)").keySet.map(_._1) == Set("s.a.x"))
+    assert(ev("fallbackSeries(s.b.x,s.a.x)").keySet.map(_._1) == Set("s.b.x"))
+  }
+
+  test("movingMedian: trailing-window upper-mid median, null-aware") {
+    val m = ev("movingMedian(s.*.x,2)")
+    assert(m(("movingMedian(s.a.x,2)", 10L)) == Some(1.0))
+    assert(m(("movingMedian(s.a.x,2)", 20L)) == Some(3.0)) // upper mid of [1,3]
+    assert(m(("movingMedian(s.a.x,2)", 30L)) == Some(3.0))
+    assert(m(("movingMedian(s.a.x,2)", 40L)) == Some(8.0))
+    assert(m(("movingMedian(s.b.x,2)", 20L)) == Some(10.0)) // gap skipped
+  }
+
+  test("linearRegression fits per series and fills every slot") {
+    // s.b: (10,10),(30,30) -> y = x
+    val m = ev("linearRegression(s.b.x)")
+    assert(m(("linearRegression(s.b.x)", 10L)).exists(v => math.abs(v - 10) < 1e-9))
+    assert(m(("linearRegression(s.b.x)", 20L)).exists(v => math.abs(v - 20) < 1e-9)) // gap filled
+    assert(m(("linearRegression(s.b.x)", 30L)).exists(v => math.abs(v - 30) < 1e-9))
+  }
+
+  test("exponentialMovingAverage: seeded with the first window's mean, gaps hold state") {
+    val m = ev("exponentialMovingAverage(s.a.x,2)")
+    assert(m(("exponentialMovingAverage(s.a.x,2)", 10L)) == None) // warm-up
+    assert(m(("exponentialMovingAverage(s.a.x,2)", 20L)) == Some(2.0)) // seed (1+3)/2
+    assert(m(("exponentialMovingAverage(s.a.x,2)", 30L)).exists(v => math.abs(v - 2.0) < 1e-12))
+    assert(m(("exponentialMovingAverage(s.a.x,2)", 40L)).exists(v => math.abs(v - 6.0) < 1e-12))
+    val b = ev("exponentialMovingAverage(s.b.x,2)")
+    assert(b(("exponentialMovingAverage(s.b.x,2)", 20L)) == Some(10.0)) // seed skips the gap
+    assert(b(("exponentialMovingAverage(s.b.x,2)", 30L)).exists(v => math.abs(v - (2.0 / 3 * 30 + 1.0 / 3 * 10)) < 1e-9))
+  }
+
+  test("interpolate fills interior gaps linearly; limit 0 and edges stay null") {
+    val m = ev("interpolate(s.b.x)")
+    assert(m(("interpolate(s.b.x)", 20L)) == Some(20.0)) // (10+30)/2
+    assert(ev("interpolate(s.b.x,0)")(("interpolate(s.b.x,0)", 20L)) == None)
+    // leading null (from delay) is not interpolated
+    val d = ev("interpolate(delay(s.a.x,1))")
+    val lead = d.collect { case ((_, 10L), v) => v }
+    assert(lead.nonEmpty && lead.forall(_ == None))
+  }
+
+  test("smartSummarize anchors buckets at the window start (frame head when windowless)") {
+    val m = ev("smartSummarize(s.a.x,\"20s\",\"sum\")")
+    assert(m == Map(
+      ("smartSummarize(s.a.x,\"20s\",\"sum\")", 10L) -> Some(4.0),
+      ("smartSummarize(s.a.x,\"20s\",\"sum\")", 30L) -> Some(10.0)))
+  }
+
+  test("hitcount converts rates to per-bucket counts via the inferred step") {
+    val m = ev("hitcount(s.a.x,\"20s\")")
+    assert(m(("hitcount(s.a.x,\"20s\")", 10L)) == Some(40.0))  // (1+3)*10
+    assert(m(("hitcount(s.a.x,\"20s\")", 30L)) == Some(100.0)) // (2+8)*10
+    val a = ev("hitcount(s.a.x,\"20s\",\"true\")")
+    assert(a(("hitcount(s.a.x,\"20s\",\"true\")", 0L)) == Some(10.0))
+    assert(a(("hitcount(s.a.x,\"20s\",\"true\")", 20L)) == Some(50.0))
+    assert(a(("hitcount(s.a.x,\"20s\",\"true\")", 40L)) == Some(80.0))
+  }
+
+  test("timeSlice nulls values outside the slice, keeping the grid") {
+    val m = ev("timeSlice(s.a.x,15,35)")
+    assert(m(("timeSlice(s.a.x,15,35)", 10L)) == None)
+    assert(m(("timeSlice(s.a.x,15,35)", 20L)) == Some(3.0))
+    assert(m(("timeSlice(s.a.x,15,35)", 40L)) == None)
+    assert(m.size == 4)
+  }
+
+  test("consolidateBy is data-identity; the AST carries the method to serving") {
+    val m = ev("consolidateBy(s.a.x,\"max\")")
+    assert(m(("consolidateBy(s.a.x,\"max\")", 40L)) == Some(8.0))
+    assert(TargetEval.consolidationMethod(
+      TargetLang.parse("scale(consolidateBy(a.b,\"sum\"),2)")) == Some("sum"))
+    assert(TargetEval.consolidationMethod(TargetLang.parse("scale(a.b,2)")) == None)
+    assertThrows[IllegalArgumentException](ev("consolidateBy(s.a.x,\"bogus\")"))
+  }
+
+  test("synthetic sources draw on the render window; windowless is a 400") {
+    def evw(target: String): Seq[(String, Long, Option[Double])] =
+      TargetEval.evalWindowed(TargetLang.parse(target),
+          (g, _) => TargetEval.globFilter(frame, g), Some(100L),
+          window = Some((100L, 200L)))
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(evw("constantLine(4.5)").toSet ==
+      Set(("4.5", 100L, Some(4.5)), ("4.5", 150L, Some(4.5)), ("4.5", 200L, Some(4.5))))
+    assert(evw("threshold(4.5,\"limit\")").map(_._1).toSet == Set("limit"))
+    assert(evw("timeFunction(\"t\",30)").toSet ==
+      Set(("t", 100L, Some(100.0)), ("t", 130L, Some(130.0)),
+          ("t", 160L, Some(160.0)), ("t", 190L, Some(190.0))))
+    assert(evw("identity(\"i\")").map(_._2).toSet == Set(100L, 160L))
+    assertThrows[IllegalArgumentException](ev("constantLine(4.5)"))
+    assertThrows[IllegalArgumentException](ev("timeFunction(\"t\")"))
+  }
 }
