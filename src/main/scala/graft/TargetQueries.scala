@@ -315,4 +315,124 @@ object TargetQueries {
        |  SELECT 'holtWintersConfidenceLower(' || metric || ')' AS metric, ts,
        |         pred - CAST(3 AS DOUBLE) * dev AS value FROM hw)
        |ORDER BY metric, ts""".stripMargin
+
+  /** Exponential moving average through the real pipeline: window 6 slots,
+    * c = 2/7, seeded with the first window's None-skipping mean, a gap
+    * emits None with the state held. The oracle replays the recurrence as
+    * a per-series recursive CTE in the identical IEEE op order
+    * (c·v + (1−c)·ema, both factors written as the same literal division),
+    * so the compare is bit-exact on the decimal-sourced doubles — the same
+    * discipline as the Holt-Winters oracle.
+    */
+  def tsTargetEma(s: SparkSession, dir: String): DataFrame =
+    evalOver(s, dir, "exponentialMovingAverage(app.purchase.u*,6)")
+      .orderBy("metric", "ts")
+
+  val tsTargetEmaSql: String =
+    s"""WITH RECURSIVE
+       |ebase AS MATERIALIZED (
+       |  SELECT metric, ts, value FROM ($TargetBaseSql)
+       |  WHERE regexp_matches(metric, '^app\\.purchase\\.u[^.]*$$')),
+       |slots AS MATERIALIZED (
+       |  SELECT metric, ts, value,
+       |         ROW_NUMBER() OVER (PARTITION BY metric ORDER BY ts) - 1 AS i
+       |  FROM ebase),
+       |rec AS (
+       |  -- state: (shead, chead) accumulate the first-6 seed window in slot
+       |  -- order; ema is NULL until the seed lands at i = 5
+       |  SELECT metric, i, ts, value,
+       |         CASE WHEN value IS NOT NULL THEN value ELSE CAST(0 AS DOUBLE) END AS shead,
+       |         CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END AS chead,
+       |         CAST(NULL AS DOUBLE) AS ema,
+       |         CAST(NULL AS DOUBLE) AS outv
+       |  FROM slots WHERE i = 0
+       |  UNION ALL
+       |  SELECT metric, i, ts, value, shead, chead, ema,
+       |         CASE WHEN i = 5 THEN ema
+       |              WHEN i > 5 AND value IS NOT NULL THEN ema END AS outv
+       |  FROM (
+       |    SELECT s.metric, s.i, s.ts, s.value,
+       |           CASE WHEN s.i <= 5 AND s.value IS NOT NULL
+       |                THEN r.shead + s.value ELSE r.shead END AS shead,
+       |           CASE WHEN s.i <= 5 AND s.value IS NOT NULL
+       |                THEN r.chead + 1 ELSE r.chead END AS chead,
+       |           CASE
+       |             WHEN s.i < 5 THEN CAST(NULL AS DOUBLE)
+       |             WHEN s.i = 5 THEN
+       |               CASE WHEN (CASE WHEN s.value IS NOT NULL THEN r.chead + 1 ELSE r.chead END) > 0
+       |                    THEN (CASE WHEN s.value IS NOT NULL THEN r.shead + s.value ELSE r.shead END)
+       |                         / (CASE WHEN s.value IS NOT NULL THEN r.chead + 1 ELSE r.chead END)
+       |                    ELSE CAST(0 AS DOUBLE) END
+       |             WHEN s.value IS NULL THEN r.ema
+       |             ELSE (CAST(2 AS DOUBLE) / 7) * s.value
+       |                  + (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) / 7) * r.ema
+       |           END AS ema
+       |    FROM rec r JOIN slots s ON s.metric = r.metric AND s.i = r.i + 1))
+       |SELECT 'exponentialMovingAverage(' || metric || ',6)' AS metric, ts,
+       |       outv AS value
+       |FROM rec ORDER BY metric, ts""".stripMargin
+
+  /** The round's new transform families chained end-to-end: smartSummarize
+    * (2h buckets anchored at the frame head, exact decimal sums) →
+    * removeBelowValue (interior gaps) → interpolate (linear fill between
+    * the surviving neighbors) → minMax (per-series [0,1] normalization).
+    * Every float op after the exact sums is a fixed-order correctly-
+    * rounded IEEE expression mirrored verbatim in the SQL, so the hash
+    * compare needs no tolerance.
+    */
+  def tsTargetMix(s: SparkSession, dir: String): DataFrame =
+    evalOver(s, dir,
+      "minMax(interpolate(removeBelowValue(smartSummarize(app.{click,view}.u*,\"2h\",\"sum\"),100)))")
+      .orderBy("metric", "ts")
+
+  val tsTargetMixSql: String =
+    s"""WITH
+       |mbase AS MATERIALIZED (
+       |  SELECT metric, ts, value FROM ($TargetBaseSql)
+       |  WHERE regexp_matches(metric, '^app\\.(?:click|view)\\.u[^.]*$$')),
+       |sm AS (
+       |  SELECT metric,
+       |         ts - ((ts - (SELECT MIN(ts) FROM mbase)) % 7200) AS ts,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |  FROM mbase GROUP BY 1, 2),
+       |rb AS (
+       |  SELECT metric, ts,
+       |         CASE WHEN value >= 100 THEN value END AS value
+       |  FROM sm),
+       |ix AS (
+       |  SELECT metric, ts, value,
+       |         ROW_NUMBER() OVER (PARTITION BY metric ORDER BY ts) AS rn
+       |  FROM rb),
+       |nb AS (
+       |  SELECT metric, ts, value, rn,
+       |         LAST_VALUE(CASE WHEN value IS NOT NULL THEN rn END IGNORE NULLS)
+       |           OVER (PARTITION BY metric ORDER BY ts
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prn,
+       |         LAST_VALUE(value IGNORE NULLS)
+       |           OVER (PARTITION BY metric ORDER BY ts
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+       |         FIRST_VALUE(CASE WHEN value IS NOT NULL THEN rn END IGNORE NULLS)
+       |           OVER (PARTITION BY metric ORDER BY ts
+       |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nrn,
+       |         FIRST_VALUE(value IGNORE NULLS)
+       |           OVER (PARTITION BY metric ORDER BY ts
+       |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+       |  FROM ix),
+       |itp AS (
+       |  SELECT metric, ts,
+       |         CASE WHEN value IS NOT NULL THEN value
+       |              WHEN pv IS NOT NULL AND nv IS NOT NULL
+       |              THEN pv + ((nv - pv) * (rn - prn)) / (nrn - prn) END AS value
+       |  FROM nb),
+       |mm AS (
+       |  SELECT metric, ts, value,
+       |         MIN(value) OVER (PARTITION BY metric) AS lo,
+       |         MAX(value) OVER (PARTITION BY metric) AS hi
+       |  FROM itp)
+       |SELECT 'minMax(interpolate(removeBelowValue(smartSummarize(' || metric ||
+       |       ',"2h","sum"),100)))' AS metric, ts,
+       |       CASE WHEN value IS NOT NULL THEN
+       |         CASE WHEN hi > lo THEN (value - lo) / (hi - lo)
+       |              ELSE CAST(0 AS DOUBLE) END END AS value
+       |FROM mm ORDER BY metric, ts""".stripMargin
 }
