@@ -196,6 +196,58 @@ object TargetEval {
     aggFor(method, col("value"), col("ts"))
   }
 
+  /** graphite's full aggFuncs method set as ONE aggregation column over
+    * (value, ts) rows — the [[aggFor]] core plus median / range / stddev /
+    * diff / multiply — shared by `aggregate`, `aggregateWithWildcards`,
+    * `filterSeries`, and `highest`/`lowest` so the generic functions can
+    * never diverge from the named ones. diff is safeDiff (first value in
+    * name order minus the None-skipping rest = 2·v₀ − Σ, exact decimal);
+    * multiply is None-strict.
+    */
+  private def statFor(method0: String): Column = {
+    val m = method0.stripSuffix("Series") match {
+      case "avg" | "average" => "average"
+      case "total"           => "sum"
+      case "current"         => "last"
+      case "rangeOf"         => "range"
+      case "maximum"         => "max"
+      case "minimum"         => "min"
+      case other             => other
+    }
+    m match {
+      case "average" | "sum" | "min" | "max" | "count" | "last" =>
+        aggFor(if (m == "average") "avg" else m, col("value"), col("ts"))
+      case "median" =>
+        rankPercentile(sort_array(collect_list(col("value"))), 50.0)
+      case "range"  => max(col("value")) - min(col("value"))
+      case "stddev" => stddev_pop(col("value"))
+      case "diff" =>
+        (lit(2) * min(when(col("value").isNotNull,
+            struct(col("metric"), dec(col("value")).as("v")))).getField("v")
+          - sum(dec(col("value")))).cast("double")
+      case "multiply" =>
+        when(sum(when(col("value").isNull, 1).otherwise(0)) === 0,
+          aggregate(sort_array(collect_list(col("value"))), lit(1.0),
+            (acc, x) => acc * x))
+      case other => fail(s"unknown aggregation method '$other'")
+    }
+  }
+
+  /** The normalized method name [[statFor]] resolves `method0` to — the
+    * graphite output-naming convention (`aggregate(x,"avg")` emits
+    * `averageSeries(x)`).
+    */
+  private def statName(method0: String): String =
+    method0.stripSuffix("Series") match {
+      case "avg" | "average" => "average"
+      case "total"           => "sum"
+      case "current"         => "last"
+      case "rangeOf"         => "range"
+      case "maximum"         => "max"
+      case "minimum"         => "min"
+      case other             => other
+    }
+
   /** Graphite's non-interpolating rank percentile over a sorted value
     * array: rank = ceil(p/100 * (n+1)) clamped to [1, n]; empty -> null.
     */
@@ -360,21 +412,26 @@ object TargetEval {
         prim.crossJoin(probe).where(col("__pc") > 0).drop("__pc")
           .unionByName(fb.crossJoin(probe).where(col("__pc") === 0).drop("__pc"))
 
-      case "sumSeriesWithWildcards" | "averageSeriesWithWildcards" =>
+      case "sumSeriesWithWildcards" | "averageSeriesWithWildcards"
+         | "aggregateWithWildcards" =>
         // strip the named name nodes, then aggregate series that collapse
         // to the same stripped name — groupByNode's generalization; the
-        // index-aware filter keeps this one groupBy, no UDF
-        atLeast(2)
-        val drop = args.tail.map(int)
+        // index-aware filter keeps this one groupBy, no UDF. The generic
+        // form takes the method as arg 1 (graphite's full aggFuncs set);
+        // the named forms pin sum/avg.
+        val generic = name == "aggregateWithWildcards"
+        atLeast(if (generic) 3 else 2)
+        val method = if (generic) str(args(1)) else if (name.startsWith("sum")) "sum" else "avg"
+        val drop = (if (generic) args.drop(2) else args.tail).map(int)
         drop.foreach(i => require(i >= 0, s"$name node index must be >= 0, got $i"))
         val dropArr = array(drop.map(lit(_)): _*)
         val parts = split(col("metric"), "\\.")
         val stripped = array_join(
           filter(parts, (_, i) => !array_contains(dropArr, i.cast("int"))), ".")
-        val method = if (name.startsWith("sum")) "sum" else "avg"
         sl0.withColumn("__name", stripped)
           .groupBy(col("__name"), col("ts"))
-          .agg(aggFor(method, col("value"), col("ts")).as("value"))
+          .agg((if (generic) statFor(method)
+                else aggFor(method, col("value"), col("ts"))).as("value"))
           .select(col("__name").as("metric"), col("ts"),
             col("value").cast("double").as("value"))
 
@@ -430,6 +487,59 @@ object TargetEval {
             // graphite: division by zero (or a missing divisor point) is None
             when(col("value").isNotNull && col("__dv").isNotNull && col("__dv") =!= 0.0,
               col("value") / col("__dv")).cast("double").as("value"))
+
+      case "divideSeriesLists" | "diffSeriesLists"
+         | "multiplySeriesLists" | "powSeriesLists" =>
+        // pairwise combine of two equal-length series lists, zipped in
+        // name order (a frame has no list order; graphite zips fetch
+        // order). The rank assignment sorts each side's DISTINCT-name
+        // frame — bounded by series count, not points — in one partition;
+        // fine for the realistic few-to-thousands-of-series use, and the
+        // length check is two 1-row aggregates (bounded probes, the
+        // divideSeries cost class). Mismatched lengths are a client error
+        // as in graphite.
+        arity(2)
+        val left = sl0
+        val right = series(args(1))
+        def rankOf(df: DataFrame): DataFrame =
+          df.select(col("metric")).distinct()
+            .withColumn("__rank",
+              row_number().over(Window.orderBy(col("metric"))))
+        val lr = rankOf(left); val rr = rankOf(right)
+        val Array(ln, rn2) = Array(lr, rr).map(
+          _.agg(count(lit(1))).collect()(0).getLong(0))
+        if (ln != rn2)
+          fail(s"$name: lists must be the same length, got $ln vs $rn2")
+        // pair names ride a broadcast rank->names frame so a slot present
+        // on only one side still knows its pair name (value None)
+        val pairs = lr.select(col("__rank"), col("metric").as("__lm"))
+          .join(rr.select(col("__rank"), col("metric").as("__rm")), Seq("__rank"))
+        val ldata = left.join(broadcast(lr), Seq("metric"))
+          .select(col("__rank"), col("ts"), col("value"))
+        val rdata = right.join(broadcast(rr), Seq("metric"))
+          .select(col("__rank"), col("ts"), col("value").as("__rv"))
+        val opName = name.stripSuffix("Lists")
+        val v = name match {
+          case "divideSeriesLists" =>
+            when(col("value").isNotNull && col("__rv").isNotNull && col("__rv") =!= 0.0,
+              col("value") / col("__rv"))
+          case "diffSeriesLists" =>
+            when(col("value").isNotNull && col("__rv").isNotNull,
+              col("value") - col("__rv"))
+          case "multiplySeriesLists" =>
+            when(col("value").isNotNull && col("__rv").isNotNull,
+              col("value") * col("__rv"))
+          case "powSeriesLists" =>
+            val r = pow(col("value"), col("__rv"))
+            when(col("value").isNotNull && col("__rv").isNotNull && !isnan(r) &&
+              r =!= Double.PositiveInfinity && r =!= Double.NegativeInfinity, r)
+        }
+        ldata.join(rdata, Seq("__rank", "ts"), "full_outer")
+          .join(broadcast(pairs), Seq("__rank"))
+          .select(
+            concat(lit(opName + "("), col("__lm"), lit(","), col("__rm"), lit(")"))
+              .as("metric"),
+            col("ts"), v.cast("double").as("value"))
 
       case "diffSeries" =>
         atLeast(2)
@@ -520,39 +630,11 @@ object TargetEval {
         // 2·v₀ − Σ in the exact decimal lane. multiply is None-strict like
         // multiplySeries. median reuses the non-interpolating rank.
         arity(2)
-        val m0 = str(args(1)).stripSuffix("Series") match {
-          case "avg" | "average" => "average"
-          case "total"           => "sum"
-          case "current"         => "last"
-          case "rangeOf"         => "range"
-          case other             => other
-        }
-        val g = sl0.groupBy(col("ts"))
-        val agged = m0 match {
-          case "average" | "sum" | "min" | "max" | "count" | "last" =>
-            val m = if (m0 == "average") "avg" else m0
-            g.agg(aggFor(m, col("value"), col("ts")).as("value"))
-          case "median" =>
-            g.agg(rankPercentile(sort_array(collect_list(col("value"))), 50.0)
-              .as("value"))
-          case "range" =>
-            g.agg((max(col("value")) - min(col("value"))).as("value"))
-          case "stddev" =>
-            g.agg(stddev_pop(col("value")).as("value"))
-          case "diff" =>
-            g.agg((lit(2) * min(when(col("value").isNotNull,
-                struct(col("metric"), dec(col("value")).as("v")))).getField("v")
-              - sum(dec(col("value")))).cast("double").as("value"))
-          case "multiply" =>
-            g.agg(
-              when(sum(when(col("value").isNull, 1).otherwise(0)) === 0,
-                aggregate(sort_array(collect_list(col("value"))), lit(1.0),
-                  (acc, x) => acc * x)).as("value"))
-          case other => fail(s"aggregate: unknown method '$other'")
-        }
+        val m0 = str(args(1))
         renamed(
-          agged.select(col("ts"), col("value").cast("double").as("value")),
-          s"${m0}Series(${args.head.canonical})")
+          sl0.groupBy(col("ts")).agg(statFor(m0).as("value"))
+            .select(col("ts"), col("value").cast("double").as("value")),
+          s"${statName(m0)}Series(${args.head.canonical})")
 
       // -- transform: per-point scalar maps -------------------------------
       case "scale"            => arity(2); wrapped(mapValue(sl0, _ * lit(num(args(1)))), call)
@@ -601,6 +683,13 @@ object TargetEval {
           val e = exp(-v)
           when(e =!= Double.PositiveInfinity, lit(1.0) / (lit(1.0) + e))
         }), call)
+      case "logit" =>
+        // ln(x / (1-x)); outside the open unit interval the log/division
+        // domain errors are None, graphite's safe wrappers
+        arity(1)
+        wrapped(mapValue(sl0, v =>
+          when(v > 0.0 && v < 1.0, log(v / (lit(1.0) - v)))), call)
+
       case "minMax" =>
         // normalize each series to [0,1] by its own min/max; a flat series
         // maps to 0 (graphite's range==0 branch). Whole-partition windows
@@ -1208,6 +1297,43 @@ object TargetEval {
           .where(keep).select(col("metric"))
         sl.join(broadcast(winners), Seq("metric"), "left_semi")
 
+      case "filterSeries" =>
+        // the generic form the eight named filters route through in
+        // modern graphite-web: filterSeries(list, func, operator, n) with
+        // the full aggFuncs method set and all six comparison operators
+        arity(4)
+        val func = str(args(1)); val op = str(args(2)); val n = num(args(3))
+        val sl = sl0
+        val keep = op match {
+          case ">"  => col("__stat") > lit(n)
+          case ">=" => col("__stat") >= lit(n)
+          case "<"  => col("__stat") < lit(n)
+          case "<=" => col("__stat") <= lit(n)
+          case "="  => col("__stat") === lit(n)
+          case "!=" => col("__stat") =!= lit(n)
+          case other => fail(s"filterSeries: unknown operator '$other'")
+        }
+        val winners = sl.groupBy(col("metric")).agg(statFor(func).as("__stat"))
+          .where(keep).select(col("metric"))
+        sl.join(broadcast(winners), Seq("metric"), "left_semi")
+
+      case "highest" | "lowest" =>
+        // generic top/bottom-k by any aggFuncs statistic — the modern
+        // parent of highestAverage/lowestCurrent; defaults n=1,
+        // func=average as in graphite
+        atLeast(1)
+        if (args.length > 3) fail(s"$name expects 1-3 arguments, got ${args.length}")
+        val k = if (args.length >= 2) int(args(1)) else 1
+        require(k >= 0, s"$name n must be >= 0, got $k")
+        val func = if (args.length == 3) str(args(2)) else "average"
+        val sl = sl0
+        val ranked = sl.groupBy(col("metric")).agg(statFor(func).as("__stat"))
+        val order =
+          if (name == "lowest") Seq(col("__stat").asc_nulls_last, col("metric").asc)
+          else Seq(col("__stat").desc_nulls_last, col("metric").asc)
+        val winners = ranked.orderBy(order: _*).limit(k).select(col("metric"))
+        sl.join(broadcast(winners), Seq("metric"), "left_semi")
+
       // -- select: top/bottom k series by a per-series statistic ----------
       case "highestAverage" | "highestMax" | "highestCurrent"
          | "lowestAverage" | "lowestCurrent" =>
@@ -1347,6 +1473,53 @@ object TargetEval {
           .select(col("metric"), col("ts"),
             col("__pct").cast("double").as("value")), call)
 
+      // -- template re-evaluation: per-group / renamed re-fetch -----------
+      // Both materialize a bounded NAME list on the driver (never point
+      // data) and re-enter the evaluator per name — exactly graphite's own
+      // evaluation shape for these two; the 512-name cap keeps the loop a
+      // serving-tier cost, loudly, instead of an accidental 2M-plan fanout.
+      case "applyByNode" =>
+        // applyByNode(list, nodeNum, "template(%)"[, "newName(%)"]):
+        // evaluate the template once per distinct node prefix, '%'
+        // replaced by the prefix (servers.*.disk -> one template eval per
+        // servers.sN)
+        atLeast(3)
+        if (args.length > 4) fail(s"applyByNode expects 3-4 arguments, got ${args.length}")
+        val nodeNum = int(args(1))
+        require(nodeNum >= 0, s"applyByNode node must be >= 0, got $nodeNum")
+        val template = str(args(2))
+        val newName = args.lift(3).map(str)
+        val prefixes = sl0
+          .select(array_join(slice(split(col("metric"), "\\."), 1, nodeNum + 1), "."))
+          .distinct().limit(513).collect().map(_.getString(0)).sorted
+        if (prefixes.length > 512)
+          fail("applyByNode: > 512 node prefixes; narrow the glob")
+        if (prefixes.isEmpty) sl0.limit(0)
+        else prefixes.map { p =>
+          val sub = evalWindowed(
+            TargetLang.parse(template.replace("%", p)),
+            wfetch, cropFrom, extraHistory, window)
+          newName.fold(sub)(n => renamed(sub, n.replace("%", p)))
+        }.reduce(_ unionByName _)
+
+      case "useSeriesAbove" =>
+        // useSeriesAbove(list, value, "search", "replace"): for series
+        // whose max clears the bar, fetch the search->replace renamed
+        // sibling metric (the disk.bytes_free -> disk.bytes_used idiom)
+        arity(4)
+        val bar = num(args(1))
+        val search = str(args(2)); val replace = str(args(3))
+        val winners = sl0.groupBy(col("metric"))
+          .agg(max(col("value")).as("__mx"))
+          .where(col("__mx") > lit(bar))
+          .select(col("metric")).limit(513).collect().map(_.getString(0)).sorted
+        if (winners.length > 512)
+          fail("useSeriesAbove: > 512 matching series; narrow the glob or raise the bar")
+        if (winners.isEmpty) sl0.limit(0)
+        else winners.map { m =>
+          fetch(m.replaceAll(search, replace))
+        }.reduce(_ unionByName _)
+
       // -- synthetic sources: series drawn from the render window ---------
       // These fetch nothing — the time axis IS the render window, so they
       // exist only on the windowed serving path; the windowless judged
@@ -1369,6 +1542,26 @@ object TargetEval {
         import ss.implicits._
         Seq(f, (f + u) / 2, u).distinct.map(t => (label, t, v))
           .toDF("metric", "ts", "value")
+
+      case "sinFunction" =>
+        // sin(ts)·amplitude on the window grid — the deterministic test
+        // source (randomWalkFunction is deliberately absent: an engine
+        // whose results must hash-match an oracle has no business emitting
+        // nondeterminism)
+        atLeast(1)
+        if (args.length > 3) fail(s"sinFunction expects 1-3 arguments, got ${args.length}")
+        val label = str(args.head)
+        val amp = if (args.length >= 2) num(args(1)) else 1.0
+        val step = if (args.length == 3) int(args(2)).toLong else 60L
+        require(step > 0, s"sinFunction step must be > 0, got $step")
+        val (f, u) = window.getOrElse(fail(
+          s"$name needs a render window (serving path only)"))
+        val ss = org.apache.spark.sql.SparkSession.active
+        ss.range(0L, (u - f) / step + 1)
+          .select(lit(label).as("metric"),
+            (lit(f) + col("id") * step).as("ts"),
+            (sin((lit(f) + col("id") * step).cast("double")) * amp)
+              .cast("double").as("value"))
 
       case "timeFunction" | "time" | "identity" =>
         // time(name[, step=60]) / identity(name): value == its own epoch

@@ -749,6 +749,67 @@ class TargetSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ev("consolidateBy(s.a.x,\"bogus\")"))
   }
 
+  test("filterSeries: the generic filter covers all operators and the wide method set") {
+    // totals: s.a = 14, s.b = 40
+    assert(ev("filterSeries(s.*.x,\"sum\",\">\",20)").keySet.map(_._1) == Set("s.b.x"))
+    assert(ev("filterSeries(s.*.x,\"sum\",\"<=\",14)").keySet.map(_._1) == Set("s.a.x"))
+    assert(ev("filterSeries(s.*.x,\"max\",\"=\",8)").keySet.map(_._1) == Set("s.a.x"))
+    assert(ev("filterSeries(s.*.x,\"max\",\"!=\",8)").keySet.map(_._1) == Set("s.b.x"))
+    // median: s.a -> 3 (upper mid of [1,2,3,8]), s.b -> 30
+    assert(ev("filterSeries(s.*.x,\"median\",\">=\",30)").keySet.map(_._1) == Set("s.b.x"))
+    assertThrows[IllegalArgumentException](ev("filterSeries(s.*.x,\"sum\",\"~\",1)"))
+  }
+
+  test("highest / lowest: generic top-k with graphite defaults") {
+    assert(ev("highest(s.*.x)").keySet.map(_._1) == Set("s.b.x"))      // avg 20 > 3.5
+    assert(ev("lowest(s.*.x,1,\"max\")").keySet.map(_._1) == Set("s.a.x"))
+    assert(ev("highest(s.*.x,2)").keySet.map(_._1) == Set("s.a.x", "s.b.x"))
+  }
+
+  test("aggregateWithWildcards generalizes the wildcard combines") {
+    val m = ev("aggregateWithWildcards(s.*.x,\"max\",1)")
+    assert(m(("s.x", 10L)) == Some(10.0) && m(("s.x", 40L)) == Some(8.0))
+    // pins against the named form's collapse shape
+    val s = ev("sumSeriesWithWildcards(s.*.x,1)")
+    assert(s(("s.x", 10L)) == Some(11.0))
+  }
+
+  test("seriesLists family zips in name order and checks lengths") {
+    val m = ev("diffSeriesLists(s.a.x,s.b.x)")
+    assert(m(("diffSeries(s.a.x,s.b.x)", 10L)) == Some(-9.0))
+    assert(m(("diffSeries(s.a.x,s.b.x)", 20L)) == None) // right gap
+    assert(m(("diffSeries(s.a.x,s.b.x)", 40L)) == None) // right slot missing
+    val d = ev("divideSeriesLists(s.b.x,s.a.x)")
+    assert(d(("divideSeries(s.b.x,s.a.x)", 10L)) == Some(10.0))
+    val p = ev("multiplySeriesLists(s.a.x,s.a.x)")
+    assert(p(("multiplySeries(s.a.x,s.a.x)", 40L)) == Some(64.0))
+    assertThrows[IllegalArgumentException](ev("diffSeriesLists(s.*.x,s.a.x)"))
+  }
+
+  test("logit maps the unit interval, Nones the domain errors") {
+    // scale 0.2: values 0.2, 0.6, 0.4, 1.6 — the last is out of (0,1)
+    val m = ev("logit(scale(s.a.x,0.2))")
+    assert(m(("logit(scale(s.a.x,0.2))", 10L))
+      .exists(v => math.abs(v - math.log(0.2 / 0.8)) < 1e-9))
+    assert(m(("logit(scale(s.a.x,0.2))", 40L)) == None)
+  }
+
+  test("applyByNode re-evaluates the template per node prefix") {
+    val m = ev("applyByNode(s.*.x,1,\"sumSeries(%.x)\")")
+    // prefixes s.a and s.b -> sumSeries over each single series
+    assert(m(("sumSeries(s.a.x)", 40L)) == Some(8.0))
+    assert(m(("sumSeries(s.b.x)", 30L)) == Some(30.0))
+    val n = ev("applyByNode(s.*.x,1,\"sumSeries(%.x)\",\"pfx.%\")")
+    assert(n(("pfx.s.a", 10L)) == Some(1.0))
+  }
+
+  test("useSeriesAbove fetches the renamed siblings of series clearing the bar") {
+    // only s.b (max 30) clears 20; replace b -> a fetches s.a.x
+    val m = ev("useSeriesAbove(s.*.x,20,\"b\",\"a\")")
+    assert(m.keySet.map(_._1) == Set("s.a.x") && m(("s.a.x", 40L)) == Some(8.0))
+    assert(ev("useSeriesAbove(s.*.x,100,\"b\",\"a\")").isEmpty)
+  }
+
   test("synthetic sources draw on the render window; windowless is a 400") {
     def evw(target: String): Seq[(String, Long, Option[Double])] =
       TargetEval.evalWindowed(TargetLang.parse(target),
