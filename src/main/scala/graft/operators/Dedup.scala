@@ -231,16 +231,41 @@ object Dedup {
     // Catalyst re-analysis of the stacked plan goes super-linear).
     val init = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
-    val out = (1 to iters).foldLeft(init) { (labels, _) =>
-      ccRound(edges, labels).localCheckpoint()
+    // Adaptive rounds: `iters` is the DIAMETER BUDGET, not a fixed count —
+    // the loop stops at the first round that changes nothing, and that
+    // unchanged round IS the convergence proof (stability under a
+    // neighbor-min pass makes labels constant per component and equal to
+    // the component minimum, so the output is bit-identical to `iters`
+    // unrolled rounds whenever both converge — the oracle's fixed-round
+    // formulation included). Near-dup components are band-clique-shaped
+    // (diameter ~2): 3 rounds run where the fixed version always paid the
+    // full budget plus a separate probe. The per-round change probe is a
+    // limit-1 count over the two bounded, checkpointed label frames —
+    // noise next to the edge-table round it can save.
+    var out = init
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < iters) {
+      val t0 = System.nanoTime()
+      val next = ccRound(edges, out).localCheckpoint()
+      val t1 = System.nanoTime()
+      converged = next.as("nx").join(out.as("cur"), "node")
+        .where(col("nx.label") =!= col("cur.label")).limit(1).count() == 0
+      val t2 = System.nanoTime()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"CCDEBUG round=$rounds ccRound=${(t1-t0)/1e9}%.2f cmp=${(t2-t1)/1e9}%.2f converged=$converged")
+      out = next
+      rounds += 1
     }
-    if (checkConverged) {
-      // rounds needed = component diameter; a chain-shaped component longer
-      // than `iters` silently splits without this probe
+    if (checkConverged && !converged) {
+      // the budget's final round still moved labels: one probe round
+      // decides (a diameter-exactly-`iters` graph is converged NOW); a
+      // chain-shaped component whose diameter exceeds the budget fails
+      // loudly here instead of silently splitting
       val changed = ccRound(edges, out).as("nx").join(out.as("cur"), "node")
         .where(col("nx.label") =!= col("cur.label")).count()
       require(changed == 0,
-        s"clusterLabels: $changed labels still changing after $iters rounds " +
+        s"clusterLabels: $changed labels still changing after $rounds rounds " +
           "— a component's diameter exceeds the round budget; raise iters")
     }
     out
