@@ -114,6 +114,7 @@ object TargetEval {
     */
   def consolidationMethod(expr: TExpr): Option[String] = expr match {
     case TCall("consolidateBy", _ :: TStr(m) :: Nil) => Some(m)
+    case TCall("cumulative", _) => Some("sum")
     case TCall(_, args) => args.iterator.flatMap(consolidationMethod).nextOption()
     case _ => None
   }
@@ -358,6 +359,29 @@ object TargetEval {
           .select(lit(call.canonical).as("metric"), col("ts"),
             when(col("__nulls") === 0, col("__prod")).cast("double").as("value"))
 
+      case "powSeries" =>
+        // left-fold pow across the series at each slot, in name order (a
+        // frame's stand-in for graphite's list order), None-strict like
+        // safePow over a row with a gap. The per-ts array is bounded by
+        // series fan-in, as in multiplySeries.
+        atLeast(1)
+        val all = args.map(series(_)).reduce(_ unionByName _)
+        all.groupBy(col("ts"))
+          .agg(
+            sum(when(col("value").isNull, 1).otherwise(0)).as("__nulls"),
+            sort_array(collect_list(struct(col("metric"), col("value"))))
+              .as("__ordered"))
+          .select(lit(call.canonical).as("metric"), col("ts"),
+            when(col("__nulls") === 0 && size(col("__ordered")) > 0,
+              aggregate(
+                expr("slice(__ordered, 2, size(__ordered))"),
+                element_at(col("__ordered"), 1).getField("value"),
+                (acc, x) => {
+                  val r = pow(acc, x.getField("value"))
+                  when(!isnan(r) && r =!= Double.PositiveInfinity &&
+                    r =!= Double.NegativeInfinity, r)
+                })).cast("double").as("value"))
+
       case "percentileOfSeries" =>
         // one synthesized series: graphite's non-interpolating rank
         // percentile (rank = ceil(p/100 * (n+1)), clamped to [1, n]) over
@@ -541,6 +565,38 @@ object TargetEval {
               .as("metric"),
             col("ts"), v.cast("double").as("value"))
 
+      case "aggregateSeriesLists" =>
+        // generic pairwise combine of two zipped lists (the modern parent
+        // of divide/diff/multiplySeriesLists): each name-order pair is
+        // aggregated as a 2-series group with the full method set — the
+        // union of the paired rows keyed by rank lets statFor do the work,
+        // so the pairwise semantics (None-skipping sums, strict multiply)
+        // are exactly the N-series ones.
+        arity(3)
+        val m0 = str(args(2))
+        val la = sl0
+        val ra = series(args(1))
+        def rankOf2(df: DataFrame): DataFrame =
+          df.select(col("metric")).distinct()
+            .withColumn("__rank",
+              row_number().over(Window.orderBy(col("metric"))))
+        val lr2 = rankOf2(la); val rr2 = rankOf2(ra)
+        val Array(lc, rc) = Array(lr2, rr2).map(
+          _.agg(count(lit(1))).collect()(0).getLong(0))
+        if (lc != rc)
+          fail(s"aggregateSeriesLists: lists must be the same length, got $lc vs $rc")
+        val pairNames = lr2.select(col("__rank"), col("metric").as("__lm"))
+          .join(rr2.select(col("__rank"), col("metric").as("__rm")), Seq("__rank"))
+        la.join(broadcast(lr2), Seq("metric"))
+          .unionByName(ra.join(broadcast(rr2), Seq("metric")))
+          .groupBy(col("__rank"), col("ts"))
+          .agg(statFor(m0).as("value"))
+          .join(broadcast(pairNames), Seq("__rank"))
+          .select(
+            concat(lit(statName(m0) + "Series("), col("__lm"), lit(","),
+              col("__rm"), lit(")")).as("metric"),
+            col("ts"), col("value").cast("double").as("value"))
+
       case "diffSeries" =>
         atLeast(2)
         val minuend = sl0
@@ -638,7 +694,7 @@ object TargetEval {
 
       // -- transform: per-point scalar maps -------------------------------
       case "scale"            => arity(2); wrapped(mapValue(sl0, _ * lit(num(args(1)))), call)
-      case "offset"           => arity(2); wrapped(mapValue(sl0, _ + lit(num(args(1)))), call)
+      case "offset" | "add"   => arity(2); wrapped(mapValue(sl0, _ + lit(num(args(1)))), call)
       case "absolute"         => arity(1); wrapped(mapValue(sl0, abs(_)), call)
       case "invert" =>
         // graphite: 1/x via safeDiv — division by zero is None
@@ -803,6 +859,47 @@ object TargetEval {
           case "movingMin" => min(col("value")).over(w)
         }
         wrapped(sl0.select(col("metric"), col("ts"), out.as("value")), call)
+
+      case "movingWindow" =>
+        // the generic parent of the moving* family: movingWindow(list, n[,
+        // func]) with the median included; same trailing-slots window and
+        // null-awareness as the named forms
+        atLeast(2)
+        if (args.length > 3) fail(s"movingWindow expects 2-3 arguments, got ${args.length}")
+        val n = int(args(1))
+        require(n > 0, s"movingWindow window must be > 0 slots, got $n")
+        val func = if (args.length == 3) statName(str(args(2))) else "average"
+        val w = perSeries.rowsBetween(-(n - 1).toLong, Window.currentRow)
+        val out = func match {
+          case "average" =>
+            sum(dec(col("value"))).over(w).cast("double") / count(col("value")).over(w)
+          case "sum"    => sum(dec(col("value"))).over(w).cast("double")
+          case "max"    => max(col("value")).over(w)
+          case "min"    => min(col("value")).over(w)
+          case "median" =>
+            rankPercentile(sort_array(collect_list(col("value")).over(w)), 50.0)
+          case "stddev" => stddev_pop(col("value")).over(w)
+          case "range"  => max(col("value")).over(w) - min(col("value")).over(w)
+          case "count"  => count(col("value")).over(w).cast("double")
+          case other    => fail(s"movingWindow: unsupported method '$other'")
+        }
+        wrapped(sl0.select(col("metric"), col("ts"),
+          out.cast("double").as("value")), call)
+
+      case "aggregateLine" =>
+        // each series flattened to its own statistic at every slot (the
+        // nPercentile shape, generalized to the full method set). Graphite
+        // draws 3 window-edge points and embeds the value in the name;
+        // here the data level fills the series' own slots and the name is
+        // the call text — the drawn line is the same.
+        atLeast(1)
+        if (args.length > 2) fail(s"aggregateLine expects 1-2 arguments, got ${args.length}")
+        val func = if (args.length == 2) str(args(1)) else "average"
+        val sl = sl0
+        val stats = sl.groupBy(col("metric")).agg(statFor(func).as("__line"))
+        wrapped(sl.join(broadcast(stats), Seq("metric"))
+          .select(col("metric"), col("ts"),
+            col("__line").cast("double").as("value")), call)
 
       case "movingMedian" =>
         // graphite's median — sorted[len//2], the upper mid — over the
@@ -1133,6 +1230,13 @@ object TargetEval {
           case "current" => "last"
           case x         => x
         }, col("value"), col("ts"))  // validate the method eagerly (400, not 500)
+        wrapped(sl0, call)
+
+      case "cumulative" =>
+        // graphite's alias for consolidateBy(series,"sum"):
+        // data-identity, consolidation method carried on the AST (see
+        // [[consolidationMethod]])
+        arity(1)
         wrapped(sl0, call)
 
       case "timeShift" =>
@@ -1472,6 +1576,82 @@ object TargetEval {
         wrapped(withSeriesPercentile(sl0, p)
           .select(col("metric"), col("ts"),
             col("__pct").cast("double").as("value")), call)
+
+      case "mapSeries" =>
+        // mapSeries(list, *mapNodes) groups series for a downstream
+        // reduceSeries; a frame carries the grouping in the names
+        // themselves, so the data level is identity — reduceSeries
+        // re-derives the groups from the name nodes
+        atLeast(2)
+        args.tail.foreach(int) // validate node indexes (400, not 500)
+        sl0
+
+      case "reduceSeries" =>
+        // reduceSeries(mapSeries(...), "fn", reduceNode, "m1", "m2", ...):
+        // series sharing the first `reduceNode` name nodes reduce
+        // together, each matcher naming the role its series plays; output
+        // named nodes[0:reduceNode] + ".reduce." + fn, graphite's exact
+        // key. One conditional-aggregation groupBy — fully distributed,
+        // no per-group re-evaluation loop.
+        atLeast(4)
+        val fn = str(args(1))
+        val rNode = int(args(2))
+        require(rNode >= 1, s"reduceSeries reduceNode must be >= 1, got $rNode")
+        val matchers = args.drop(3).map(str)
+        val parts = split(col("metric"), "\\.")
+        val key = array_join(slice(parts, 1, rNode), ".")
+        val nodeV = get(parts, lit(rNode))
+        val matched = sl0
+          .where(size(parts) > rNode && nodeV.isin(matchers: _*))
+          .withColumn("__key", key).withColumn("__node", nodeV)
+        def role(i: Int): Column =
+          max(when(col("__node") === matchers(i), col("value")))
+        val reduced = fn match {
+          case "sumSeries" | "averageSeries" =>
+            matched.groupBy(col("__key"), col("ts"))
+              .agg(aggFor(if (fn == "sumSeries") "sum" else "avg",
+                col("value"), col("ts")).as("value"))
+          case "diffSeries" | "divideSeries" | "asPercent" =>
+            if (matchers.length != 2)
+              fail(s"reduceSeries: $fn takes exactly 2 matchers, got ${matchers.length}")
+            val v = fn match {
+              case "diffSeries" =>
+                when(role(0).isNotNull && role(1).isNotNull, role(0) - role(1))
+              case "divideSeries" =>
+                when(role(0).isNotNull && role(1).isNotNull && role(1) =!= 0.0,
+                  role(0) / role(1))
+              case "asPercent" =>
+                when(role(0).isNotNull && role(1).isNotNull && role(1) =!= 0.0,
+                  role(0) / role(1) * lit(100.0))
+            }
+            matched.groupBy(col("__key"), col("ts")).agg(v.as("value"))
+          case other =>
+            fail(s"reduceSeries: unsupported reduce function '$other' " +
+              "(sumSeries, averageSeries, diffSeries, divideSeries, asPercent)")
+        }
+        reduced.select(
+          concat(col("__key"), lit(".reduce." + fn)).as("metric"),
+          col("ts"), col("value").cast("double").as("value"))
+
+      case "verticalLine" =>
+        // a marker at one timestamp (graphite draws a vertical rule);
+        // bounds follow the timeSlice convention: epoch seconds, or a
+        // signed time string relative to the window's `from`
+        atLeast(1)
+        if (args.length > 3) fail(s"verticalLine expects 1-3 arguments, got ${args.length}")
+        val (f, u) = window.getOrElse(fail(
+          s"$name needs a render window (serving path only)"))
+        val at = args.head match {
+          case TNum(v2, _) => v2.toLong
+          case TStr(s2)    => f + seconds(s2)
+          case other       => fail(s"verticalLine: bad timestamp '${other.canonical}'")
+        }
+        if (at < f || at > u)
+          fail(s"verticalLine: ts $at outside the render window [$f, $u]")
+        val label = args.lift(1).map(str).getOrElse(at.toString)
+        val ss = org.apache.spark.sql.SparkSession.active
+        import ss.implicits._
+        Seq((label, at, 1.0)).toDF("metric", "ts", "value")
 
       // -- template re-evaluation: per-group / renamed re-fetch -----------
       // Both materialize a bounded NAME list on the driver (never point

@@ -810,6 +810,60 @@ class TargetSpec extends AnyFunSuite {
     assert(ev("useSeriesAbove(s.*.x,100,\"b\",\"a\")").isEmpty)
   }
 
+  test("movingWindow dispatches the full method set over the trailing window") {
+    val s2 = ev("movingWindow(s.a.x,2,\"sum\")")
+    assert(s2(("movingWindow(s.a.x,2,\"sum\")", 20L)) == Some(4.0))
+    assert(s2(("movingWindow(s.a.x,2,\"sum\")", 40L)) == Some(10.0))
+    // default func = average == movingAverage; median == movingMedian
+    assert(ev("movingWindow(s.a.x,2)").values.toSeq.sorted(Ordering[Option[Double]]) ==
+      ev("movingAverage(s.a.x,2)").values.toSeq.sorted(Ordering[Option[Double]]))
+    assert(ev("movingWindow(s.b.x,2,\"median\")").values.toSeq.sorted(Ordering[Option[Double]]) ==
+      ev("movingMedian(s.b.x,2)").values.toSeq.sorted(Ordering[Option[Double]]))
+  }
+
+  test("aggregateLine flattens each series to its own statistic; add offsets") {
+    val m = ev("aggregateLine(s.a.x,\"max\")")
+    assert(m.values.toSet == Set(Some(8.0)) && m.size == 4)
+    val a = ev("aggregateLine(s.a.x)")
+    assert(a.values.toSet == Set(Some(3.5))) // exact decimal mean
+    assert(ev("add(s.a.x,10)")(("add(s.a.x,10)", 10L)) == Some(11.0))
+  }
+
+  test("cumulative is identity data + a sum consolidation hint") {
+    val m = ev("cumulative(s.a.x)")
+    assert(m(("cumulative(s.a.x)", 40L)) == Some(8.0))
+    assert(TargetEval.consolidationMethod(TargetLang.parse("cumulative(a.b)")) ==
+      Some("sum"))
+  }
+
+  test("powSeries folds in name order, None-strict") {
+    val m = ev("powSeries(s.a.x,s.b.x)")
+    assert(m(("powSeries(s.a.x,s.b.x)", 10L)) == Some(1.0))          // 1^10
+    assert(m(("powSeries(s.a.x,s.b.x)", 20L)) == None)               // strict gap
+    assert(m(("powSeries(s.a.x,s.b.x)", 30L)) == Some(math.pow(2, 30)))
+    assert(m(("powSeries(s.a.x,s.b.x)", 40L)) == Some(8.0))          // single base
+  }
+
+  test("aggregateSeriesLists reduces each zipped pair with the full method set") {
+    val m = ev("aggregateSeriesLists(s.a.x,s.b.x,\"sum\")")
+    assert(m(("sumSeries(s.a.x,s.b.x)", 10L)) == Some(11.0))
+    assert(m(("sumSeries(s.a.x,s.b.x)", 20L)) == Some(3.0)) // None-skipping
+    assert(m(("sumSeries(s.a.x,s.b.x)", 40L)) == Some(8.0))
+  }
+
+  test("mapSeries is identity; reduceSeries reduces role-matched groups") {
+    assert(ev("mapSeries(s.*.x,1)") == ev("group(s.*.x)"))
+    val m = ev("reduceSeries(mapSeries(s.*.x,1),\"divideSeries\",1,\"a\",\"b\")")
+    assert(m(("s.reduce.divideSeries", 10L)) == Some(0.1))           // 1/10
+    assert(m(("s.reduce.divideSeries", 20L)) == None)                // b gap
+    assert(m(("s.reduce.divideSeries", 30L)).exists(v => math.abs(v - 2.0 / 30) < 1e-12))
+    assert(m(("s.reduce.divideSeries", 40L)) == None)                // b slot missing
+    val p = ev("reduceSeries(mapSeries(s.*.x,1),\"asPercent\",1,\"a\",\"b\")")
+    assert(p(("s.reduce.asPercent", 10L)) == Some(10.0))
+    assertThrows[IllegalArgumentException](
+      ev("reduceSeries(mapSeries(s.*.x,1),\"bogus\",1,\"a\",\"b\")"))
+  }
+
   test("synthetic sources draw on the render window; windowless is a 400") {
     def evw(target: String): Seq[(String, Long, Option[Double])] =
       TargetEval.evalWindowed(TargetLang.parse(target),
@@ -824,7 +878,11 @@ class TargetSpec extends AnyFunSuite {
       Set(("t", 100L, Some(100.0)), ("t", 130L, Some(130.0)),
           ("t", 160L, Some(160.0)), ("t", 190L, Some(190.0))))
     assert(evw("identity(\"i\")").map(_._2).toSet == Set(100L, 160L))
+    assert(evw("verticalLine(150)") == Seq(("150", 150L, Some(1.0))))
+    assert(evw("verticalLine(\"+10\",\"mark\")") == Seq(("mark", 110L, Some(1.0))))
+    assertThrows[IllegalArgumentException](evw("verticalLine(999)")) // outside window
     assertThrows[IllegalArgumentException](ev("constantLine(4.5)"))
     assertThrows[IllegalArgumentException](ev("timeFunction(\"t\")"))
+    assertThrows[IllegalArgumentException](ev("verticalLine(150)"))
   }
 }
