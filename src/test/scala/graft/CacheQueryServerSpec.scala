@@ -207,6 +207,33 @@ class CacheQueryServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     try assert(conn.getResponseCode == 400) finally conn.disconnect()
   }
 
+  test("/render consolidateBy in the target overrides the avg consolidation default") {
+    def get(path: String): String = {
+      val in = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL.openStream()
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    // same budget as the maxDataPoints test (3s buckets (5),(4,3,2),(1)),
+    // but the AST pins max: 5.0, 4.0, 1.0 instead of avg's 5.0, 3.0, 1.0
+    val t = java.net.URLEncoder.encode("consolidateBy(web.req,\"max\")", "UTF-8")
+    val body = get(s"/render?target=$t&from=${nowTs - 5}&until=$nowTs&now=$nowTs" +
+      "&maxDataPoints=2")
+    assert(body.contains("\"target\":\"consolidateBy(web.req,\\\"max\\\")\""), body)
+    assert(body.contains(s"[${nowTs - 4},4.0]"), body)
+    assert(!body.contains(s"[${nowTs - 4},3.0]"), body)
+  }
+
+  test("/render synthetic sources draw on the request window") {
+    def get(path: String): String = {
+      val in = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL.openStream()
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val t = java.net.URLEncoder.encode("constantLine(7.5)", "UTF-8")
+    val body = get(s"/render?target=$t&from=${nowTs - 4}&until=$nowTs&now=$nowTs")
+    assert(body.contains("\"target\":\"7.5\""), body)
+    for (ts <- Seq(nowTs - 4, nowTs - 2, nowTs))
+      assert(body.contains(s"[$ts,7.5]"), body)
+  }
+
   test("from/until accept graphite relative time specs (-5, -1min, now)") {
     def get(path: String): String = {
       val in = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL.openStream()
