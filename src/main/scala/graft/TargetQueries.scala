@@ -198,6 +198,56 @@ object TargetQueries {
        |SELECT 'percentileOfSeries(app.*.u*,50)' AS metric, ts, value
        |FROM p ORDER BY ts""".stripMargin
 
+  /** 60s sum-rollup frame in graphite's TAGGED naming (`name;k=v;...`,
+    * keys in canonical sorted order): `req;shard=u<user_id%4>;
+    * type=<event_type>` — the same series content as [[targetBase]],
+    * carried as tags instead of path nodes.
+    */
+  def taggedBase(s: SparkSession, dir: String): DataFrame =
+    Queries.events(s, dir)
+      .select(
+        concat(lit("req;shard=u"), pmod(col("user_id"), lit(4L)).cast("string"),
+          lit(";type="), col("event_type")).as("metric"),
+        expr("ts DIV 1000000000").as("sec"),
+        col("value"))
+      .groupBy(col("metric"), Queries.alignSec(60))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("value"))
+
+  val TaggedBaseSql: String =
+    """SELECT 'req;shard=u' || (user_id % 4) || ';type=' || event_type AS metric,
+      |       (epoch_ns(ts) // 1000000000) - ((epoch_ns(ts) // 1000000000) % 60) AS ts,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** The graphite 1.1+ tag-database family end-to-end: seriesByTag
+    * discovery (exact + start-anchored-regex + not-equal specs over tags
+    * carried in the series name), groupByTags aggregation (one shuffle,
+    * exact decimal lane), aliasByTags rename — all through the real
+    * parse→eval pipeline. The oracle mirrors the tag predicates on the
+    * same tagged name construction.
+    */
+  def tsTargetTags(s: SparkSession, dir: String): DataFrame = {
+    val base = taggedBase(s, dir)
+    TargetEval.eval(
+      TargetLang.parse(
+        "aliasByTags(groupByTags(seriesByTag('name=req','type=~(?:click|purchase)','shard!=u3'),'sum','shard'),'shard','name')"),
+      glob => TargetEval.globFilter(base, glob))
+      .orderBy("metric", "ts")
+  }
+
+  val tsTargetTagsSql: String =
+    s"""WITH base AS ($TaggedBaseSql),
+       |f AS (
+       |  SELECT regexp_extract(metric, ';shard=([^;]*)', 1) AS shard, ts, value
+       |  FROM base
+       |  WHERE string_split(metric, ';')[1] = 'req'
+       |    AND regexp_matches(regexp_extract(metric, ';type=([^;]*)', 1),
+       |                       '^(?:click|purchase)')
+       |    AND regexp_extract(metric, ';shard=([^;]*)', 1) <> 'u3')
+       |SELECT shard || '.req' AS metric, ts,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+       |FROM f GROUP BY 1, 2 ORDER BY metric, ts""".stripMargin
+
   /** Hourly sum-rollup frame for the Holt-Winters query: hourly slots keep
     * the inferred season (86400/step = 24) and the oracle's recursion depth
     * (~31 days of slots per series) both honest and bounded.

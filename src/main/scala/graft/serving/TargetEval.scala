@@ -75,11 +75,21 @@ object TargetEval {
       fail(s"'${other.canonical}' is not a series expression")
   }
 
+  /** The reserved fetch glob meaning "every series": `seriesByTag` has no
+    * path to glob (its filter is tag predicates over the fetched names),
+    * so it fetches the full frame and filters in-plan. Fetchers built on
+    * [[globFilter]] get this for free; bespoke fetchers must special-case
+    * it the same way.
+    */
+  val MatchAllGlob = "**"
+
   /** Filter a series frame down to metrics matching a full-path glob
-    * (`*` / `?` confined to one node, `{a,b}` and `[..]` as in find).
+    * (`*` / `?` confined to one node, `{a,b}` and `[..]` as in find);
+    * [[MatchAllGlob]] passes everything through.
     */
   def globFilter(df: DataFrame, glob: String): DataFrame =
-    df.where(col("metric").rlike(pathRegex(glob)))
+    if (glob == MatchAllGlob) df
+    else df.where(col("metric").rlike(pathRegex(glob)))
 
   /** Full-path glob -> anchored regex; pre-compiled so a malformed glob is
     * a client error at parse time, not an executor-time pattern failure.
@@ -437,15 +447,20 @@ object TargetEval {
           .unionByName(fb.crossJoin(probe).where(col("__pc") === 0).drop("__pc"))
 
       case "sumSeriesWithWildcards" | "averageSeriesWithWildcards"
-         | "aggregateWithWildcards" =>
+         | "multiplySeriesWithWildcards" | "aggregateWithWildcards" =>
         // strip the named name nodes, then aggregate series that collapse
         // to the same stripped name — groupByNode's generalization; the
         // index-aware filter keeps this one groupBy, no UDF. The generic
         // form takes the method as arg 1 (graphite's full aggFuncs set);
-        // the named forms pin sum/avg.
+        // the named forms pin sum/avg/multiply (multiply is None-strict,
+        // via the statFor lane multiplySeries uses).
         val generic = name == "aggregateWithWildcards"
         atLeast(if (generic) 3 else 2)
-        val method = if (generic) str(args(1)) else if (name.startsWith("sum")) "sum" else "avg"
+        val method =
+          if (generic) str(args(1))
+          else if (name.startsWith("sum")) "sum"
+          else if (name.startsWith("multiply")) "multiply"
+          else "avg"
         val drop = (if (generic) args.drop(2) else args.tail).map(int)
         drop.foreach(i => require(i >= 0, s"$name node index must be >= 0, got $i"))
         val dropArr = array(drop.map(lit(_)): _*)
@@ -454,7 +469,7 @@ object TargetEval {
           filter(parts, (_, i) => !array_contains(dropArr, i.cast("int"))), ".")
         sl0.withColumn("__name", stripped)
           .groupBy(col("__name"), col("ts"))
-          .agg((if (generic) statFor(method)
+          .agg((if (generic || method == "multiply") statFor(method)
                 else aggFor(method, col("value"), col("ts"))).as("value"))
           .select(col("__name").as("metric"), col("ts"),
             col("value").cast("double").as("value"))
@@ -691,6 +706,37 @@ object TargetEval {
           sl0.groupBy(col("ts")).agg(statFor(m0).as("value"))
             .select(col("ts"), col("value").cast("double").as("value")),
           s"${statName(m0)}Series(${args.head.canonical})")
+
+      // -- tag database family (graphite 1.1+; see serving/Tags) ----------
+      case "seriesByTag" =>
+        // tag-filtered discovery: fetch the full frame (MatchAllGlob) and
+        // filter with the compiled tag predicates — they run codegen'd in
+        // the scan, and everything non-matching dies before any shuffle.
+        // Series keep their own (tagged) names, as in graphite.
+        atLeast(1)
+        fetch(MatchAllGlob).where(Tags.compile(col("metric"), args.map(str)))
+
+      case "groupByTags" =>
+        // collapse series sharing the same values of the named tags, one
+        // aggregation per (tag-tuple, ts) — the tag world's groupByNodes,
+        // with graphite's output naming: `<name-tag>;tag1=v1;...` for the
+        // grouped tags in call order ('name' is always the prefix and is
+        // not repeated if listed). Same single-shuffle groupBy shape and
+        // exact-decimal lane as aggregate/groupByNodes, with the full
+        // statFor method set.
+        atLeast(3)
+        val method = str(args(1))
+        val tagKeys = args.drop(2).map(str)
+        val nameV = Tags.tagValue(col("metric"), "name")
+        val appended = tagKeys.filter(_ != "name").map { k =>
+          concat(lit(";" + k + "="), Tags.tagValue(col("metric"), k))
+        }
+        sl0
+          .withColumn("__key", concat(nameV +: appended: _*))
+          .groupBy(col("__key"), col("ts"))
+          .agg(statFor(method).as("value"))
+          .select(col("__key").as("metric"), col("ts"),
+            col("value").cast("double").as("value"))
 
       // -- transform: per-point scalar maps -------------------------------
       case "scale"            => arity(2); wrapped(mapValue(sl0, _ * lit(num(args(1)))), call)
@@ -1048,7 +1094,8 @@ object TargetEval {
           when(valid.cast("double") / width.cast("double") >= 0.1,
             stddev_pop(col("value")).over(w)).cast("double").as("value")), call)
 
-      case "holtWintersForecast" | "holtWintersConfidenceBands" | "holtWintersAberration" =>
+      case "holtWintersForecast" | "holtWintersConfidenceBands"
+         | "holtWintersConfidenceArea" | "holtWintersAberration" =>
         // the graphite alerting family (see serving/HoltWinters): one
         // sequential analysis pass per series, then per-row arithmetic.
         // Signatures: forecast(series[, bootstrapInterval]),
@@ -1082,10 +1129,12 @@ object TargetEval {
         name match {
           case "holtWintersForecast" =>
             named(lit("holtWintersForecast"), col("prediction"))
-          case "holtWintersConfidenceBands" =>
+          case "holtWintersConfidenceBands" | "holtWintersConfidenceArea" =>
             // both bands from ONE analysis pass: explode a 2-element
             // array per row rather than unioning two copies of the
-            // sequential mapGroups subtree
+            // sequential mapGroups subtree. ConfidenceArea is the same
+            // data with an area fill between the bands — a renderer
+            // styling concern, like the other presentation identities.
             an.select(col("metric"), col("ts"),
                 explode(array(
                   struct(lit("holtWintersConfidenceUpper").as("p"), upper.as("v")),
@@ -1309,6 +1358,15 @@ object TargetEval {
         val parts = split(col("metric"), "\\.")
         val nodes = idx.map(i => coalesce(get(parts, lit(i)), lit("")))
         sl0.select(concat_ws(".", nodes: _*).as("metric"), col("ts"), col("value"))
+
+      case "aliasByTags" =>
+        // rename each series to its values of the named tags, dot-joined —
+        // the tag world's aliasByNode ('name' yields the name tag; a
+        // missing tag contributes an empty node, like aliasByNode's
+        // out-of-range index).
+        atLeast(2)
+        val vals = args.tail.map(e => Tags.tagValue(col("metric"), str(e)))
+        sl0.select(concat_ws(".", vals: _*).as("metric"), col("ts"), col("value"))
 
       case "changed" =>
         // 1 where the value differs from the LAST NON-NULL value, else 0 —

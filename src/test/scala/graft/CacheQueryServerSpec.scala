@@ -222,6 +222,48 @@ class CacheQueryServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!body.contains(s"[${nowTs - 4},3.0]"), body)
   }
 
+  test("/render tag family: seriesByTag discovery + groupByTags over the wire") {
+    // dedicated fixture: graphite-TAGGED names (tags ride inside the
+    // metric string) would show up in the shared fixture's exact /find
+    // and /list expectations
+    val troot = java.nio.file.Files.createTempDirectory("graft-cqs-tags")
+    val schema = StorageSchema("cqt", ".*".r, 1.0, AggMethod.Average,
+      Seq(Archive(1, 600)), 600, 8)
+    val store = new MetricStore(s"$troot/cqt", schema)
+    val hot = new HotCache(store, cacheRetention = 300L, waitTime = 60L)
+    val tagged = (1 to 3).flatMap(i => Seq(
+      ("cpu;dc=east;host=a", nowTs - i, i.toDouble, i.toLong),
+      ("cpu;dc=east;host=b", nowTs - i, i * 10.0, i.toLong),
+      ("cpu;dc=west;host=a", nowTs - i, i * 100.0, i.toLong)))
+      .toDF("metric", "ts", "value", "arrival")
+    hot.processBatch(tagged, nowTs)
+    val srv = new CacheQueryServer(Seq(hot), port = 0)
+    val tport = srv.start()
+    try {
+      def get(path: String): String = {
+        val in = java.net.URI.create(s"http://127.0.0.1:$tport$path").toURL.openStream()
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      val t = java.net.URLEncoder.encode(
+        "groupByTags(seriesByTag('name=cpu','dc=east'),'sum','dc')", "UTF-8")
+      val body = get(s"/render?target=$t&from=${nowTs - 3}&until=$nowTs&now=$nowTs")
+      // east hosts summed (i + 10i); west filtered out by the tag predicate
+      assert(body.contains("\"target\":\"cpu;dc=east\""), body)
+      for (i <- 1 to 3) assert(body.contains(s"[${nowTs - i},${i * 11.0}]"), body)
+      assert(!body.contains("west"), body)
+      // and the alias path: tag values as the display name
+      val t2 = java.net.URLEncoder.encode(
+        "aliasByTags(seriesByTag('name=cpu','dc=west'),'host','dc')", "UTF-8")
+      val body2 = get(s"/render?target=$t2&from=${nowTs - 3}&until=$nowTs&now=$nowTs")
+      assert(body2.contains("\"target\":\"a.west\""), body2)
+    } finally {
+      srv.stop()
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(troot.toString)).deleteRecursively()
+      ()
+    }
+  }
+
   test("/render synthetic sources draw on the request window") {
     def get(path: String): String = {
       val in = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL.openStream()

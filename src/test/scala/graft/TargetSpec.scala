@@ -885,4 +885,102 @@ class TargetSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ev("timeFunction(\"t\")"))
     assertThrows[IllegalArgumentException](ev("verticalLine(150)"))
   }
+
+  test("multiplySeriesWithWildcards: None-strict product on the stripped name") {
+    val m = ev("multiplySeriesWithWildcards(s.*.x,1)")
+    assert(m == Map(
+      ("s.x", 10L) -> Some(10.0),
+      ("s.x", 20L) -> None,          // 3.0 × gap -> None (safeMul strict)
+      ("s.x", 30L) -> Some(60.0),
+      ("s.x", 40L) -> Some(8.0)))    // single participant
+  }
+
+  test("holtWintersConfidenceArea is the bands data (area fill is presentation)") {
+    assert(ev("holtWintersConfidenceArea(s.a.x)") ==
+      ev("holtWintersConfidenceBands(s.a.x)"))
+  }
+
+  // ---- tag database family ---------------------------------------------
+
+  /** Graphite-tagged names: `name;k=v;...`, canonical key order; `web.req`
+    * is untagged (tags read as empty), `cpu;host=b` has no dc tag.
+    */
+  private def taggedFrame: DataFrame =
+    Seq[(String, Long, Option[Double])](
+      ("cpu;dc=east;host=a", 10L, Some(1.0)), ("cpu;dc=east;host=a", 20L, Some(2.0)),
+      ("cpu;dc=east;host=b", 10L, Some(4.0)), ("cpu;dc=east;host=b", 20L, Some(8.0)),
+      ("cpu;dc=west;host=a", 10L, Some(16.0)), ("cpu;dc=west;host=a", 20L, None),
+      ("cpu;host=b", 10L, Some(32.0)),
+      ("web.req", 10L, Some(64.0))
+    ).toDF("metric", "ts", "value")
+
+  private def evt(target: String): Map[(String, Long), Option[Double]] =
+    TargetEval.eval(TargetLang.parse(target),
+        glob => TargetEval.globFilter(taggedFrame, glob))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+
+  test("Tags: spec parsing, non-empty rule, value extraction") {
+    assert(Tags.parseSpec("dc=east") == Tags.Spec("dc", "=", "east"))
+    assert(Tags.parseSpec("dc!=east") == Tags.Spec("dc", "!=", "east"))
+    assert(Tags.parseSpec("dc=~ea.*") == Tags.Spec("dc", "=~", "ea.*"))
+    assert(Tags.parseSpec("dc!~ea.*") == Tags.Spec("dc", "!~", "ea.*"))
+    // '=' inside the VALUE is legal (first op wins on the key side)
+    assert(Tags.parseSpec("q=a=b") == Tags.Spec("q", "=", "a=b"))
+    assertThrows[IllegalArgumentException](Tags.parseSpec("noop"))
+    assertThrows[IllegalArgumentException](Tags.parseSpec("dc=~[bad"))
+    assert(Tags.matchesNonEmpty(Tags.Spec("dc", "=", "east")))
+    assert(!Tags.matchesNonEmpty(Tags.Spec("dc", "=", "")))
+    assert(Tags.matchesNonEmpty(Tags.Spec("dc", "=~", "ea.*")))
+    assert(!Tags.matchesNonEmpty(Tags.Spec("dc", "=~", ".*")))   // matches ''
+    assert(!Tags.matchesNonEmpty(Tags.Spec("dc", "!=", "x")))
+  }
+
+  test("seriesByTag: exact, regex-from-start, negations, missing-tag-as-empty") {
+    // exact on name + dc
+    assert(evt("seriesByTag('name=cpu','dc=east')").keys.map(_._1).toSet ==
+      Set("cpu;dc=east;host=a", "cpu;dc=east;host=b"))
+    // regex is anchored at the START of the value: 'es' must not match 'west'
+    assert(evt("seriesByTag('name=cpu','dc=~es')").isEmpty)
+    assert(evt("seriesByTag('name=cpu','dc=~we')").keys.map(_._1).toSet ==
+      Set("cpu;dc=west;host=a"))
+    // != includes series MISSING the tag (value = ''), =empty matches them only
+    assert(evt("seriesByTag('name=cpu','dc!=east')").keys.map(_._1).toSet ==
+      Set("cpu;dc=west;host=a", "cpu;host=b"))
+    assert(evt("seriesByTag('name=cpu','dc=')").keys.map(_._1).toSet ==
+      Set("cpu;host=b"))
+    // untagged series: name IS the whole path
+    assert(evt("seriesByTag('name=web.req')").keys.map(_._1).toSet == Set("web.req"))
+    // !~ with the non-empty rule carried by the name spec
+    assert(evt("seriesByTag('name=cpu','host!~a')").keys.map(_._1).toSet ==
+      Set("cpu;dc=east;host=b", "cpu;host=b"))
+    // at least one spec must demand a non-empty value
+    assertThrows[IllegalArgumentException](evt("seriesByTag('dc!=east')"))
+    assertThrows[IllegalArgumentException](evt("seriesByTag('dc=')"))
+    assertThrows[IllegalArgumentException](evt("seriesByTag()"))
+  }
+
+  test("groupByTags: aggregation, graphite naming, name listed explicitly") {
+    // sum by dc: missing dc groups under the empty value
+    assert(evt("groupByTags(seriesByTag('name=cpu'),'sum','dc')") == Map(
+      ("cpu;dc=east", 10L) -> Some(5.0), ("cpu;dc=east", 20L) -> Some(10.0),
+      ("cpu;dc=west", 10L) -> Some(16.0), ("cpu;dc=west", 20L) -> None,
+      ("cpu;dc=", 10L) -> Some(32.0)))
+    // 'name' in the tag list is the prefix, never repeated
+    assert(evt("groupByTags(seriesByTag('name=cpu','dc=east'),'max','name','host')") == Map(
+      ("cpu;host=a", 10L) -> Some(1.0), ("cpu;host=a", 20L) -> Some(2.0),
+      ("cpu;host=b", 10L) -> Some(4.0), ("cpu;host=b", 20L) -> Some(8.0)))
+    assertThrows[IllegalArgumentException](
+      evt("groupByTags(seriesByTag('name=cpu'),'sum')")) // no tags
+  }
+
+  test("aliasByTags: dot-joined tag values, name tag, missing tag empty") {
+    assert(evt("aliasByTags(seriesByTag('name=cpu','dc=east'),'host','name')")
+      .keys.map(_._1).toSet == Set("a.cpu", "b.cpu"))
+    // missing dc contributes an empty node (concat_ws drops nothing between dots)
+    assert(evt("aliasByTags(seriesByTag('name=cpu','host=b'),'dc')")
+      .keys.map(_._1).toSet == Set("east", ""))
+  }
 }
