@@ -469,6 +469,34 @@ object PipelineQueries {
        |       round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS hit_frac
        |FROM hits ORDER BY doc_id""".stripMargin
 
+  // ---- train/val split leakage --------------------------------------------
+  val ValPct = 10
+
+  /** Cross-split near-dup leakage (Contamination.splitLeakage): hash-split
+    * documents 90/10 into train/val, then report every val doc with a
+    * minhash-LSH near-duplicate on the train side — the eval-integrity
+    * guard a training-data pipeline runs before freezing a benchmark. The
+    * oracle recomputes the same seeded split hash on the pair columns, so
+    * neither side materializes an assignment table.
+    */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame =
+    Contamination.splitLeakage(
+        Queries.spread(Queries.table(s, dir, "documents")),
+        3, MinhashBands, MinhashRows, MinhashBucketCap, ValPct)
+      .orderBy("val_doc_id")
+
+  val splitLeakageSql: String = {
+    def isValSql(c: String): String =
+      s"(${h32Sql(s"'split:'||CAST($c AS VARCHAR)")} % 100 >= ${100 - ValPct})"
+    s"""WITH pairs AS MATERIALIZED ($minhashPairsBodySql),
+       |lab AS (SELECT a, b, ${isValSql("a")} AS va, ${isValSql("b")} AS vb FROM pairs)
+       |SELECT CASE WHEN va THEN a ELSE b END AS val_doc_id,
+       |       COUNT(*) AS n_train_dups,
+       |       MIN(CASE WHEN va THEN b ELSE a END) AS example_train_doc
+       |FROM lab WHERE va <> vb
+       |GROUP BY 1 ORDER BY val_doc_id""".stripMargin
+  }
+
   // ---- embedding int8 quantization audit ----------------------------------
   def embedQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeStats(

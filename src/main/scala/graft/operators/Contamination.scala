@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: flag training documents that share word
@@ -40,5 +40,44 @@ object Contamination {
         sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
       .withColumn("hit_frac",
         round(col("n_hits").cast("double") / col("n_shingles").cast("double"), 6))
+  }
+
+  /** Deterministic train/val split membership for a document id: hash the
+    * id (seeded, so the split is independent of every other hash lane in
+    * the pipeline) into [0,100) and take the top `valPct` percent as the
+    * validation side. A pure column expression — split membership never
+    * needs a join or a stored assignment table, on any engine.
+    */
+  def isVal(id: Column, valPct: Int): Column =
+    pmod(Dedup.h32(concat(lit("split:"), id.cast("string"))), lit(100L)) >=
+      lit(100L - valPct)
+
+  /** Cross-split near-duplicate leakage: documents assigned to the
+    * validation split that have a minhash-LSH near-duplicate in the
+    * training split — the standard eval-integrity guard (a val doc whose
+    * near-copy was trained on measures memorization, not generalization).
+    *
+    * Returns one row per leaked val doc: `(val_doc_id, n_train_dups,
+    * example_train_doc)`, where the example is the smallest offending
+    * train doc id.
+    *
+    * Scale posture: candidate pairs come from the banded/bucket-capped
+    * LSH join (never all-pairs); split labels are recomputed from the
+    * pair's OWN id columns via [[isVal]] — zero label joins, so the only
+    * shuffle beyond pair generation is the final bounded groupBy over
+    * leaked pairs.
+    */
+  def splitLeakage(docs: DataFrame, w: Int, bands: Int, rowsPerBand: Int,
+                   bucketCap: Int, valPct: Int): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(docs, w, bands, rowsPerBand, bucketCap)
+    val va = isVal(col("a"), valPct)
+    val vb = isVal(col("b"), valPct)
+    pairs.where(va =!= vb)
+      .select(
+        when(va, col("a")).otherwise(col("b")).as("val_doc_id"),
+        when(va, col("b")).otherwise(col("a")).as("train_doc_id"))
+      .groupBy(col("val_doc_id"))
+      .agg(count(lit(1)).as("n_train_dups"),
+        min(col("train_doc_id")).as("example_train_doc"))
   }
 }

@@ -178,4 +178,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ids(skewed) == base)
     assert(ids(skewed.repartition(13)) == base)
   }
+
+  // ---- train/val split leakage --------------------------------------------
+
+  test("splitLeakage equals the naive cross-split reduction of the LSH pairs") {
+    // 30 base texts, every third duplicated 3x under different ids — enough
+    // copies that some dup groups are guaranteed to straddle the hash split
+    val docs = (0 until 90).map { i =>
+      val base = i % 30
+      val txt =
+        if (base % 3 == 0) s"shared duplicated passage number $base repeated words"
+        else s"unique text $i with its own words ${i * 7}"
+      (i.toLong, txt)
+    }.toDF("doc_id", "text")
+    val (w, bands, rows, cap, valPct) = (3, 4, 2, 100, 10)
+    val got = Contamination.splitLeakage(docs, w, bands, rows, cap, valPct)
+      .orderBy("val_doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // independent reduction: raw pairs + per-id labels, folded in Scala
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs, w, bands, rows, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def isVal(id: Long): Boolean = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(md5.take(4).map(b => f"$b%02x").mkString, 16)
+      h % 100 >= 100 - valPct
+    }
+    val expect = pairs
+      .collect { case (a, b) if isVal(a) != isVal(b) =>
+        if (isVal(a)) (a, b) else (b, a) }
+      .groupBy(_._1).map { case (v, ps) => (v, ps.length.toLong, ps.map(_._2).min) }
+      .toSeq.sortBy(_._1)
+    assert(got.nonEmpty, "fixture produced no cross-split leakage — weaken the split or add dups")
+    assert(got == expect)
+    // and every reported doc really is on the val side
+    assert(got.forall { case (v, _, _) => isVal(v) })
+  }
 }
