@@ -497,6 +497,97 @@ object PipelineQueries {
        |GROUP BY 1 ORDER BY val_doc_id""".stripMargin
   }
 
+  // ---- cross-source corpus overlap (HLL inclusion-exclusion) --------------
+
+  /** Distinct-text overlap between every pair of sources, estimated by
+    * HLL inclusion-exclusion (|A∩B| ≈ |A| + |B| − |A∪B|) — "how much of
+    * corpus B is already in A" WITHOUT a cross-corpus join: the per-source
+    * register tables are the only state, the pair-union is a groupBy(max)
+    * over at most M rows per source (the mergeable-sketch property), so at
+    * 100 TB each source is sketched once in a single scan and every
+    * pairwise overlap is arithmetic over 256-row register sets. The exact
+    * lane (a distinct-text self-join) rides along at test scale to
+    * calibrate the estimate; the sketch lane alone is the at-scale path.
+    */
+  def corpusOverlap(s: SparkSession, dir: String): DataFrame =
+    corpusOverlapFrame(Queries.table(s, dir, "documents"))
+
+  /** [[corpusOverlap]] over any `(text, source)` frame (spec entry point). */
+  def corpusOverlapFrame(docs: DataFrame): DataFrame = {
+    import graft.operators.Sketches
+    val srcs = docs.select(col("source")).distinct()
+    val pairs = srcs.as("x").join(srcs.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("a"), col("y.source").as("b"))
+    val regs = Sketches.hllRegisters(docs, Seq("source"), col("text"))
+    val single = Sketches.hllEstimate(regs, Seq("source"), "est")
+    val mem = pairs.select(col("a"), col("b"), col("a").as("source"))
+      .unionByName(pairs.select(col("a"), col("b"), col("b").as("source")))
+    val uregs = mem.join(regs, Seq("source"))
+      .groupBy(col("a"), col("b"), col("reg"))
+      .agg(max(col("m_rank")).as("m_rank"))
+    val uest = Sketches.hllEstimate(uregs, Seq("a", "b"), "est_union")
+    val st = docs.select(col("source"), col("text")).distinct()
+    val inter = st.as("l").join(st.as("r"),
+        col("l.text") === col("r.text") && col("l.source") < col("r.source"))
+      .groupBy(col("l.source").as("a"), col("r.source").as("b"))
+      .agg(count(lit(1)).as("n_exact"))
+    pairs
+      .join(single.select(col("source").as("a"), col("est").as("est_a")), Seq("a"))
+      .join(single.select(col("source").as("b"), col("est").as("est_b")), Seq("b"))
+      .join(uest, Seq("a", "b"))
+      .join(inter, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact_overlap"),
+        col("est_a"), col("est_b"),
+        round(col("est_a") + col("est_b") - col("est_union"), 4).as("est_overlap"))
+      .orderBy("a", "b")
+  }
+
+  val corpusOverlapSql: String = {
+    import graft.operators.Sketches
+    val (m, p, maxRank) = (Sketches.M, Sketches.P, Sketches.MaxRank)
+    val scale = 1L << maxRank
+    val single = Sketches.hllEstimateSql("documents", "source", "text", "est")
+    s"""WITH srcs AS (SELECT DISTINCT source FROM documents),
+       |pairs AS (SELECT s1.source AS a, s2.source AS b
+       |          FROM srcs s1 JOIN srcs s2 ON s1.source < s2.source),
+       |single AS $single,
+       |hh AS (SELECT source, ${h32Sql("text")} AS h FROM documents),
+       |rw AS (SELECT source, h & ${m - 1} AS reg, h >> $p AS w FROM hh),
+       |rk AS (SELECT source, reg,
+       |              CASE WHEN w = 0 THEN $maxRank ELSE $maxRank - length(bin(w)) END AS rank
+       |       FROM rw),
+       |regs AS (SELECT source, reg, MAX(rank) AS m_rank FROM rk GROUP BY 1, 2),
+       |mem AS (SELECT a, b, a AS source FROM pairs
+       |        UNION ALL SELECT a, b, b AS source FROM pairs),
+       |uregs AS (SELECT mem.a, mem.b, regs.reg, MAX(regs.m_rank) AS m_rank
+       |          FROM mem JOIN regs USING (source) GROUP BY 1, 2, 3),
+       |uacc AS (SELECT a, b, SUM(${Sketches.termScaledSql("m_rank")}) AS s, COUNT(*) AS n
+       |         FROM uregs GROUP BY 1, 2),
+       |uraw AS (SELECT a, b,
+       |                (CAST(${Sketches.Alpha} AS DOUBLE) * $m.0 * $m.0 * $scale.0)
+       |                  / CAST(s + ($m - n) * $scale AS DOUBLE) AS raw,
+       |                $m - n AS v
+       |         FROM uacc),
+       |u AS (SELECT a, b,
+       |             round(CASE WHEN raw <= ${2.5 * m} AND v > 0
+       |                        THEN $m.0 * ln($m.0 / v) ELSE raw END, 4) AS est_union
+       |      FROM uraw),
+       |stx AS (SELECT DISTINCT source, text FROM documents),
+       |inter AS (SELECT l.source AS a, r.source AS b, COUNT(*) AS n
+       |          FROM stx l JOIN stx r ON l.text = r.text AND l.source < r.source
+       |          GROUP BY 1, 2)
+       |SELECT pairs.a, pairs.b,
+       |       CAST(COALESCE(inter.n, 0) AS BIGINT) AS n_exact_overlap,
+       |       sa.est AS est_a, sb.est AS est_b,
+       |       round(sa.est + sb.est - u.est_union, 4) AS est_overlap
+       |FROM pairs JOIN single sa ON pairs.a = sa.source
+       |           JOIN single sb ON pairs.b = sb.source
+       |           JOIN u ON pairs.a = u.a AND pairs.b = u.b
+       |           LEFT JOIN inter ON pairs.a = inter.a AND pairs.b = inter.b
+       |ORDER BY pairs.a, pairs.b""".stripMargin
+  }
+
   // ---- embedding int8 quantization audit ----------------------------------
   def embedQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeStats(

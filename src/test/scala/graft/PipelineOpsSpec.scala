@@ -214,4 +214,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     // and every reported doc really is on the val side
     assert(got.forall { case (v, _, _) => isVal(v) })
   }
+
+  // ---- corpus overlap (HLL inclusion-exclusion) ----------------------------
+
+  test("corpusOverlap: exact lane is right and the sketch ranks overlap correctly") {
+    // srcA/srcB share 60 texts; srcC is disjoint from both
+    val docs = (
+      (0 until 100).map(i => (i.toLong, s"shared text $i", "srcA")) ++
+      (0 until 100).map(i => ((1000 + i).toLong,
+        if (i < 60) s"shared text $i" else s"b-only text $i", "srcB")) ++
+      (0 until 100).map(i => ((2000 + i).toLong, s"c-only text $i", "srcC"))
+    ).toDF("doc_id", "text", "source")
+    val rows = graft.PipelineQueries.corpusOverlapFrame(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    assert(rows.keySet == Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+    // exact lane: set intersection sizes
+    assert(rows(("srcA", "srcB"))._1 == 60L)
+    assert(rows(("srcA", "srcC"))._1 == 0L)
+    assert(rows(("srcB", "srcC"))._1 == 0L)
+    // sketch lane: the overlapping pair estimates well above the disjoint
+    // ones, and within sketch error (P=8 -> ~6.5% rsd) of the truth
+    val estAB = rows(("srcA", "srcB"))._2
+    assert(estAB > 35 && estAB < 85, s"est_overlap(A,B)=$estAB, truth 60")
+    assert(rows(("srcA", "srcC"))._2 < estAB / 2)
+    // repartition-stable (register max is order-independent)
+    val rows2 = graft.PipelineQueries.corpusOverlapFrame(docs.repartition(13))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(rows.view.mapValues(_._2).toMap == rows2)
+  }
 }
