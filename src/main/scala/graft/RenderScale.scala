@@ -62,6 +62,34 @@ object RenderScale {
         println(f"RENDERSCALE S=$s%-7d ${(System.nanoTime() - t0) / 1e9}%8.2fs  $t")
       }
     }
+
+    // tag-family lane: the same S x T frame under graphite TAGGED naming
+    // (`cpu;dc=dK;host=hSID`) — seriesByTag is regexp_extract predicates in
+    // the scan, groupByTags one groupBy bounded by groups x slots, so both
+    // should track the name-glob lane linearly in S
+    def taggedFrame(series: Int) = {
+      val sid = floor(col("id") / slots.toDouble).cast("long")
+      spark.range(series.toLong * slots).select(
+        concat(lit("cpu;dc=d"), pmod(sid, lit(8L)).cast("string"),
+          lit(";host=h"), sid.cast("string")).as("metric"),
+        pmod(col("id"), lit(slots.toLong)) * 60L + 60L as "ts",
+        when(pmod(col("id"), lit(97)) =!= 0,
+          pmod(col("id") * 7919L, lit(10007)).cast("double") / 100.0).as("value"))
+    }
+    val tagTargets = Seq(
+      "seriesByTag('name=cpu','dc=d3')",                        // exact-filter discovery
+      "groupByTags(seriesByTag('name=cpu','host=~h1'),'sum','dc')", // regex + grouped combine
+      "aliasByTags(seriesByTag('name=cpu','dc!=d0'),'host','dc')")  // negation + rename
+    for (mult <- Seq(1, 10); s = baseS * mult) {
+      val df = taggedFrame(s)
+      require(evalT(df, "seriesByTag('name=cpu')").limit(1).count() == 1,
+        "tagged scaling frame produced no tag-matching series")
+      for (t <- tagTargets) {
+        val t0 = System.nanoTime()
+        evalT(df, t).write.format("noop").mode("overwrite").save()
+        println(f"RENDERSCALE S=$s%-7d ${(System.nanoTime() - t0) / 1e9}%8.2fs  $t")
+      }
+    }
     spark.stop()
   }
 }
