@@ -81,6 +81,9 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
     server.createContext("/list", handler(handleList))
     server.createContext("/find", handler(handleFind))
     server.createContext("/render", handlerSeq(handleRender))
+    server.createContext("/tags/findSeries", handlerSeq(handleTagFindSeries))
+    server.createContext("/tags/autoComplete/tags", handlerSeq(handleTagNames))
+    server.createContext("/tags/autoComplete/values", handlerSeq(handleTagValues))
     server.start()
     server.getAddress.getPort
   }
@@ -208,11 +211,11 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
     * `GET /find?query=sys.*.cpu` ->
     * `{"nodes":[{"path":"sys.a.cpu","leaf":true,"branch":false},…]}`.
     */
-  private def handleFind(p: Map[String, String]): (Int, String) = {
-    val query = need(p, "query")
-    val limit = math.min(p.get("limit").map(_.toInt).getOrElse(1000), 100000)
-    require(limit >= 0, s"limit must be >= 0, got $limit")
-    val source = caches.map { hot =>
+  /** All known series names across every schema: the catalog where one
+    * exists (one row per metric — the discovery index), else the hot view.
+    */
+  private def seriesSource(): org.apache.spark.sql.DataFrame =
+    caches.map { hot =>
       hot.store.catalog match {
         case Some(c) => c.metrics()
           .where(col("schema_name") === hot.store.schema.name)
@@ -220,11 +223,86 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
         case None => hot.hotView().select(col("metric")).distinct()
       }
     }.reduce(_ unionByName _)
-    val rows = graft.storage.SeriesFind.nodes(source, query, limit).collect()
+
+  private def handleFind(p: Map[String, String]): (Int, String) = {
+    val query = need(p, "query")
+    val limit = math.min(p.get("limit").map(_.toInt).getOrElse(1000), 100000)
+    require(limit >= 0, s"limit must be >= 0, got $limit")
+    val rows = graft.storage.SeriesFind.nodes(seriesSource(), query, limit).collect()
     val nodes = rows.map { r =>
       s"""{"path":"${esc(r.getString(0))}","leaf":${r.getBoolean(1)},"branch":${r.getBoolean(2)}}"""
     }
     (200, nodes.mkString("""{"nodes":[""", ",", "]}"))
+  }
+
+  // ---- graphite tag API (tags ride inside series names; serving/Tags) ----
+
+  private def jsonList(items: Seq[String]): String =
+    items.map(s => s""""${esc(s)}"""").mkString("[", ",", "]")
+
+  private def tagLimit(p: Map[String, String]): Int = {
+    val limit = math.min(p.get("limit").map(_.toInt).getOrElse(1000), 100000)
+    require(limit >= 0, s"limit must be >= 0, got $limit")
+    limit
+  }
+
+  /** `GET /tags/findSeries?expr=name=cpu&expr=dc=~east` — every series
+    * matching ALL tag specs, the graphite tag-discovery endpoint. Returns
+    * a bare JSON list of (tagged) series names, as graphite-web does.
+    */
+  private def handleTagFindSeries(pairs: Seq[(String, String)]): (Int, String) = {
+    val p = pairs.toMap
+    val exprs = pairs.collect { case ("expr", v) => v }
+    require(exprs.nonEmpty, "missing parameter 'expr'")
+    val names = seriesSource()
+      .where(graft.serving.Tags.compile(col("metric"), exprs))
+      .distinct().orderBy(col("metric")).limit(tagLimit(p))
+      .collect().map(_.getString(0)).toSeq
+    (200, jsonList(names))
+  }
+
+  /** `GET /tags/autoComplete/tags?tagPrefix=&expr=...` — tag KEYS in use
+    * (optionally only among series matching the exprs), prefix-filtered:
+    * the dashboard autocomplete source. `name` is a tag like any other.
+    * The explode runs in-plan; only the deduplicated, limit-bounded key
+    * list is collected.
+    */
+  private def handleTagNames(pairs: Seq[(String, String)]): (Int, String) = {
+    val p = pairs.toMap
+    val exprs = pairs.collect { case ("expr", v) => v }
+    val prefix = p.getOrElse("tagPrefix", "")
+    val base0 = seriesSource()
+    val base = if (exprs.isEmpty) base0
+               else base0.where(graft.serving.Tags.compile(col("metric"), exprs))
+    val keys = base
+      .select(explode(split(col("metric"), ";")).as("seg"))
+      .where(col("seg").contains("="))
+      .select(substring_index(col("seg"), "=", 1).as("tag"))
+      .unionByName(base.limit(1).select(lit("name").as("tag")))
+      .where(col("tag").startsWith(prefix))
+      .distinct().orderBy(col("tag")).limit(tagLimit(p))
+      .collect().map(_.getString(0)).toSeq
+    (200, jsonList(keys))
+  }
+
+  /** `GET /tags/autoComplete/values?tag=dc&valuePrefix=&expr=...` — the
+    * distinct VALUES a tag takes (among series matching the exprs, when
+    * given), prefix-filtered — the other half of the autocomplete pair.
+    */
+  private def handleTagValues(pairs: Seq[(String, String)]): (Int, String) = {
+    val p = pairs.toMap
+    val tag = need(p, "tag")
+    val exprs = pairs.collect { case ("expr", v) => v }
+    val prefix = p.getOrElse("valuePrefix", "")
+    val base0 = seriesSource()
+    val base = if (exprs.isEmpty) base0
+               else base0.where(graft.serving.Tags.compile(col("metric"), exprs))
+    val values = base
+      .select(graft.serving.Tags.tagValue(col("metric"), tag).as("v"))
+      .where(col("v") =!= "" && col("v").startsWith(prefix))
+      .distinct().orderBy(col("v")).limit(tagLimit(p))
+      .collect().map(_.getString(0)).toSeq
+    (200, jsonList(values))
   }
 
   /** Graphite render-API analog: parse each `target` parameter (the API

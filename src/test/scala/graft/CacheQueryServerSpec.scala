@@ -256,6 +256,17 @@ class CacheQueryServerSpec extends AnyFunSuite with BeforeAndAfterAll {
         "aliasByTags(seriesByTag('name=cpu','dc=west'),'host','dc')", "UTF-8")
       val body2 = get(s"/render?target=$t2&from=${nowTs - 3}&until=$nowTs&now=$nowTs")
       assert(body2.contains("\"target\":\"a.west\""), body2)
+      // tag API: findSeries honors every spec; autocomplete lists keys and
+      // values, prefix-filtered, 'name' included as a tag
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      assert(get(s"/tags/findSeries?expr=${enc("name=cpu")}&expr=${enc("dc=east")}") ==
+        """["cpu;dc=east;host=a","cpu;dc=east;host=b"]""")
+      assert(get("/tags/autoComplete/tags") == """["dc","host","name"]""")
+      assert(get("/tags/autoComplete/tags?tagPrefix=h") == """["host"]""")
+      assert(get("/tags/autoComplete/values?tag=dc") == """["east","west"]""")
+      assert(get(s"/tags/autoComplete/values?tag=host&expr=${enc("dc=west")}") ==
+        """["a"]""")
+      assert(get("/tags/autoComplete/values?tag=dc&valuePrefix=e") == """["east"]""")
     } finally {
       srv.stop()
       import scala.reflect.io.Directory
