@@ -497,6 +497,132 @@ object PipelineQueries {
        |GROUP BY 1 ORDER BY val_doc_id""".stripMargin
   }
 
+  // ---- curation funnel -----------------------------------------------------
+  val QualityMin = 0.5
+  val ContamMax = 0.2
+
+  /** The curation pipeline END-TO-END as one query: cumulative survivor
+    * counts through the stages a training-corpus build actually runs —
+    * total → drop the benchmark source → language filter → quality filter
+    * → exact-dup canonicalization → benchmark decontamination. Every stage
+    * reuses the exact kernel its standalone query uses (langid marker
+    * scores, the quality composite, md5 canonical, n-gram hits), so the
+    * funnel's numbers are the numbers those queries imply — this is the
+    * composition a real user runs nightly, judged as one row set.
+    *
+    * Scale: per-doc stages are narrow projections on the corpus scan; the
+    * canonical stage is one window by text digest; decontamination is the
+    * broadcast probe from textDecontaminate. The six stage counts are six
+    * scalar aggregates unioned into one plan.
+    */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame =
+    curationFunnelFrame(Queries.spread(Queries.table(s, dir, "documents")))
+
+  /** [[curationFunnel]] over any `(doc_id, text, source)` frame. */
+  def curationFunnelFrame(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base0 = docs.select(col("doc_id"), col("source"), col("text"),
+      TextAnalysis.tokens(col("text")).as("__toks"))
+    val withScores = TextAnalysis.langMarkers.foldLeft(base0) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"__s_$lang", TextAnalysis.markerScore(col("__toks"), words))
+    }
+    val withLang = withScores.withColumn("lang_pred", TextAnalysis.langIdFromScores(
+      TextAnalysis.langMarkers.map { case (l, _) => l -> col(s"__s_$l") }))
+    val base = TextAnalysis.qualityFeatures(withLang, col("text"))
+      .withColumn("quality", TextAnalysis.qualityScore)
+      .select("doc_id", "source", "text", "lang_pred", "quality")
+    val nonBench = base.where(col("source") =!= BenchSource)
+    val en = nonBench.where(col("lang_pred") === "en")
+    val q = en.where(col("quality") >= QualityMin)
+    val canon = q.withColumn("__cmin",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .where(col("doc_id") === col("__cmin")).drop("__cmin")
+    val hits = Contamination.ngramHits(
+      canon.select(col("doc_id"), col("text")),
+      docs.where(col("source") === BenchSource).select(col("doc_id"), col("text")),
+      ContamW)
+    val decon = canon
+      .join(hits.select(col("doc_id"), col("hit_frac")), Seq("doc_id"), "left")
+      .where(coalesce(col("hit_frac"), lit(0.0)) <= ContamMax)
+    def stageRow(n: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(n.toLong).as("stage"), lit(name).as("stage_name"), col("n_docs"))
+    Seq(
+      stageRow(1, "total", base),
+      stageRow(2, "non_bench", nonBench),
+      stageRow(3, "lang_en", en),
+      stageRow(4, "quality", q),
+      stageRow(5, "exact_canonical", canon),
+      stageRow(6, "decontaminated", decon)
+    ).reduce(_ unionByName _).orderBy("stage")
+  }
+
+  val curationFunnelSql: String = {
+    val scoreExprs = TextAnalysis.langMarkers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(t, x -> list_contains([$list], x))) AS score_$lang"
+    }.mkString(", ")
+    val best = TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }
+      .mkString("GREATEST(", ", ", ")")
+    val pick = TextAnalysis.langMarkers.map { case (l, _) =>
+      s"WHEN score_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString(" ")
+    val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH $toksSql,
+       |scored AS (SELECT doc_id, $scoreExprs FROM toks),
+       |feats AS (SELECT d.doc_id,
+       |  len(t) AS n_words, len(list_distinct(t)) AS n_uniq_words,
+       |  len(list_filter(t, x -> list_contains([$stopList], x))) AS n_stopwords,
+       |  len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+       |  len(d.text) AS text_len
+       |  FROM documents d JOIN toks ON d.doc_id = toks.doc_id),
+       |qual AS (SELECT doc_id,
+       |  round(
+       |    (CASE WHEN text_len >= 50 AND text_len <= 5000 THEN 1.0 ELSE 0.2 END) * 0.4
+       |    + LEAST((CASE WHEN n_words > 0 THEN CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 2.0, 1.0) * 0.2
+       |    + (CASE WHEN n_words > 0 THEN CAST(n_uniq_words AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 0.3
+       |    + (1.0 - LEAST((CASE WHEN text_len > 0 THEN CAST(n_punct AS DOUBLE) / CAST(text_len AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)) * 0.1
+       |  , 6) AS quality FROM feats),
+       |base AS (SELECT d.doc_id, d.source, d.text,
+       |                CASE $pick ELSE 'und' END AS lang_pred, qual.quality
+       |         FROM documents d JOIN scored ON d.doc_id = scored.doc_id
+       |                          JOIN qual ON d.doc_id = qual.doc_id),
+       |s2 AS (SELECT * FROM base WHERE source <> '$BenchSource'),
+       |s3 AS (SELECT * FROM s2 WHERE lang_pred = 'en'),
+       |s4 AS (SELECT * FROM s3 WHERE quality >= $QualityMin),
+       |s5 AS (SELECT * FROM s4 QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))),
+       |benchtoks AS (SELECT toks.t FROM toks JOIN documents d ON toks.doc_id = d.doc_id
+       |              WHERE d.source = '$BenchSource'),
+       |benchsh AS (
+       |  SELECT DISTINCT ${h32Sql(s"array_to_string(t[i:i+${ContamW - 1}], ' ')")} AS shingle
+       |  FROM benchtoks, unnest(generate_series(1, len(t) - ${ContamW - 1})) g(i)
+       |  WHERE len(t) >= $ContamW),
+       |s5toks AS (SELECT s5.doc_id, toks.t FROM s5 JOIN toks ON s5.doc_id = toks.doc_id),
+       |corpsh AS (
+       |  SELECT DISTINCT doc_id,
+       |         ${h32Sql(s"array_to_string(t[i:i+${ContamW - 1}], ' ')")} AS shingle
+       |  FROM s5toks, unnest(generate_series(1, len(t) - ${ContamW - 1})) g(i)
+       |  WHERE len(t) >= $ContamW),
+       |hits AS (
+       |  SELECT c.doc_id,
+       |         round(CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |               / CAST(COUNT(*) AS DOUBLE), 6) AS hit_frac
+       |  FROM corpsh c LEFT JOIN benchsh b ON c.shingle = b.shingle
+       |  GROUP BY 1),
+       |s6 AS (SELECT s5.doc_id FROM s5 LEFT JOIN hits ON s5.doc_id = hits.doc_id
+       |       WHERE COALESCE(hit_frac, 0) <= $ContamMax)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage, 'total' AS stage_name,
+       |         (SELECT COUNT(*) FROM base) AS n_docs
+       |  UNION ALL SELECT 2, 'non_bench', (SELECT COUNT(*) FROM s2)
+       |  UNION ALL SELECT 3, 'lang_en', (SELECT COUNT(*) FROM s3)
+       |  UNION ALL SELECT 4, 'quality', (SELECT COUNT(*) FROM s4)
+       |  UNION ALL SELECT 5, 'exact_canonical', (SELECT COUNT(*) FROM s5)
+       |  UNION ALL SELECT 6, 'decontaminated', (SELECT COUNT(*) FROM s6))
+       |ORDER BY stage""".stripMargin
+  }
+
   // ---- cross-source corpus overlap (HLL inclusion-exclusion) --------------
 
   /** Distinct-text overlap between every pair of sources, estimated by

@@ -215,6 +215,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.forall { case (v, _, _) => isVal(v) })
   }
 
+  // ---- curation funnel -----------------------------------------------------
+
+  test("curationFunnel: one engineered drop per stage, counts 6..1") {
+    val bench = "the quick brown fox jumps over the lazy dog in a sunny meadow today"
+    val dupEn = bench + " with one extra clause appended for the pair"
+    val lowQ = ("the " * 2000).trim // en markers, 8k chars, ~1 distinct word
+    val clean = "a different but equally pleasant english paragraph about the " +
+      "weather and the sea that is long enough to pass the length gate"
+    val docs = Seq(
+      (1L, bench, "src0"),   // benchmark source: drops at non_bench
+      (2L, "el la de que y en un los el la de que", "src1"), // es: drops at lang_en
+      (3L, lowQ, "src1"),    // en but low quality: drops at quality
+      (4L, dupEn, "src1"),   // near-copy of bench: canonical survivor, decon drop
+      (5L, dupEn, "src1"),   // exact dup of 4: drops at exact_canonical
+      (6L, clean, "src1")    // survives everything
+    ).toDF("doc_id", "text", "source")
+    val got = graft.PipelineQueries.curationFunnelFrame(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, "total", 6L), (2L, "non_bench", 5L), (3L, "lang_en", 4L),
+      (4L, "quality", 3L), (5L, "exact_canonical", 2L),
+      (6L, "decontaminated", 1L)))
+  }
+
   // ---- corpus overlap (HLL inclusion-exclusion) ----------------------------
 
   test("corpusOverlap: exact lane is right and the sketch ranks overlap correctly") {
