@@ -657,11 +657,14 @@ object PipelineQueries {
         col("l.text") === col("r.text") && col("l.source") < col("r.source"))
       .groupBy(col("l.source").as("a"), col("r.source").as("b"))
       .agg(count(lit(1)).as("n_exact"))
+    // assembly joins are over source/pair-bounded aggregates (≤ sources²
+    // rows) — broadcast them; without the hint Spark's unknown-stats
+    // default is 4 sort-merge joins
     pairs
-      .join(single.select(col("source").as("a"), col("est").as("est_a")), Seq("a"))
-      .join(single.select(col("source").as("b"), col("est").as("est_b")), Seq("b"))
-      .join(uest, Seq("a", "b"))
-      .join(inter, Seq("a", "b"), "left")
+      .join(broadcast(single.select(col("source").as("a"), col("est").as("est_a"))), Seq("a"))
+      .join(broadcast(single.select(col("source").as("b"), col("est").as("est_b"))), Seq("b"))
+      .join(broadcast(uest), Seq("a", "b"))
+      .join(broadcast(inter), Seq("a", "b"), "left")
       .select(col("a"), col("b"),
         coalesce(col("n_exact"), lit(0L)).as("n_exact_overlap"),
         col("est_a"), col("est_b"),
