@@ -532,30 +532,46 @@ object PipelineQueries {
     val base = TextAnalysis.qualityFeatures(withLang, col("text"))
       .withColumn("quality", TextAnalysis.qualityScore)
       .select("doc_id", "source", "text", "lang_pred", "quality")
-    val nonBench = base.where(col("source") =!= BenchSource)
-    val en = nonBench.where(col("lang_pred") === "en")
-    val q = en.where(col("quality") >= QualityMin)
-    val canon = q.withColumn("__cmin",
-        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-      .where(col("doc_id") === col("__cmin")).drop("__cmin")
+    // ONE pass: every stage is a boolean flag on the same row, so the six
+    // counts are one conditional aggregate over one scan — not six scalar
+    // aggregates each re-deriving langid/quality (the first PlanDump
+    // census put the naive form at 44 exchanges; this shape is ~8). The
+    // canonical flag is the digest-window minimum over stage-4 survivors;
+    // per-doc hit_frac does not depend on which other docs survive, so
+    // probing all non-bench docs is equivalent to probing survivors.
+    val f2 = col("source") =!= BenchSource
+    val f3 = f2 && col("lang_pred") === "en"
+    val f4 = f3 && col("quality") >= QualityMin
+    val flagged = base
+      .withColumn("__f4", f4)
+      .withColumn("__cmin",
+        min(when(col("__f4"), col("doc_id"))).over(Window.partitionBy(md5(col("text")))))
+      .withColumn("__f5", col("__f4") && col("doc_id") === col("__cmin"))
     val hits = Contamination.ngramHits(
-      canon.select(col("doc_id"), col("text")),
+      docs.where(col("source") =!= BenchSource).select(col("doc_id"), col("text")),
       docs.where(col("source") === BenchSource).select(col("doc_id"), col("text")),
       ContamW)
-    val decon = canon
+    val counted = flagged
       .join(hits.select(col("doc_id"), col("hit_frac")), Seq("doc_id"), "left")
-      .where(coalesce(col("hit_frac"), lit(0.0)) <= ContamMax)
-    def stageRow(n: Int, name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(n.toLong).as("stage"), lit(name).as("stage_name"), col("n_docs"))
-    Seq(
-      stageRow(1, "total", base),
-      stageRow(2, "non_bench", nonBench),
-      stageRow(3, "lang_en", en),
-      stageRow(4, "quality", q),
-      stageRow(5, "exact_canonical", canon),
-      stageRow(6, "decontaminated", decon)
-    ).reduce(_ unionByName _).orderBy("stage")
+      .withColumn("__f6",
+        col("__f5") && coalesce(col("hit_frac"), lit(0.0)) <= ContamMax)
+      .agg(
+        count(lit(1)).as("n1"),
+        sum(f2.cast("long")).as("n2"),
+        sum(f3.cast("long")).as("n3"),
+        sum(col("__f4").cast("long")).as("n4"),
+        sum(col("__f5").cast("long")).as("n5"),
+        sum(col("__f6").cast("long")).as("n6"))
+    counted.select(explode(array(
+        struct(lit(1L).as("stage"), lit("total").as("stage_name"), col("n1").as("n_docs")),
+        struct(lit(2L).as("stage"), lit("non_bench").as("stage_name"), col("n2").as("n_docs")),
+        struct(lit(3L).as("stage"), lit("lang_en").as("stage_name"), col("n3").as("n_docs")),
+        struct(lit(4L).as("stage"), lit("quality").as("stage_name"), col("n4").as("n_docs")),
+        struct(lit(5L).as("stage"), lit("exact_canonical").as("stage_name"), col("n5").as("n_docs")),
+        struct(lit(6L).as("stage"), lit("decontaminated").as("stage_name"), col("n6").as("n_docs"))))
+        .as("__s"))
+      .select(col("__s.stage"), col("__s.stage_name"), col("__s.n_docs"))
+      .orderBy("stage")
   }
 
   val curationFunnelSql: String = {
@@ -588,21 +604,28 @@ object PipelineQueries {
        |                CASE $pick ELSE 'und' END AS lang_pred, qual.quality
        |         FROM documents d JOIN scored ON d.doc_id = scored.doc_id
        |                          JOIN qual ON d.doc_id = qual.doc_id),
-       |s2 AS (SELECT * FROM base WHERE source <> '$BenchSource'),
-       |s3 AS (SELECT * FROM s2 WHERE lang_pred = 'en'),
-       |s4 AS (SELECT * FROM s3 WHERE quality >= $QualityMin),
-       |s5 AS (SELECT * FROM s4 QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))),
+       |flags AS (SELECT base.*,
+       |                 (source <> '$BenchSource') AS f2,
+       |                 (source <> '$BenchSource' AND lang_pred = 'en') AS f3,
+       |                 (source <> '$BenchSource' AND lang_pred = 'en'
+       |                  AND quality >= $QualityMin) AS f4
+       |          FROM base),
+       |flag5 AS (SELECT *,
+       |                 (f4 AND doc_id = MIN(CASE WHEN f4 THEN doc_id END)
+       |                    OVER (PARTITION BY md5(text))) AS f5
+       |          FROM flags),
        |benchtoks AS (SELECT toks.t FROM toks JOIN documents d ON toks.doc_id = d.doc_id
        |              WHERE d.source = '$BenchSource'),
        |benchsh AS (
        |  SELECT DISTINCT ${h32Sql(s"array_to_string(t[i:i+${ContamW - 1}], ' ')")} AS shingle
        |  FROM benchtoks, unnest(generate_series(1, len(t) - ${ContamW - 1})) g(i)
        |  WHERE len(t) >= $ContamW),
-       |s5toks AS (SELECT s5.doc_id, toks.t FROM s5 JOIN toks ON s5.doc_id = toks.doc_id),
+       |nbtoks AS (SELECT toks.doc_id, toks.t FROM toks JOIN documents d ON toks.doc_id = d.doc_id
+       |           WHERE d.source <> '$BenchSource'),
        |corpsh AS (
        |  SELECT DISTINCT doc_id,
        |         ${h32Sql(s"array_to_string(t[i:i+${ContamW - 1}], ' ')")} AS shingle
-       |  FROM s5toks, unnest(generate_series(1, len(t) - ${ContamW - 1})) g(i)
+       |  FROM nbtoks, unnest(generate_series(1, len(t) - ${ContamW - 1})) g(i)
        |  WHERE len(t) >= $ContamW),
        |hits AS (
        |  SELECT c.doc_id,
@@ -610,16 +633,21 @@ object PipelineQueries {
        |               / CAST(COUNT(*) AS DOUBLE), 6) AS hit_frac
        |  FROM corpsh c LEFT JOIN benchsh b ON c.shingle = b.shingle
        |  GROUP BY 1),
-       |s6 AS (SELECT s5.doc_id FROM s5 LEFT JOIN hits ON s5.doc_id = hits.doc_id
-       |       WHERE COALESCE(hit_frac, 0) <= $ContamMax)
+       |counted AS (
+       |  SELECT COUNT(*) AS n1,
+       |         COUNT(CASE WHEN f2 THEN 1 END) AS n2,
+       |         COUNT(CASE WHEN f3 THEN 1 END) AS n3,
+       |         COUNT(CASE WHEN f4 THEN 1 END) AS n4,
+       |         COUNT(CASE WHEN f5 THEN 1 END) AS n5,
+       |         COUNT(CASE WHEN f5 AND COALESCE(hit_frac, 0) <= $ContamMax THEN 1 END) AS n6
+       |  FROM flag5 LEFT JOIN hits ON flag5.doc_id = hits.doc_id)
        |SELECT * FROM (
-       |  SELECT CAST(1 AS BIGINT) AS stage, 'total' AS stage_name,
-       |         (SELECT COUNT(*) FROM base) AS n_docs
-       |  UNION ALL SELECT 2, 'non_bench', (SELECT COUNT(*) FROM s2)
-       |  UNION ALL SELECT 3, 'lang_en', (SELECT COUNT(*) FROM s3)
-       |  UNION ALL SELECT 4, 'quality', (SELECT COUNT(*) FROM s4)
-       |  UNION ALL SELECT 5, 'exact_canonical', (SELECT COUNT(*) FROM s5)
-       |  UNION ALL SELECT 6, 'decontaminated', (SELECT COUNT(*) FROM s6))
+       |  SELECT CAST(1 AS BIGINT) AS stage, 'total' AS stage_name, n1 AS n_docs FROM counted
+       |  UNION ALL SELECT 2, 'non_bench', n2 FROM counted
+       |  UNION ALL SELECT 3, 'lang_en', n3 FROM counted
+       |  UNION ALL SELECT 4, 'quality', n4 FROM counted
+       |  UNION ALL SELECT 5, 'exact_canonical', n5 FROM counted
+       |  UNION ALL SELECT 6, 'decontaminated', n6 FROM counted)
        |ORDER BY stage""".stripMargin
   }
 
