@@ -460,4 +460,40 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rank percentile is ONE groupBy(ts) — expected exactly 1 hash exchange, got $dataExchanges:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
   }
+
+  test("corpus_overlap assembles its bounded aggregate frames by broadcast, never SMJ") {
+    // the per-source estimates, pair-union estimates, and exact-intersection
+    // counts are all ≤ sources² rows; without the broadcast hints Spark's
+    // unknown-stats default planned 4 sort-merge joins here (first PlanDump
+    // census finding)
+    val plan = planOf(PipelineQueries.corpusOverlap(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin"),
+      s"overlap assembly must broadcast its bounded frames:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("seriesByTag predicates evaluate in the scan stage — no pre-filter exchange") {
+    // a tag filter is string predicates over the metric column: it must
+    // run against the scanned frame directly, with the first exchange in
+    // the plan being the downstream aggregation, never a repartition to
+    // evaluate the filter
+    // parquet-backed so the filter survives to the physical plan (a local
+    // table folds the predicates away at optimization time)
+    val pq = s"$root/tagscan.parquet"
+    (0 until 100).map(i => (s"cpu;dc=d${i % 4};host=h$i", (i / 4) * 10L, i.toDouble))
+      .toDF("metric", "ts", "value").write.mode("overwrite").parquet(pq)
+    val base = spark.read.parquet(pq)
+    val df = graft.serving.TargetEval.eval(
+      graft.serving.TargetLang.parse("groupByTags(seriesByTag('name=cpu','dc=d1'),'sum','dc')"),
+      glob => graft.serving.TargetEval.globFilter(base, glob))
+    val plan = planOf(df)
+    val filterLine = plan.linesIterator.indexWhere(_.contains("Filter"))
+    val exchangeLine = plan.linesIterator.indexWhere(_.contains("Exchange"))
+    assert(filterLine >= 0, s"tag filter missing:\n$plan")
+    // executedPlan prints top-down: the groupBy exchange must sit ABOVE
+    // the filter (i.e., appear earlier), meaning the filter runs pre-shuffle
+    assert(exchangeLine >= 0 && exchangeLine < filterLine,
+      s"tag filter must evaluate below the aggregation exchange:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
 }
