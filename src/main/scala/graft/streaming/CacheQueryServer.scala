@@ -81,6 +81,7 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
     server.createContext("/list", handler(handleList))
     server.createContext("/find", handler(handleFind))
     server.createContext("/render", handlerSeq(handleRender))
+    server.createContext("/metrics/expand", handler(handleExpand))
     server.createContext("/tags/findSeries", handlerSeq(handleTagFindSeries))
     server.createContext("/tags/autoComplete/tags", handlerSeq(handleTagNames))
     server.createContext("/tags/autoComplete/values", handlerSeq(handleTagValues))
@@ -233,6 +234,23 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
       s"""{"path":"${esc(r.getString(0))}","leaf":${r.getBoolean(1)},"branch":${r.getBoolean(2)}}"""
     }
     (200, nodes.mkString("""{"nodes":[""", ",", "]}"))
+  }
+
+  /** `GET /metrics/expand?query=sys.*[&leavesOnly=1]` — expand a glob to
+    * the matching node paths at the query's depth (graphite-web's third
+    * discovery endpoint, alongside find and index): `{"results":[...]}`
+    * sorted. Same bounded SeriesFind scan as /find, different shape.
+    */
+  private def handleExpand(p: Map[String, String]): (Int, String) = {
+    val query = need(p, "query")
+    val limit = math.min(p.get("limit").map(_.toInt).getOrElse(1000), 100000)
+    require(limit >= 0, s"limit must be >= 0, got $limit")
+    val leavesOnly = p.get("leavesOnly").exists(v => v == "1" || v == "true")
+    val nodes = graft.storage.SeriesFind.nodes(seriesSource(), query, limit).collect()
+    val paths = nodes.collect {
+      case r if !leavesOnly || r.getBoolean(1) => r.getString(0)
+    }
+    (200, paths.map(s => s""""${esc(s)}"""").mkString("""{"results":[""", ",", "]}"))
   }
 
   // ---- graphite tag API (tags ride inside series names; serving/Tags) ----

@@ -111,6 +111,17 @@ class CacheQueryServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       """{"nodes":[{"path":"web.req","leaf":true,"branch":false}]}""")
   }
 
+  test("/metrics/expand returns node paths at the glob's depth, leavesOnly filters") {
+    def get(path: String): String = {
+      val in = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL.openStream()
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    assert(get("/metrics/expand?query=*") == """{"results":["web"]}""")
+    assert(get("/metrics/expand?query=*&leavesOnly=1") == """{"results":[]}""")
+    assert(get("/metrics/expand?query=web.*") == """{"results":["web.req"]}""")
+    assert(get("/metrics/expand?query=web.*&leavesOnly=1") == """{"results":["web.req"]}""")
+  }
+
   test("/list discovers series by prefix, bounded by limit (metrics/find analog)") {
     def get(path: String): String = {
       val in = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL.openStream()

@@ -132,6 +132,43 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d.hot.hotView().count() === 0, "hot cache fully drained on stop")
   }
 
+  test("tagged series end-to-end: TCP ingest -> catalog -> tag render + tag API -> flush") {
+    // graphite 1.1+ tagged names (`name;k=v;...`) are plain metric strings
+    // to every layer — line protocol, fnv1a shard gate, schema regex,
+    // catalog registration, parquet storage — so the whole tag family has
+    // to work over the daemon without any layer knowing about tags
+    val d = mkDaemon("tags", withCatalog = true)
+    val (linePort, httpPort) = d.start()
+    try {
+      send(linePort, Seq(
+        s"req;dc=east;host=a 1.0 ${Now - 20}",
+        s"req;dc=east;host=b 10.0 ${Now - 20}",
+        s"req;dc=west;host=a 100.0 ${Now - 20}",
+        s"plain.req 7.0 ${Now - 20}"))
+      drainUntil(d) {
+        httpGet(httpPort, "/query?metric=" +
+          java.net.URLEncoder.encode("req;dc=west;host=a", "UTF-8"))
+          .contains(s"[${Now - 20},100.0]")
+      }
+      // tag-filtered render over the daemon's merged fetch
+      val t = java.net.URLEncoder.encode(
+        "groupByTags(seriesByTag('name=req','dc=east'),'sum','dc')", "UTF-8")
+      val r = httpGet(httpPort, s"/render?target=$t&from=${Now - 60}&until=$Now&now=$Now")
+      assert(r.contains("\"target\":\"req;dc=east\""), r)
+      assert(r.contains(s"[${Now - 20},11.0]"), r)
+      assert(!r.contains("west"), r)
+      // tag API over the catalog-backed series source
+      assert(httpGet(httpPort, "/tags/autoComplete/tags") == """["dc","host","name"]""")
+      assert(httpGet(httpPort, "/tags/autoComplete/values?tag=dc") == """["east","west"]""")
+      assert(httpGet(httpPort, "/tags/findSeries?expr=" +
+        java.net.URLEncoder.encode("name=req", "UTF-8") + "&expr=" +
+        java.net.URLEncoder.encode("host=b", "UTF-8")) == """["req;dc=east;host=b"]""")
+    } finally d.stop()
+    // shutdown flush: the tagged series landed in parquet storage intact
+    val after = d.store.fetch(Some("req;dc=west;host=a"), Now - 60, Now, Now)
+    assert(after.exists { case (_, df) => df.where(col("value") === 100.0).count() == 1 })
+  }
+
   test("self-metrics drain re-enters through the ingest stream (InstrumentationService analog)") {
     val schema = StorageSchema("selfm", ".*".r, 1.0, AggMethod.Last,
       Seq(Archive(Step, 720), Archive(60, 1440)), 600, 8)
