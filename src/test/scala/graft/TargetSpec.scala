@@ -41,6 +41,35 @@ class TargetSpec extends AnyFunSuite {
       assertThrows[IllegalArgumentException](TargetLang.parse(bad))
   }
 
+  test("parser property: canonical re-parses to the identical AST (300 generated trees)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val identGen = Gen.oneOf("scale", "sumSeries", "f", "alias_fn", "g2")
+    val pathGen: Gen[TExpr] = for {
+      n <- Gen.chooseNum(1, 4)
+      comps <- Gen.listOfN(n,
+        Gen.oneOf("app", "cpu", "u*", "x?", "[0-2]", "{a,b}", "req;dc=east"))
+    } yield TPath(comps.mkString("."))
+    val numGen: Gen[TExpr] =
+      Gen.oneOf(TNum(0.5, "0.5"), TNum(-3, "-3"), TNum(10, "10"), TNum(2.25, "2.25"))
+    val strGen: Gen[TExpr] =
+      Gen.oneOf(TStr("1h"), TStr("max"), TStr("name=cpu"), TStr("a b"), TStr(""))
+    def exprGen(depth: Int): Gen[TExpr] =
+      if (depth == 0) Gen.oneOf(pathGen, numGen, strGen)
+      else Gen.frequency(
+        2 -> pathGen, 1 -> numGen, 1 -> strGen,
+        3 -> (for {
+          name <- identGen
+          n <- Gen.chooseNum(0, 3)
+          args <- Gen.listOfN(n, exprGen(depth - 1))
+        } yield TCall(name, args)))
+    for (i <- 0 until 300) {
+      val e = exprGen(3).pureApply(Gen.Parameters.default, Seed(i.toLong))
+      assert(TargetLang.parse(e.canonical) == e,
+        s"round-trip failed for: ${e.canonical}")
+    }
+  }
+
   test("path glob regex: * and ? never cross a dot; braces and classes work") {
     val re = TargetEval.pathRegex("app.*.u[0-2]")
     assert("app.click.u0".matches(re))
