@@ -129,6 +129,23 @@ object TargetEval {
     case _ => None
   }
 
+  /** The xFilesFactor pinned by a setXFilesFactor/xFilesFactor call in a
+    * subtree, if any — graphite's setXFilesFactor sets `series
+    * .xFilesFactor`, which the re-bucketing functions (summarize /
+    * smartSummarize) then honor: a bucket whose non-None fraction falls
+    * below the factor consolidates to None. The call itself is an
+    * identity on the data (it neither renames nor transforms) — the
+    * factor travels via this AST scan, exactly like consolidateBy's
+    * method.
+    */
+  def xffOf(expr: TExpr): Option[Double] = expr match {
+    case TCall("setXFilesFactor" | "xFilesFactor", _ :: TNum(v, _) :: Nil) =>
+      require(v >= 0 && v <= 1, s"xFilesFactor must be in [0,1], got $v")
+      Some(v)
+    case TCall(_, args) => args.iterator.flatMap(xffOf).nextOption()
+    case _ => None
+  }
+
   // ---- helpers ----------------------------------------------------------
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
@@ -1176,10 +1193,20 @@ object TargetEval {
         val interval = seconds(str(args(1)))
         require(interval > 0, s"summarize interval must be > 0, got $interval")
         val method = str(args(2))
+        // a setXFilesFactor in the child subtree gates each bucket on its
+        // non-None fraction (graphite's series.xFilesFactor contract)
+        val xff = xffOf(args.head)
+        val agged = sl0
+          .groupBy(col("metric"), (col("ts") - pmod(col("ts"), lit(interval))).as("ts"))
+          .agg(aggFor(method, col("value"), col("ts")).as("value"),
+            count(col("value")).as("__n"), count(lit(1)).as("__c"))
+        val gated = xff match {
+          case Some(x) => when(
+            col("__n").cast("double") >= lit(x) * col("__c").cast("double"), col("value"))
+          case None => col("value")
+        }
         wrapped(
-          sl0.groupBy(col("metric"), (col("ts") - pmod(col("ts"), lit(interval))).as("ts"))
-            .agg(aggFor(method, col("value"), col("ts")).as("value"))
-            .select(col("metric"), col("ts"), col("value").cast("double").as("value")),
+          agged.select(col("metric"), col("ts"), gated.cast("double").as("value")),
           call)
 
       case "smartSummarize" =>
@@ -1196,11 +1223,19 @@ object TargetEval {
           case Some(f) => sl.withColumn("__a", lit(f))
           case None    => sl.crossJoin(broadcast(sl.agg(min(col("ts")).as("__a"))))
         }
-        wrapped(anchored
+        val xffS = xffOf(args.head)
+        val aggedS = anchored
           .groupBy(col("metric"),
             (col("ts") - pmod(col("ts") - col("__a"), lit(interval))).as("ts"))
-          .agg(aggFor(method, col("value"), col("ts")).as("value"))
-          .select(col("metric"), col("ts"), col("value").cast("double").as("value")),
+          .agg(aggFor(method, col("value"), col("ts")).as("value"),
+            count(col("value")).as("__n"), count(lit(1)).as("__c"))
+        val gatedS = xffS match {
+          case Some(x) => when(
+            col("__n").cast("double") >= lit(x) * col("__c").cast("double"), col("value"))
+          case None => col("value")
+        }
+        wrapped(
+          aggedS.select(col("metric"), col("ts"), gatedS.cast("double").as("value")),
           call)
 
       case "hitcount" =>

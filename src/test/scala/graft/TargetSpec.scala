@@ -915,6 +915,20 @@ class TargetSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ev("verticalLine(150)"))
   }
 
+  test("setXFilesFactor gates summarize buckets on the non-None fraction") {
+    // s.b.x: ts10=10.0 (bucket 0, 1/1 non-null), ts20=None + ts30=30.0
+    // (bucket 20, 1/2 non-null = 0.5)
+    val n = "summarize(s.b.x,\"20s\",\"sum\")"
+    assert(ev("summarize(setXFilesFactor(s.b.x,0.6),\"20s\",\"sum\")") ==
+      Map((n, 0L) -> Some(10.0), (n, 20L) -> None))          // 0.5 < 0.6 -> None
+    assert(ev("summarize(setXFilesFactor(s.b.x,0.5),\"20s\",\"sum\")") ==
+      Map((n, 0L) -> Some(10.0), (n, 20L) -> Some(30.0)))    // 0.5 >= 0.5 kept
+    // without the factor the half-null bucket consolidates normally
+    assert(ev(n) == Map((n, 0L) -> Some(10.0), (n, 20L) -> Some(30.0)))
+    assertThrows[IllegalArgumentException](
+      ev("summarize(setXFilesFactor(s.b.x,1.5),\"20s\",\"sum\")"))
+  }
+
   test("multiplySeriesWithWildcards: None-strict product on the stripped name") {
     val m = ev("multiplySeriesWithWildcards(s.*.x,1)")
     assert(m == Map(
