@@ -325,6 +325,30 @@ object TargetEval {
   private def mapValue(df: DataFrame, f: Column => Column): DataFrame =
     df.select(col("metric"), col("ts"), f(col("value")).cast("double").as("value"))
 
+  /** Python %-format of ONE numeric value into a template (the aliasQuery
+    * newName contract): supports %d (truncates toward zero, as Python's
+    * int-format of a float), %s, %f / %.Nf, and %g (Java semantics for g,
+    * a documented shade off CPython's). No spec -> the template verbatim.
+    */
+  private[serving] def pyFormat(fmt: String, v: Double): String = {
+    val re = "%(?:\\.(\\d+))?([dfgs])".r
+    re.findFirstMatchIn(fmt) match {
+      case None => fmt
+      case Some(m) =>
+        val rep = m.group(2) match {
+          case "d" => v.toLong.toString
+          case "s" => v.toString
+          case "f" =>
+            val p = Option(m.group(1)).map(_.toInt).getOrElse(6)
+            String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
+          case "g" =>
+            val p = Option(m.group(1)).map("." + _).getOrElse("")
+            String.format(java.util.Locale.ROOT, s"%${p}g", Double.box(v))
+        }
+        fmt.substring(0, m.start) + rep + fmt.substring(m.end)
+    }
+  }
+
   // ---- function dispatch ------------------------------------------------
 
   private def evalCall(call: TCall, wfetch: WindowedFetch,
@@ -1774,6 +1798,42 @@ object TargetEval {
             wfetch, cropFrom, extraHistory, window)
           newName.fold(sub)(n => renamed(sub, n.replace("%", p)))
         }.reduce(_ unionByName _)
+
+      case "aliasQuery" =>
+        // aliasQuery(list, search, replace, newName): per input series,
+        // regex-substitute its name into a NEW query, evaluate it, take
+        // the resulting first series' last non-None value, and sprintf it
+        // into newName — graphite's "label by another metric's current
+        // value" idiom (e.g. channel power labeled by channel frequency).
+        // Same bounded-512 loud re-entry shape as applyByNode; every
+        // collect is ≤ 1 row. Python %-format backrefs (\1) become Java
+        // ($1) for the substitution; %d truncates toward zero as Python's
+        // does.
+        arity(4)
+        val search = str(args(1))
+        val replace = str(args(2)).replaceAll("\\\\(\\d)", "\\$$1")
+        val newName = str(args(3))
+        val sl = sl0
+        val names = sl.select(col("metric")).distinct().limit(513)
+          .collect().map(_.getString(0)).sorted
+        if (names.length > 512) fail("aliasQuery: > 512 series; narrow the glob")
+        val renames = names.map { n =>
+          val q = n.replaceAll(search, replace)
+          val sub = evalWindowed(TargetLang.parse(q), wfetch, cropFrom,
+            extraHistory, window)
+          val firstRows = sub.select(min(col("metric"))).collect()
+          val first = Option(firstRows.head.getString(0)).getOrElse(
+            fail(s"aliasQuery: no series found with query: $q"))
+          val lastRows = sub
+            .where(col("metric") === first && col("value").isNotNull)
+            .orderBy(col("ts").desc).limit(1).select(col("value")).collect()
+          if (lastRows.isEmpty)
+            fail(s"aliasQuery: cannot get last value of series: $first")
+          n -> pyFormat(newName, lastRows.head.getDouble(0))
+        }
+        val lookup = map(renames.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+        sl.select(coalesce(element_at(lookup, col("metric")), col("metric")).as("metric"),
+          col("ts"), col("value"))
 
       case "useSeriesAbove" =>
         // useSeriesAbove(list, value, "search", "replace"): for series

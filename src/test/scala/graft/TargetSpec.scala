@@ -943,6 +943,27 @@ class TargetSpec extends AnyFunSuite {
       ev("holtWintersConfidenceBands(s.a.x)"))
   }
 
+  test("aliasQuery labels each series by the derived query's last value") {
+    // chan.pow.1/2 labeled by chan.freq.1/2's last non-None value
+    val f = Seq[(String, Long, Option[Double])](
+      ("chan.pow.1", 10L, Some(1.0)), ("chan.pow.1", 20L, Some(2.0)),
+      ("chan.pow.2", 10L, Some(3.0)),
+      ("chan.freq.1", 10L, Some(101.5)), ("chan.freq.1", 20L, None), // last non-None = 101.5
+      ("chan.freq.2", 10L, Some(99.0)), ("chan.freq.2", 20L, Some(104.9))
+    ).toDF("metric", "ts", "value")
+    def evq(t: String) = TargetEval.eval(TargetLang.parse(t),
+        glob => TargetEval.globFilter(f, glob))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = evq(
+      "aliasQuery(chan.pow.*,'chan\\.pow\\.([0-9]+)','chan.freq.\\1','Channel %d MHz')")
+    assert(got == Set(
+      ("Channel 101 MHz", 10L), ("Channel 101 MHz", 20L), // %d truncates 101.5
+      ("Channel 104 MHz", 10L)))
+    // a derived query with no series is a loud client error
+    assertThrows[IllegalArgumentException](evq(
+      "aliasQuery(chan.pow.*,'pow','nosuch','%d')"))
+  }
+
   // ---- tag database family ---------------------------------------------
 
   /** Graphite-tagged names: `name;k=v;...`, canonical key order; `web.req`
