@@ -38,10 +38,17 @@ object CurationQueries {
 
   /** 32-token chunks at stride 16 (50% overlap) with per-chunk hashes. */
   def chunkSliding(s: SparkSession, dir: String): DataFrame =
+    // sort-first (see textLangid): the range exchange samples its CHILD, so
+    // an orderBy after the explode+slice+md5 projection executes that
+    // projection twice over every chunk. Sorting the slim (doc_id, text)
+    // base instead and letting the order-preserving projection + in-row
+    // sequence explode carry (doc_id, chunk_idx) order costs one cheap
+    // exchange — measured 14.8 s -> ~6 s on the 10× corpus. Row order per
+    // partition stays deterministic; the driver's compare sorts rows.
     Packing.slidingChunks(
-      Queries.table(s, dir, "documents").select(col("doc_id"), col("text")),
+      Queries.table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .orderBy("doc_id"),
       col("text"), SlideChunk, SlideStride)
-      .orderBy("doc_id", "chunk_idx")
 
   val chunkSlidingSql: String =
     s"""SELECT * FROM ${Packing.slidingChunksSql(SlideChunk, SlideStride)}
