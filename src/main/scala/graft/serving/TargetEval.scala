@@ -1411,11 +1411,20 @@ object TargetEval {
         sl0.select(element_at(split(cleanedMetric, "\\."), -1).as("metric"),
           col("ts"), col("value"))
       case "aliasByNode" =>
+        // graphite accepts ints (dotted-name nodes) AND strings (tag keys)
+        // mixed in one call — `aliasByNode(series, 1, 'dc')`; the name part
+        // (before any ';') is what splits into nodes, so tagged series
+        // alias cleanly by position too
         atLeast(2)
-        val idx = args.tail.map(int)
-        idx.foreach(i => require(i >= 0, s"aliasByNode index must be >= 0, got $i"))
-        val parts = split(col("metric"), "\\.")
-        val nodes = idx.map(i => coalesce(get(parts, lit(i)), lit("")))
+        val parts = split(substring_index(col("metric"), ";", 1), "\\.")
+        val nodes = args.tail.map {
+          case n @ TNum(_, _) =>
+            val i = int(n)
+            require(i >= 0, s"aliasByNode index must be >= 0, got $i")
+            coalesce(get(parts, lit(i)), lit(""))
+          case TStr(k) => Tags.tagValue(col("metric"), k)
+          case other => fail(s"aliasByNode: expected node index or tag name, got ${other.canonical}")
+        }
         sl0.select(concat_ws(".", nodes: _*).as("metric"), col("ts"), col("value"))
 
       case "aliasByTags" =>

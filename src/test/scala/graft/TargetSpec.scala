@@ -1040,6 +1040,14 @@ class TargetSpec extends AnyFunSuite {
       evt("groupByTags(seriesByTag('name=cpu'),'sum')")) // no tags
   }
 
+  test("aliasByNode mixes node indices and tag keys (graphite 1.1 form)") {
+    // tagged name: node split applies to the part before ';'
+    assert(evt("aliasByNode(seriesByTag('name=cpu','dc=east','host=a'),0,'dc')")
+      .keys.map(_._1).toSet == Set("cpu.east"))
+    assertThrows[IllegalArgumentException](
+      evt("aliasByNode(seriesByTag('name=cpu'),sumSeries(x))"))
+  }
+
   test("aliasByTags: dot-joined tag values, name tag, missing tag empty") {
     assert(evt("aliasByTags(seriesByTag('name=cpu','dc=east'),'host','name')")
       .keys.map(_._1).toSet == Set("a.cpu", "b.cpu"))
