@@ -215,8 +215,8 @@ object PipelineQueries {
   /** DuckDB cells CTE: one (vec_id, tbl, bucket) row per table per vector —
     * mirrors Similarity.withCells over the same plane literals.
     */
-  private def cellsSql(src: String): String =
-    AnnTables.zipWithIndex.map { case (planes, t) =>
+  private def cellsSqlFor(src: String, tables: Seq[Seq[Seq[Double]]]): String =
+    tables.zipWithIndex.map { case (planes, t) =>
       val bucket = planes.zipWithIndex.map { case (plane, p) =>
         val lits = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
         s"CASE WHEN list_dot_product(v, [$lits]) > 0 THEN ${1L << p} ELSE 0 END"
@@ -224,11 +224,19 @@ object PipelineQueries {
       s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM $src"
     }.mkString(" UNION ALL ")
 
+  private def cellsSql(src: String): String = cellsSqlFor(src, AnnTables)
+
   /** Near-dup pairs with corpus-adaptive table depth: b grows with the
     * corpus so cell occupancy (and the within-cell self-join) stays
-    * bounded. At the driver's correctness scale (sf0.01, 500 vectors) the
-    * adaptive rule lands on b=4 — exactly the literal the static oracle SQL
-    * is generated from, so the hash-compare sees identical blocking.
+    * bounded. The oracle mirrors the SAME integer depth rule
+    * (b = max(4, bits(ceil(n/32) - 1))) by branching its cells CTE on
+    * COUNT(*) — one plane-literal branch per b in 4..8 (exact through
+    * n = 8192; a bigger regeneration needs another branch), each gated by
+    * the rule's exact integer thresholds, so the hash-compare sees
+    * identical blocking at EVERY scale factor. (Round-7 lesson: the
+    * static-b oracle silently diverged at sf0.1, where n = 2000 lands on
+    * b = 6 — caught by the first full sf0.1 oracle pass, not by the
+    * sf0.01 gate.)
     */
   def embedCosineNearDup(s: SparkSession, dir: String): DataFrame = {
     // no spread(): the pre-shuffle work on the embeddings scan is a trivial
@@ -242,10 +250,21 @@ object PipelineQueries {
       .orderBy("a", "b")
   }
 
-  val embedCosineNearDupSql: String =
+  val embedCosineNearDupSql: String = {
+    // one cells branch per adaptive depth, gated on the RAW corpus count
+    // (the Spark side sizes b from emb.count() before canonicalization):
+    // b is picked iff 32*2^(b-1) < n <= 32*2^b (floor 4)
+    val branches = (4 to 8).map { b =>
+      val tables = Similarity.multiTablePlanes(LshTables, b, 64)
+      val minN = if (b == 4) 0L else 32L * (1L << (b - 1))
+      val maxN = 32L * (1L << b)
+      s"""SELECT * FROM (${cellsSqlFor("e", tables)}) cb$b
+         |WHERE (SELECT c FROM rawn) > $minN AND (SELECT c FROM rawn) <= $maxN""".stripMargin
+    }.mkString(" UNION ALL ")
     s"""WITH e AS (SELECT MIN(vec_id) AS vec_id, v FROM
        |       (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) GROUP BY v),
-       |cells AS (${cellsSql("e")}),
+       |rawn AS (SELECT COUNT(*) AS c FROM embeddings),
+       |cells AS ($branches),
        |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
        |         FROM cells l JOIN cells r
        |           ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
@@ -253,6 +272,7 @@ object PipelineQueries {
        |FROM cand JOIN e ea ON cand.a = ea.vec_id JOIN e eb ON cand.b = eb.vec_id
        |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= $CosineThreshold
        |ORDER BY a, b""".stripMargin
+  }
 
   val KnnK = 5
   val NumQueryVecs = 10
