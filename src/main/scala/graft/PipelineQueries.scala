@@ -342,19 +342,30 @@ object PipelineQueries {
       .select((col("doc_id") +: col("lang_pred") +: scores.map(col)): _*)
   }
 
-  val textLangidSql: String = {
-    val scoreExprs = TextAnalysis.langMarkers.map { case (lang, words) =>
+  /** Shared langid SQL fragments — ONE definition each for the per-language
+    * score select list and the winner CASE, used verbatim by textLangidSql
+    * AND curationFunnelSql so the funnel's oracle can never drift from the
+    * standalone query it claims to reuse.
+    */
+  private val langScoreSelectSql: String = TextAnalysis.langMarkers.map {
+    case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(t, x -> list_contains([$list], x))) AS score_$lang"
-    }.mkString(",\n")
-    val best = TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }.mkString("GREATEST(", ", ", ")")
-    val pick = TextAnalysis.langMarkers.map { case (l, _) =>
+  }.mkString(", ")
+
+  private val langPickCaseSql: String = {
+    val best = TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }
+      .mkString("GREATEST(", ", ", ")")
+    TextAnalysis.langMarkers.map { case (l, _) =>
       s"WHEN score_$l = $best AND $best > 0 THEN '$l'"
-    }.mkString(" ")
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  val textLangidSql: String = {
     val scoreCols = TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }.mkString(", ")
     s"""WITH $toksSql,
-       |scored AS (SELECT doc_id, $scoreExprs FROM toks)
-       |SELECT doc_id, CASE $pick ELSE 'und' END AS lang_pred, $scoreCols
+       |scored AS (SELECT doc_id, $langScoreSelectSql FROM toks)
+       |SELECT doc_id, $langPickCaseSql AS lang_pred, $scoreCols
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
@@ -366,25 +377,35 @@ object PipelineQueries {
       .withColumn("quality", TextAnalysis.qualityScore)
       .drop("text")
 
-  val textQualitySql: String = {
+  /** Shared quality SQL fragments — the feature select (over `documents d
+    * JOIN toks`) and the composite-score expression, used verbatim by
+    * textQualitySql AND curationFunnelSql.
+    */
+  private val qualityFeatsSql: String = {
     val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH $toksSql,
-       |f AS (SELECT d.doc_id,
+    s"""SELECT d.doc_id,
        |  len(t) AS n_words,
        |  len(list_distinct(t)) AS n_uniq_words,
        |  len(list_filter(t, x -> list_contains([$stopList], x))) AS n_stopwords,
        |  len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]')) AS n_punct,
        |  len(d.text) AS text_len
-       |FROM documents d JOIN toks ON d.doc_id = toks.doc_id)
-       |SELECT doc_id, n_words, n_uniq_words, n_stopwords, n_punct, text_len,
-       |  round(
-       |    (CASE WHEN text_len >= 50 AND text_len <= 5000 THEN 1.0 ELSE 0.2 END) * 0.4
-       |    + LEAST((CASE WHEN n_words > 0 THEN CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 2.0, 1.0) * 0.2
-       |    + (CASE WHEN n_words > 0 THEN CAST(n_uniq_words AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 0.3
-       |    + (1.0 - LEAST((CASE WHEN text_len > 0 THEN CAST(n_punct AS DOUBLE) / CAST(text_len AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)) * 0.1
-       |  , 6) AS quality
-       |FROM f ORDER BY doc_id""".stripMargin
+       |FROM documents d JOIN toks ON d.doc_id = toks.doc_id""".stripMargin
   }
+
+  private val qualityScoreExprSql: String =
+    """round(
+      |    (CASE WHEN text_len >= 50 AND text_len <= 5000 THEN 1.0 ELSE 0.2 END) * 0.4
+      |    + LEAST((CASE WHEN n_words > 0 THEN CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 2.0, 1.0) * 0.2
+      |    + (CASE WHEN n_words > 0 THEN CAST(n_uniq_words AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 0.3
+      |    + (1.0 - LEAST((CASE WHEN text_len > 0 THEN CAST(n_punct AS DOUBLE) / CAST(text_len AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)) * 0.1
+      |  , 6)""".stripMargin
+
+  val textQualitySql: String =
+    s"""WITH $toksSql,
+       |f AS ($qualityFeatsSql)
+       |SELECT doc_id, n_words, n_uniq_words, n_stopwords, n_punct, text_len,
+       |  $qualityScoreExprSql AS quality
+       |FROM f ORDER BY doc_id""".stripMargin
 
   def textTokens(s: SparkSession, dir: String): DataFrame =
     Queries.table(s, dir, "documents")
@@ -549,7 +570,7 @@ object PipelineQueries {
     }
     val withLang = withScores.withColumn("lang_pred", TextAnalysis.langIdFromScores(
       TextAnalysis.langMarkers.map { case (l, _) => l -> col(s"__s_$l") }))
-    val base = TextAnalysis.qualityFeatures(withLang, col("text"))
+    val base = TextAnalysis.qualityFeaturesFromTokens(withLang, col("text"), col("__toks"))
       .withColumn("quality", TextAnalysis.qualityScore)
       .select("doc_id", "source", "text", "lang_pred", "quality")
     // ONE pass: every stage is a boolean flag on the same row, so the six
@@ -594,34 +615,13 @@ object PipelineQueries {
       .orderBy("stage")
   }
 
-  val curationFunnelSql: String = {
-    val scoreExprs = TextAnalysis.langMarkers.map { case (lang, words) =>
-      val list = words.map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(t, x -> list_contains([$list], x))) AS score_$lang"
-    }.mkString(", ")
-    val best = TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }
-      .mkString("GREATEST(", ", ", ")")
-    val pick = TextAnalysis.langMarkers.map { case (l, _) =>
-      s"WHEN score_$l = $best AND $best > 0 THEN '$l'"
-    }.mkString(" ")
-    val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+  val curationFunnelSql: String =
     s"""WITH $toksSql,
-       |scored AS (SELECT doc_id, $scoreExprs FROM toks),
-       |feats AS (SELECT d.doc_id,
-       |  len(t) AS n_words, len(list_distinct(t)) AS n_uniq_words,
-       |  len(list_filter(t, x -> list_contains([$stopList], x))) AS n_stopwords,
-       |  len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]')) AS n_punct,
-       |  len(d.text) AS text_len
-       |  FROM documents d JOIN toks ON d.doc_id = toks.doc_id),
-       |qual AS (SELECT doc_id,
-       |  round(
-       |    (CASE WHEN text_len >= 50 AND text_len <= 5000 THEN 1.0 ELSE 0.2 END) * 0.4
-       |    + LEAST((CASE WHEN n_words > 0 THEN CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 2.0, 1.0) * 0.2
-       |    + (CASE WHEN n_words > 0 THEN CAST(n_uniq_words AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 0.3
-       |    + (1.0 - LEAST((CASE WHEN text_len > 0 THEN CAST(n_punct AS DOUBLE) / CAST(text_len AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)) * 0.1
-       |  , 6) AS quality FROM feats),
+       |scored AS (SELECT doc_id, $langScoreSelectSql FROM toks),
+       |feats AS ($qualityFeatsSql),
+       |qual AS (SELECT doc_id, $qualityScoreExprSql AS quality FROM feats),
        |base AS (SELECT d.doc_id, d.source, d.text,
-       |                CASE $pick ELSE 'und' END AS lang_pred, qual.quality
+       |                $langPickCaseSql AS lang_pred, qual.quality
        |         FROM documents d JOIN scored ON d.doc_id = scored.doc_id
        |                          JOIN qual ON d.doc_id = qual.doc_id),
        |flags AS (SELECT base.*,
@@ -669,7 +669,6 @@ object PipelineQueries {
        |  UNION ALL SELECT 5, 'exact_canonical', n5 FROM counted
        |  UNION ALL SELECT 6, 'decontaminated', n6 FROM counted)
        |ORDER BY stage""".stripMargin
-  }
 
   // ---- cross-source corpus overlap (HLL inclusion-exclusion) --------------
 

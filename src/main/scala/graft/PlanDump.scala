@@ -37,7 +37,13 @@ object PlanDump {
       // "[codegen id : N]" — distinct ids = whole-stage codegen spans
       val spans = "\\[codegen id : (\\d+)\\]".r
         .findAllMatchIn(plan).map(_.group(1)).toSet.size
-      census += ((name, cnt("Exchange"), cnt("BroadcastHashJoin") + cnt("BroadcastNestedLoopJoin"),
+      // shuffle-specific markers only: a bare "Exchange" substring would
+      // also count BroadcastExchange/ReusedExchange and mask a
+      // shuffle<->broadcast swap — the exact diff this tool exists to show
+      val shuffles = cnt("Exchange hashpartitioning") +
+        cnt("Exchange rangepartitioning") + cnt("Exchange SinglePartition") +
+        cnt("Exchange RoundRobinPartitioning")
+      census += ((name, shuffles, cnt("BroadcastHashJoin") + cnt("BroadcastNestedLoopJoin"),
         cnt("SortMergeJoin"), spans))
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)

@@ -24,20 +24,24 @@ object RenderScale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def frame(series: Int) = {
-      // Spark's `/` on a bigint is FRACTIONAL division — a stray double in
-      // the name would add dots and break the 3-node glob silently, so the
-      // series index floors to an integer and the group node is a function
-      // of the SERIES (constant across its slots), not the row
+    // Spark's `/` on a bigint is FRACTIONAL division — a stray double in
+    // the name would add dots and break the 3-node glob silently, so the
+    // series index floors to an integer and the group node is a function
+    // of the SERIES (constant across its slots), not the row. One builder
+    // for both naming lanes so the slot math / gap pattern can't drift.
+    def frameNamed(series: Int)(nameOf: org.apache.spark.sql.Column
+                                => org.apache.spark.sql.Column) = {
       val sid = floor(col("id") / slots.toDouble).cast("long")
       spark.range(series.toLong * slots).select(
-        concat(lit("app.g"), pmod(sid, lit(50L)).cast("string"),
-          lit(".m"), sid.cast("string")).as("metric"),
+        nameOf(sid).as("metric"),
         pmod(col("id"), lit(slots.toLong)) * 60L + 60L as "ts",
         // deterministic, non-constant, a sprinkling of nulls (gaps)
         when(pmod(col("id"), lit(97)) =!= 0,
           pmod(col("id") * 7919L, lit(10007)).cast("double") / 100.0).as("value"))
     }
+    def frame(series: Int) = frameNamed(series)(sid =>
+      concat(lit("app.g"), pmod(sid, lit(50L)).cast("string"),
+        lit(".m"), sid.cast("string")))
 
     val targets = Seq(
       "sumSeries(app.*.*)",                 // cross-series combine
@@ -67,15 +71,9 @@ object RenderScale {
     // (`cpu;dc=dK;host=hSID`) — seriesByTag is regexp_extract predicates in
     // the scan, groupByTags one groupBy bounded by groups x slots, so both
     // should track the name-glob lane linearly in S
-    def taggedFrame(series: Int) = {
-      val sid = floor(col("id") / slots.toDouble).cast("long")
-      spark.range(series.toLong * slots).select(
-        concat(lit("cpu;dc=d"), pmod(sid, lit(8L)).cast("string"),
-          lit(";host=h"), sid.cast("string")).as("metric"),
-        pmod(col("id"), lit(slots.toLong)) * 60L + 60L as "ts",
-        when(pmod(col("id"), lit(97)) =!= 0,
-          pmod(col("id") * 7919L, lit(10007)).cast("double") / 100.0).as("value"))
-    }
+    def taggedFrame(series: Int) = frameNamed(series)(sid =>
+      concat(lit("cpu;dc=d"), pmod(sid, lit(8L)).cast("string"),
+        lit(";host=h"), sid.cast("string")))
     val tagTargets = Seq(
       "seriesByTag('name=cpu','dc=d3')",                        // exact-filter discovery
       "groupByTags(seriesByTag('name=cpu','host=~h1'),'sum','dc')", // regex + grouped combine

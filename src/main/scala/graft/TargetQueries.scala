@@ -19,19 +19,28 @@ import graft.serving.{TargetEval, TargetLang}
   */
 object TargetQueries {
 
+  /** Shared step-aligned decimal sum-rollup over events: ONE definition of
+    * the (metric, ts, value) frame shape every target query evaluates
+    * over, parameterized by series naming and step so the dotted, tagged,
+    * and hourly bases cannot drift apart.
+    */
+  private def rollupBase(s: SparkSession, dir: String,
+                         nameCol: org.apache.spark.sql.Column, step: Long): DataFrame =
+    Queries.events(s, dir)
+      .select(nameCol.as("metric"),
+        expr("ts DIV 1000000000").as("sec"),
+        col("value"))
+      .groupBy(col("metric"), Queries.alignSec(step))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("value"))
+
   /** 60s sum-rollup series frame named `app.<event_type>.u<user_id%4>` —
     * the same synthetic namespace the series-find query uses, at the shape
     * `MetricStore.fetch` emits: (metric, ts, value) step-aligned.
     */
   def targetBase(s: SparkSession, dir: String): DataFrame =
-    Queries.events(s, dir)
-      .select(
-        concat(lit("app."), col("event_type"), lit(".u"),
-          pmod(col("user_id"), lit(4L)).cast("string")).as("metric"),
-        expr("ts DIV 1000000000").as("sec"),
-        col("value"))
-      .groupBy(col("metric"), Queries.alignSec(60))
-      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("value"))
+    rollupBase(s, dir,
+      concat(lit("app."), col("event_type"), lit(".u"),
+        pmod(col("user_id"), lit(4L)).cast("string")), 60)
 
   val TargetBaseSql: String =
     """SELECT 'app.' || event_type || '.u' || (user_id % 4) AS metric,
@@ -204,14 +213,9 @@ object TargetQueries {
     * carried as tags instead of path nodes.
     */
   def taggedBase(s: SparkSession, dir: String): DataFrame =
-    Queries.events(s, dir)
-      .select(
-        concat(lit("req;shard=u"), pmod(col("user_id"), lit(4L)).cast("string"),
-          lit(";type="), col("event_type")).as("metric"),
-        expr("ts DIV 1000000000").as("sec"),
-        col("value"))
-      .groupBy(col("metric"), Queries.alignSec(60))
-      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("value"))
+    rollupBase(s, dir,
+      concat(lit("req;shard=u"), pmod(col("user_id"), lit(4L)).cast("string"),
+        lit(";type="), col("event_type")), 60)
 
   val TaggedBaseSql: String =
     """SELECT 'req;shard=u' || (user_id % 4) || ';type=' || event_type AS metric,
@@ -253,14 +257,9 @@ object TargetQueries {
     * (~31 days of slots per series) both honest and bounded.
     */
   def hwBase(s: SparkSession, dir: String): DataFrame =
-    Queries.events(s, dir)
-      .select(
-        concat(lit("app."), col("event_type"), lit(".u"),
-          pmod(col("user_id"), lit(4L)).cast("string")).as("metric"),
-        expr("ts DIV 1000000000").as("sec"),
-        col("value"))
-      .groupBy(col("metric"), Queries.alignSec(3600))
-      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("value"))
+    rollupBase(s, dir,
+      concat(lit("app."), col("event_type"), lit(".u"),
+        pmod(col("user_id"), lit(4L)).cast("string")), 3600)
 
   val HwBaseSql: String =
     """SELECT 'app.' || event_type || '.u' || (user_id % 4) AS metric,

@@ -82,10 +82,17 @@ object TextAnalysis {
     * punctuation ratio. Deterministic and SQL-expressible.
     */
   def qualityFeatures(df: DataFrame, text: Column): DataFrame =
+    qualityFeaturesFromTokens(df, text, tokens(text))
+
+  /** [[qualityFeatures]] over an ALREADY-materialized token column — a
+    * caller that tokenized for another stat (langid scores, say) must not
+    * pay the split kernel twice in the same scan.
+    */
+  def qualityFeaturesFromTokens(df: DataFrame, text: Column, toks: Column): DataFrame =
     // one codegen'd pass over the token array for all three token stats
     // (size / array_distinct / stopword filter would be three passes, the
     // last interpreted), and a direct codepoint scan for the punct count
-    df.withColumn("__st", graft.functions.TextKernels.textStats(tokens(text), stopwords))
+    df.withColumn("__st", graft.functions.TextKernels.textStats(toks, stopwords))
       .withColumn("n_words", col("__st.n_words"))
       .withColumn("n_uniq_words", col("__st.n_uniq_words"))
       .withColumn("n_stopwords", col("__st.n_stopwords"))

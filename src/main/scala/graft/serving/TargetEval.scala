@@ -139,7 +139,19 @@ object TargetEval {
     * method.
     */
   def xffOf(expr: TExpr): Option[Double] = expr match {
-    case TCall("setXFilesFactor" | "xFilesFactor", _ :: TNum(v, _) :: Nil) =>
+    case TCall("setXFilesFactor" | "xFilesFactor", args) =>
+      // graphite coerces a quoted factor; any other shape is a loud
+      // client error, never a silently ignored call
+      val v = args match {
+        case _ :: TNum(n, _) :: Nil => n
+        case _ :: TStr(s) :: Nil =>
+          try s.toDouble catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(s"bad xFilesFactor '$s'")
+          }
+        case _ => throw new IllegalArgumentException(
+          "setXFilesFactor expects (seriesList, factor)")
+      }
       require(v >= 0 && v <= 1, s"xFilesFactor must be in [0,1], got $v")
       Some(v)
     case TCall(_, args) => args.iterator.flatMap(xffOf).nextOption()
@@ -767,9 +779,11 @@ object TargetEval {
         // statFor method set.
         atLeast(3)
         val method = str(args(1))
-        val tagKeys = args.drop(2).map(str)
+        // canonical sorted key order in the output name (graphite's
+        // TaggedSeries formatting), regardless of call order
+        val tagKeys = args.drop(2).map(str).filter(_ != "name").distinct.sorted
         val nameV = Tags.tagValue(col("metric"), "name")
-        val appended = tagKeys.filter(_ != "name").map { k =>
+        val appended = tagKeys.map { k =>
           concat(lit(";" + k + "="), Tags.tagValue(col("metric"), k))
         }
         sl0
@@ -1826,6 +1840,9 @@ object TargetEval {
         val names = sl.select(col("metric")).distinct().limit(513)
           .collect().map(_.getString(0)).sorted
         if (names.length > 512) fail("aliasQuery: > 512 series; narrow the glob")
+        // empty input -> empty output (graphite's loop body never runs);
+        // a zero-entry map() literal would fail analysis downstream
+        if (names.isEmpty) return sl
         val renames = names.map { n =>
           val q = n.replaceAll(search, replace)
           val sub = evalWindowed(TargetLang.parse(q), wfetch, cropFrom,
@@ -1935,6 +1952,9 @@ object TargetEval {
          | "secondYAxis" | "stacked" | "areaBetween" | "alpha" | "areaAlpha"
          | "cactiStyle" | "legendValue" | "setXFilesFactor" | "xFilesFactor" =>
         atLeast(1)
+        // a bare/malformed factor must fail HERE, not silently pass as an
+        // identity the summarize-side AST scan then ignores
+        if (name == "setXFilesFactor" || name == "xFilesFactor") { xffOf(call); () }
         sl0
 
       case other =>

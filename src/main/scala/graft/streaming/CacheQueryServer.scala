@@ -292,8 +292,10 @@ final class CacheQueryServer(caches: Seq[HotCache], port: Int = 0,
     val base0 = seriesSource()
     val base = if (exprs.isEmpty) base0
                else base0.where(graft.serving.Tags.compile(col("metric"), exprs))
+    // slice from element 2: the NAME segment (before the first ';') must
+    // not contribute a key even if it contains '=' (legal in a plain name)
     val keys = base
-      .select(explode(split(col("metric"), ";")).as("seg"))
+      .select(explode(slice(split(col("metric"), ";"), 2, Int.MaxValue)).as("seg"))
       .where(col("seg").contains("="))
       .select(substring_index(col("seg"), "=", 1).as("tag"))
       .unionByName(base.limit(1).select(lit("name").as("tag")))
