@@ -37,12 +37,12 @@ object PlanDump {
       // "[codegen id : N]" — distinct ids = whole-stage codegen spans
       val spans = "\\[codegen id : (\\d+)\\]".r
         .findAllMatchIn(plan).map(_.group(1)).toSet.size
-      // shuffle-specific markers only: a bare "Exchange" substring would
-      // also count BroadcastExchange/ReusedExchange and mask a
-      // shuffle<->broadcast swap — the exact diff this tool exists to show
-      val shuffles = cnt("Exchange hashpartitioning") +
-        cnt("Exchange rangepartitioning") + cnt("Exchange SinglePartition") +
-        cnt("Exchange RoundRobinPartitioning")
+      // shuffle-specific marker only: formatted mode prints shuffle nodes
+      // as "+- Exchange (N)" (partitioning goes on a separate Arguments
+      // line), while broadcast/reuse nodes are "+- BroadcastExchange (N)" /
+      // "+- ReusedExchange (N)" — the "- Exchange (" needle matches only
+      // the true shuffles, so a shuffle<->broadcast swap shows in the diff
+      val shuffles = cnt("- Exchange (")
       census += ((name, shuffles, cnt("BroadcastHashJoin") + cnt("BroadcastNestedLoopJoin"),
         cnt("SortMergeJoin"), spans))
     }
