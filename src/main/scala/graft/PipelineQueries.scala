@@ -691,7 +691,11 @@ object PipelineQueries {
     val srcs = docs.select(col("source")).distinct()
     val pairs = srcs.as("x").join(srcs.as("y"), col("x.source") < col("y.source"))
       .select(col("x.source").as("a"), col("y.source").as("b"))
-    val regs = Sketches.hllRegisters(docs, Seq("source"), col("text"))
+    // cache the register table: ≤ sources × 256 rows, but its lineage is a
+    // full corpus scan + md5 per text — without the cache that scan runs
+    // once per consumer (both single-estimate joins AND the pair-union),
+    // 3× the corpus reads for a frame that fits in one block
+    val regs = Sketches.hllRegisters(docs, Seq("source"), col("text")).cache()
     val single = Sketches.hllEstimate(regs, Seq("source"), "est")
     val mem = pairs.select(col("a"), col("b"), col("a").as("source"))
       .unionByName(pairs.select(col("a"), col("b"), col("b").as("source")))
