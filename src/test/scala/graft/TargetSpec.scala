@@ -1048,6 +1048,53 @@ class TargetSpec extends AnyFunSuite {
       evt("aliasByNode(seriesByTag('name=cpu'),sumSeries(x))"))
   }
 
+  test("Tags property: compiled predicates match a naive evaluator (120 random queries)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // independent reference: parse tags from a name and evaluate one spec
+    def tagsOf(m: String): Map[String, String] = {
+      val segs = m.split(";", -1)
+      Map("name" -> segs.head) ++ segs.tail.flatMap { s =>
+        val i = s.indexOf('='); if (i < 0) None else Some(s.take(i) -> s.drop(i + 1))
+      }
+    }
+    def naive(m: String, sp: Tags.Spec): Boolean = {
+      val v = tagsOf(m).getOrElse(sp.key, "")
+      sp.op match {
+        case "="  => v == sp.value
+        case "!=" => v != sp.value
+        case "=~" => java.util.regex.Pattern.compile(sp.value).matcher(v).lookingAt()
+        case "!~" => !java.util.regex.Pattern.compile(sp.value).matcher(v).lookingAt()
+      }
+    }
+    val corpus = for {
+      name <- Seq("cpu", "mem.used", "disk")
+      dc <- Seq(Some("east"), Some("west"), None)
+      host <- Seq(Some("h1"), Some("h12"), None)
+    } yield name +
+      dc.map(";dc=" + _).getOrElse("") + host.map(";host=" + _).getOrElse("")
+    val df = corpus.map(m => (m, 1L, Some(1.0))).toDF("metric", "ts", "value")
+    val keyGen = Gen.oneOf("name", "dc", "host", "rack")
+    val opGen = Gen.oneOf("=", "!=", "=~", "!~")
+    val valGen = Gen.oneOf("cpu", "east", "west", "h1", "h", "h.*", "ea", "", "mem.used")
+    val specGen = for { k <- keyGen; o <- opGen; v <- valGen } yield s"$k$o$v"
+    val qGen = Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, specGen))
+    var checked = 0
+    for (i <- 0 until 240 if checked < 120) {
+      val specs = qGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val parsed = specs.map(Tags.parseSpec)
+      if (parsed.exists(Tags.matchesNonEmpty)) { // else compile() rejects, by design
+        checked += 1
+        val got = df.where(Tags.compile(
+            org.apache.spark.sql.functions.col("metric"), specs))
+          .select("metric").collect().map(_.getString(0)).toSet
+        val want = corpus.filter(m => parsed.forall(naive(m, _))).toSet
+        assert(got == want, s"specs=$specs got=$got want=$want")
+      }
+    }
+    assert(checked >= 60, s"generator starved: only $checked valid queries")
+  }
+
   test("aliasByTags: dot-joined tag values, name tag, missing tag empty") {
     assert(evt("aliasByTags(seriesByTag('name=cpu','dc=east'),'host','name')")
       .keys.map(_._1).toSet == Set("a.cpu", "b.cpu"))
