@@ -1227,15 +1227,37 @@ object TargetEval {
               .cast("double").as("value")), call)
 
       case "summarize" =>
-        arity(3)
+        atLeast(3)
+        if (args.length > 4) fail(s"summarize expects 3-4 arguments, got ${args.length}")
         val interval = seconds(str(args(1)))
         require(interval > 0, s"summarize interval must be > 0, got $interval")
         val method = str(args(2))
+        // graphite's optional alignToFrom: true anchors buckets at the
+        // window (or frame) start instead of interval boundaries — the
+        // smartSummarize bucketing; false/absent is the default grid
+        val alignToFrom = args.lift(3).exists {
+          case TStr(v) if v.equalsIgnoreCase("true") || v == "1"   => true
+          case TStr(v) if v.equalsIgnoreCase("false") || v == "0"  => false
+          case TNum(v, _) => v != 0
+          case other      => fail(s"summarize: bad alignToFrom '${other.canonical}'")
+        }
         // a setXFilesFactor in the child subtree gates each bucket on its
         // non-None fraction (graphite's series.xFilesFactor contract)
         val xff = xffOf(args.head)
-        val agged = sl0
-          .groupBy(col("metric"), (col("ts") - pmod(col("ts"), lit(interval))).as("ts"))
+        val sl1 = sl0
+        val bucketed =
+          if (!alignToFrom)
+            sl1.withColumn("__b", col("ts") - pmod(col("ts"), lit(interval)))
+          else cropFrom match {
+            case Some(f) => sl1.withColumn("__b",
+              col("ts") - pmod(col("ts") - lit(f), lit(interval)))
+            case None =>
+              val anchored = sl1.crossJoin(broadcast(sl1.agg(min(col("ts")).as("__a"))))
+              anchored.withColumn("__b",
+                col("ts") - pmod(col("ts") - col("__a"), lit(interval)))
+          }
+        val agged = bucketed
+          .groupBy(col("metric"), col("__b").as("ts"))
           .agg(aggFor(method, col("value"), col("ts")).as("value"),
             count(col("value")).as("__n"), count(lit(1)).as("__c"))
         val gated = xff match {

@@ -915,6 +915,26 @@ class TargetSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ev("verticalLine(150)"))
   }
 
+  test("summarize alignToFrom anchors buckets at the frame head (graphite 4th arg)") {
+    // s.a.x ts 10..40 step 10; default grid 20s buckets: 0=[10],20=[20,30],40=[40]
+    val grid = ev("summarize(s.a.x,\"20s\",\"sum\")")
+    assert(grid == Map(
+      ("summarize(s.a.x,\"20s\",\"sum\")", 0L) -> Some(1.0),
+      ("summarize(s.a.x,\"20s\",\"sum\")", 20L) -> Some(5.0),
+      ("summarize(s.a.x,\"20s\",\"sum\")", 40L) -> Some(8.0)))
+    // anchored at min ts = 10: buckets 10=[10,20], 30=[30,40]
+    val anchored = ev("summarize(s.a.x,\"20s\",\"sum\",\"true\")")
+    assert(anchored == Map(
+      ("summarize(s.a.x,\"20s\",\"sum\",\"true\")", 10L) -> Some(4.0),
+      ("summarize(s.a.x,\"20s\",\"sum\",\"true\")", 30L) -> Some(10.0)))
+    // explicit false keeps the grid; junk is a loud client error
+    def slots(m: Map[(String, Long), Option[Double]]): Map[Long, Option[Double]] =
+      m.map { case ((_, ts), v) => ts -> v }
+    assert(slots(ev("summarize(s.a.x,\"20s\",\"sum\",\"false\")")) == slots(grid))
+    assertThrows[IllegalArgumentException](
+      ev("summarize(s.a.x,\"20s\",\"sum\",\"maybe\")"))
+  }
+
   test("setXFilesFactor gates summarize buckets on the non-None fraction") {
     // s.b.x: ts10=10.0 (bucket 0, 1/1 non-null), ts20=None + ts30=30.0
     // (bucket 20, 1/2 non-null = 0.5)
