@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Ordered-step funnel analysis (view → click → purchase): for each entity,
@@ -8,67 +8,85 @@ import org.apache.spark.sql.functions._
   * the report aggregates per-step reach, conversion from the previous step,
   * and mean step latency.
   *
-  * Shape at scale: step k is one filtered scan joined to the step-k−1
-  * entity frame on the entity key and re-aggregated — every stage is a
-  * keyed shuffle join + groupBy with map-side combine, so no per-entity
-  * event list is ever collected or sorted (the fold-over-sorted-events
-  * formulation would need either a per-entity sort of the whole corpus or
-  * unbounded collect_list state). Entity frames shrink monotonically
-  * (each stage filters to converters), and each is cached because the
-  * report reads every stage twice (its own count + the next stage's join).
+  * Shape at scale: ONE keyed shuffle. Funnel-type events repartition by
+  * entity and sort within partitions on (entity, ts) — Spark's external
+  * sort, spill-safe at any size — then a streaming state machine walks each
+  * entity's events once with O(steps) state and emits one step-time vector
+  * per entity. No per-entity event list is ever collected (a bot entity
+  * with millions of events costs zero extra memory), and the whole corpus
+  * moves through exactly one exchange — versus the staged-join
+  * formulation's 2×steps shuffles of the same rows (one join + one
+  * re-aggregation per step), which is why this query was 85× off the
+  * single-node oracle time at sf0.1 before the rewrite.
   *
   * The strict `>` means a same-instant pair does not count as progression
   * — at µs resolution simultaneous view+click is a bot signature, not a
-  * funnel step; the tie policy is pinned by spec and oracle alike.
+  * funnel step; the tie policy is pinned by spec and oracle alike. The
+  * result is sort-order independent: an event can only bind to its own
+  * step's slot, same-type ties resolve to the min either way, and a
+  * same-instant cross-step pair fails the strict `>` in both orders.
   */
 object Funnel {
 
-  /** Per-entity step times: one row per entity that completed ALL `steps`,
-    * columns t1..tk. Intermediate stage frames are returned too (index i =
-    * entities completing steps 0..i) so callers can count reach per stage.
+  /** One entity's step-completion times; t(i) = earliest instant the entity
+    * finished step i strictly after t(i−1), None once the chain breaks.
+    * (Not `private`: Catalyst's generated deserializer needs public access.)
     */
-  def stageFrames(events: DataFrame, key: Column, ts: Column, typ: Column,
-                  steps: Seq[String]): Seq[DataFrame] = {
+  case class StepTimes(t: Seq[Option[Long]])
+  case class FunnelEvent(k: String, ts: Long, step: Int)
+
+  /** Per-entity step times (one row per entity seen in ANY step, columns
+    * tied by position: element i of `t` = step i's completion time).
+    */
+  private def stepTimes(events: DataFrame, key: Column, ts: Column,
+                        typ: Column, steps: Seq[String]): Dataset[StepTimes] = {
     require(steps.nonEmpty, "funnel: no steps")
-    val frames = Seq.newBuilder[DataFrame]
-    var acc: DataFrame = null
-    for ((st, i) <- steps.zipWithIndex) {
-      val evs = events.where(typ === st)
-        .select(key.as("__k"), ts.as("__ts"))
-      acc =
-        if (i == 0) evs.groupBy(col("__k")).agg(min(col("__ts")).as("t1"))
-        else {
-          val prevCols = (1 to i).map(j => min(col(s"t$j")).as(s"t$j"))
-          acc.join(evs, "__k")
-            .where(col("__ts") > col(s"t$i"))
-            .groupBy(col("__k"))
-            .agg(prevCols.head, (prevCols.tail :+ min(col("__ts")).as(s"t${i + 1}")): _*)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val nSteps = steps.length
+    // step name → index resolved in-plan (events outside the funnel are
+    // dropped before the shuffle, so the exchange only moves funnel rows)
+    val stepIdx = (array_position(array(steps.map(lit): _*), typ) - 1).cast("int")
+    events.where(typ.isInCollection(steps))
+      .select(key.cast("string").as("k"), ts.cast("long").as("ts"),
+        stepIdx.as("step"))
+      .as[FunnelEvent]
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("ts"))
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        new Iterator[StepTimes] {
+          def hasNext: Boolean = it.hasNext
+          def next(): StepTimes = {
+            val k0 = it.head.k
+            val t = Array.fill[Option[Long]](nSteps)(None)
+            while (it.hasNext && it.head.k == k0) {
+              val e = it.next()
+              if (t(e.step).isEmpty &&
+                  (e.step == 0 || t(e.step - 1).exists(_ < e.ts)))
+                t(e.step) = Some(e.ts)
+            }
+            StepTimes(t.toIndexedSeq)
+          }
         }
-      acc = acc.cache()
-      frames += acc
-    }
-    frames.result()
+      }
   }
 
-  /** 3-row-per-step funnel report: (step, name, n, conv_from_prev,
-    * avg_lag_us). Stage counts come from single-row aggregates cross-joined
-    * (all bounded), so the report is one small plan over the cached frames.
+  /** 1-row-per-step funnel report: (step, name, n_entities, conv_from_prev,
+    * avg_lag_us). The per-entity pass feeds ONE global aggregate; the
+    * single bounded row is checkpointed so the per-step report selects
+    * don't re-run the scan.
     */
   def report(events: DataFrame, key: Column, ts: Column, typ: Column,
              steps: Seq[String]): DataFrame = {
-    val frames = stageFrames(events, key, ts, typ, steps)
-    val spark = events.sparkSession
-    val aggs = frames.zipWithIndex.map { case (f, i) =>
-      if (i == 0) f.agg(count(lit(1)).as("n1"))
-      else f.agg(count(lit(1)).as(s"n${i + 1}"),
-        sum(col(s"t${i + 1}") - col(s"t$i")).as(s"lag${i + 1}"))
+    val times = stepTimes(events, key, ts, typ, steps)
+    def t(i: Int) = element_at(col("t"), i + 1) // 1-based element_at
+    val aggs = steps.indices.flatMap { i =>
+      val n = count(when(t(i).isNotNull, 1)).as(s"n${i + 1}")
+      if (i == 0) Seq(n)
+      else Seq(n, sum(when(t(i).isNotNull, t(i) - t(i - 1))).as(s"lag${i + 1}"))
     }
-    // the cross-joined aggregate is ONE bounded row: materialize it eagerly
-    // so every cached stage frame can be released here — otherwise each
-    // report() call in a long-lived session pins steps × calls frames in
-    // executor storage until someone clearCache()s
-    val one = aggs.reduce(_.crossJoin(_)).localCheckpoint()
-    frames.foreach(_.unpersist())
+    val one = times.agg(aggs.head, aggs.tail: _*).localCheckpoint()
     val rows = steps.indices.map { i =>
       val n = col(s"n${i + 1}")
       val conv =

@@ -168,6 +168,26 @@ object TargetEval {
   private def perSeries: org.apache.spark.sql.expressions.WindowSpec =
     Window.partitionBy(col("metric")).orderBy(col("ts"))
 
+  /** Trailing window from graphite's `windowSize` argument, which is an
+    * integer slot count OR a quoted time interval ('5min') — both appear
+    * throughout the public function docs. Slots map to rowsBetween;
+    * intervals map to rangeBetween over the step-aligned epoch-seconds
+    * axis, which selects exactly interval/step trailing slots on a dense
+    * frame (graphite's own conversion) and stays honestly time-bounded
+    * when slots are missing entirely.
+    */
+  private def trailingWindow(arg: TExpr, fname: String): org.apache.spark.sql.expressions.WindowSpec =
+    arg match {
+      case TNum(v, _) if v == math.rint(v) && v > 0 =>
+        perSeries.rowsBetween(-(v.toInt - 1).toLong, Window.currentRow)
+      case TStr(s) =>
+        val sec = seconds(s)
+        require(sec > 0, s"$fname window must be a positive interval, got '$s'")
+        perSeries.rangeBetween(-(sec - 1), Window.currentRow)
+      case other => fail(
+        s"$fname window: expected points or a time string, got '${other.canonical}'")
+    }
+
   private def seriesW(e: TExpr, fetch: WindowedFetch, cropFrom: Option[Long],
                       extraHistory: Long,
                       window: Option[(Long, Long)] = None): DataFrame = e match {
@@ -945,9 +965,7 @@ object TargetEval {
 
       case "movingAverage" | "movingSum" | "movingMax" | "movingMin" =>
         arity(2)
-        val n = int(args(1))
-        require(n > 0, s"$name window must be > 0 slots, got $n")
-        val w = perSeries.rowsBetween(-(n - 1).toLong, Window.currentRow)
+        val w = trailingWindow(args(1), name)
         // same partial-window-at-start semantics as the pinned
         // movingAverage behavior; an all-None window is None (count 0 /
         // null-skipping max & min over no rows)
@@ -967,10 +985,8 @@ object TargetEval {
         // null-awareness as the named forms
         atLeast(2)
         if (args.length > 3) fail(s"movingWindow expects 2-3 arguments, got ${args.length}")
-        val n = int(args(1))
-        require(n > 0, s"movingWindow window must be > 0 slots, got $n")
         val func = if (args.length == 3) statName(str(args(2))) else "average"
-        val w = perSeries.rowsBetween(-(n - 1).toLong, Window.currentRow)
+        val w = trailingWindow(args(1), "movingWindow")
         val out = func match {
           case "average" =>
             sum(dec(col("value"))).over(w).cast("double") / count(col("value")).over(w)
@@ -1009,9 +1025,7 @@ object TargetEval {
         // n). The windowed collect is bounded by the window size argument,
         // never by series length.
         arity(2)
-        val n = int(args(1))
-        require(n > 0, s"movingMedian window must be > 0 slots, got $n")
-        val w = perSeries.rowsBetween(-(n - 1).toLong, Window.currentRow)
+        val w = trailingWindow(args(1), "movingMedian")
         wrapped(sl0.select(col("metric"), col("ts"),
           rankPercentile(sort_array(collect_list(col("value")).over(w)), 50.0)
             .cast("double").as("value")), call)
@@ -1238,6 +1252,10 @@ object TargetEval {
         val alignToFrom = args.lift(3).exists {
           case TStr(v) if v.equalsIgnoreCase("true") || v == "1"   => true
           case TStr(v) if v.equalsIgnoreCase("false") || v == "0"  => false
+          // URL targets write the Python booleans unquoted: `...,true)`
+          // parses as a bare path token
+          case TPath(v) if v.equalsIgnoreCase("true")  => true
+          case TPath(v) if v.equalsIgnoreCase("false") => false
           case TNum(v, _) => v != 0
           case other      => fail(s"summarize: bad alignToFrom '${other.canonical}'")
         }

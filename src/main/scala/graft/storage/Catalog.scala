@@ -36,6 +36,15 @@ final class Catalog(val root: String, val schemas: StorageSchemas,
   @volatile var creates: Long = 0L
   @volatile var droppedCreates: Long = 0L
 
+  /** Above this estate size, catalog-derived frames are no longer
+    * broadcast-hinted — the planner picks (shuffle at 3M+ metrics instead
+    * of shipping a 100+ MB hash relation per query). Configurable because
+    * the right cutover depends on executor memory.
+    */
+  val broadcastMaxRows: Long =
+    spark.conf.getOption("spark.graft.catalog.broadcastMaxRows")
+      .map(_.toLong).getOrElse(1000000L)
+
   private val catalogSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("metric", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("schema_name", org.apache.spark.sql.types.StringType),
@@ -46,14 +55,66 @@ final class Catalog(val root: String, val schemas: StorageSchemas,
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
   private def exists: Boolean = {
-    SafeSwap.recover(fs, path) // restore if a remove() died mid-swap
+    // restore if a remove() died mid-swap; a restore moves the on-disk
+    // state underneath any cached frame, so the cache must drop with it
+    if (SafeSwap.recover(fs, path)) invalidate()
     fs.exists(new org.apache.hadoop.fs.Path(path))
   }
 
-  def metrics(): DataFrame =
-    if (!exists)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], catalogSchema)
-    else spark.read.parquet(path)
+  // ---- cross-batch catalog cache ---------------------------------------
+  // The catalog is read on EVERY admit (anti-join), fetch spine, and find;
+  // re-reading parquet + re-shuffling 3M rows per hot-cache flush was the
+  // last O(estate)-per-batch cost on the ingest path (round-7 verdict).
+  // The frame is persisted pre-partitioned AND pre-sorted on `metric`, so
+  // joins keyed on metric stream the cached columnar blocks with no
+  // exchange and no re-sort; mutations (admit append / remove / rebuild)
+  // invalidate, so batches that register nothing touch no parquet at all.
+  @volatile private var cachedFrame: Option[(DataFrame, Long)] = None
+
+  /** Drop the cross-batch cache. Called by every mutating method; call it
+    * manually only if something outside this Catalog writes `path` (the
+    * reference has the same single-writer assumption for its in-memory
+    * index, rurouni/cache.py:69-97).
+    */
+  def invalidate(): Unit = synchronized {
+    cachedFrame.foreach(_._1.unpersist(false))
+    cachedFrame = None
+  }
+
+  private def cachedMetrics(): (DataFrame, Long) = synchronized {
+    // the crash-recovery probe runs on EVERY read (one fs.exists when
+    // clean, so per-batch cost is a couple of metadata calls, never data):
+    // a restored mid-swap crash invalidates the cache inside `exists`
+    val present = exists
+    cachedFrame.getOrElse {
+      if (!present)
+        // not cached: the catalog usually materializes shortly after boot
+        (spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], catalogSchema), 0L)
+      else {
+        val n = spark.sessionState.conf.numShufflePartitions
+        val df = spark.read.parquet(path)
+          .repartition(n, col("metric")).sortWithinPartitions("metric")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rows = df.count()
+        cachedFrame = Some((df, rows))
+        (df, rows)
+      }
+    }
+  }
+
+  def metrics(): DataFrame = cachedMetrics()._1
+
+  /** Estate size (cached with the frame; free after first call). */
+  def metricCount(): Long = cachedMetrics()._2
+
+  /** Broadcast-hint a catalog-derived frame (row count ≤ the estate) only
+    * while the estate is below [[broadcastMaxRows]]; above it the planner
+    * chooses — at the reference's 3M-metric estate a forced broadcast is a
+    * ~100 MB driver build per query.
+    */
+  def hintSmall(df: DataFrame): DataFrame =
+    if (metricCount() <= broadcastMaxRows) broadcast(df) else df
 
   /** First-match-wins schema assignment as a plan column (chained
     * prefix-anchored rlike — `Regex.lookingAt` == `^(?:pattern)` find), so
@@ -89,25 +150,44 @@ final class Catalog(val root: String, val schemas: StorageSchemas,
       val row = fresh
         .agg(count(lit(1)).as("total"), count(when(shardOkCol, 1)).as("ok")).head()
       val total = row.getLong(0); val ok = row.getLong(1)
-      if (total > 0) {
-        // the reference walks creates in sorted name order, shard rejects
-        // consuming no tokens (rurouni/cache.py:112-151): granting
-        // min(tokens, ok) to the first `grant` shard-local names is the
-        // same admitted set, without the per-name driver walk
-        val grant = bucket.fold(ok)(_.consumeUpTo(ok))
+      // steady state (every metric already registered): nothing to write,
+      // nothing to drop — the batch passes through with zero extra plan
+      if (total == 0) return points
+      // the reference walks creates in sorted name order, shard rejects
+      // consuming no tokens (rurouni/cache.py:112-151): granting
+      // min(tokens, ok) to the first `grant` shard-local names is the
+      // same admitted set, without the per-name driver walk
+      val grant = bucket.fold(ok)(_.consumeUpTo(ok))
+      val admitted = fresh.where(shardOkCol).orderBy(col("metric"))
+        .limit(math.min(grant, Int.MaxValue.toLong).toInt)
+        .persist()
+      try {
+        // the gate set is THIS BATCH's rejects (fresh \ admitted) — bounded
+        // by the batch's distinct metrics, never by the estate. It must be
+        // materialized lineage-free BEFORE the append below: a recompute
+        // against the post-append catalog would re-derive a different
+        // (empty) fresh set and silently admit throttled points.
+        val rejected =
+          if (grant == total) None // all first-seen names admitted: no gate
+          else Some(fresh.join(admitted.select(col("metric")), Seq("metric"), "left_anti")
+            .select(col("metric")).localCheckpoint(true))
         if (grant > 0) {
-          fresh.where(shardOkCol).orderBy(col("metric"))
-            .limit(math.min(grant, Int.MaxValue.toLong).toInt)
+          admitted
             .select(col("metric"), schemaNameCol(col("metric")).as("schema_name"),
               lit(now).as("created_ts"))
             .coalesce(1)
             .write.mode(SaveMode.Append).parquet(path)
+          invalidate()
         }
         creates += grant
         droppedCreates += total - grant
-      }
+        // drop a point iff its metric was first-seen AND not granted; the
+        // build side is O(batch rejects), so the broadcast is always small
+        // (contrast: the old gate broadcast the full estate every batch)
+        rejected.fold(points)(r =>
+          points.join(broadcast(r), Seq("metric"), "left_anti"))
+      } finally admitted.unpersist(false)
     } finally fresh.unpersist(false)
-    points.join(broadcast(metrics().select(col("metric"))), Seq("metric"), "left_semi")
   }
 
   /** Glob-tree series discovery over the catalog (the graphite-web
@@ -145,9 +225,11 @@ final class Catalog(val root: String, val schemas: StorageSchemas,
       .persist()
     try {
       val n = missing.count()
-      if (n > 0)
+      if (n > 0) {
         missing.coalesce(1).sortWithinPartitions("metric")
           .write.mode(SaveMode.Append).parquet(path)
+        invalidate()
+      }
       n
     } finally missing.unpersist(false)
   }
@@ -160,5 +242,6 @@ final class Catalog(val root: String, val schemas: StorageSchemas,
     val remaining = metrics().where(!col("metric").isInCollection(toDelete))
     remaining.coalesce(1).write.mode(SaveMode.Overwrite).parquet(SafeSwap.stagingPath(path))
     SafeSwap.commit(fs, path)
+    invalidate()
   }
 }

@@ -384,7 +384,10 @@ final class MetricStore(val root: String, val schema: StorageSchema,
         // for metrics that belong to other schemas
         val all = c.metrics().where(col("schema_name") === schema.name)
           .select(col("metric"))
-        broadcast(metricFilter.fold(all)(m => all.where(col("metric") === m)))
+        // single-series fetches always broadcast (1-row spine); unfiltered
+        // spines broadcast only below the estate threshold (Catalog doc)
+        metricFilter.fold(c.hintSmall(all))(m =>
+          broadcast(all.where(col("metric") === m)))
       }
       (level, TimeSeries.gapFill(filtered, from, until, step, spine).orderBy("metric", "ts"))
     }

@@ -21,10 +21,16 @@ object SafeSwap {
   def bakPath(dir: String): String = s"$dir.__bak"
   def stagingPath(dir: String): String = s"$dir.__staging"
 
-  def recover(fs: FileSystem, dir: String): Unit = {
+  /** @return true when anything was restored or cleaned — a caller holding
+    *   a cached view of `dir` must drop it then (the on-disk state moved
+    *   underneath the cache).
+    */
+  def recover(fs: FileSystem, dir: String): Boolean = {
     val main = new Path(dir)
     val bak = new Path(bakPath(dir))
+    var acted = false
     if (fs.exists(bak)) {
+      acted = true
       if (!fs.exists(main)) {
         if (!fs.rename(bak, main))
           throw new java.io.IOException(s"recover: rename $bak -> $main failed")
@@ -32,8 +38,8 @@ object SafeSwap {
       ()
     }
     val staging = new Path(stagingPath(dir))
-    if (fs.exists(staging)) fs.delete(staging, true)
-    ()
+    if (fs.exists(staging)) { acted = true; fs.delete(staging, true); () }
+    acted
   }
 
   /** Swap fully-written `staging` in for `dir`. Caller must have called

@@ -84,7 +84,8 @@ final class Daemon(routes: Seq[Daemon.Route], waitTime: Long,
                    spoolDir: Option[String] = None,
                    bindInterface: String = "127.0.0.1",
                    spoolFlushMillis: Long = 1000L,
-                   spoolFlushBytes: Long = 64L * 1024)
+                   spoolFlushBytes: Long = 64L * 1024,
+                   bus: Option[BusSource] = None)
                   (implicit spark: SparkSession) {
   require(routes.nonEmpty, "daemon needs at least one schema route")
 
@@ -111,22 +112,18 @@ final class Daemon(routes: Seq[Daemon.Route], waitTime: Long,
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     implicit val enc: org.apache.spark.sql.Encoder[String] =
       org.apache.spark.sql.Encoders.STRING
-    val lines = spoolDir match {
-      case Some(dir) =>
-        new java.io.File(dir).mkdirs()
-        spark.readStream
-          // consumed journal files are deleted after their batch commits —
-          // without this the spool grows with total ingest volume forever
-          .option("cleanSource", "delete")
-          // the file source's DEFAULT maxFileAge (7d) would silently skip
-          // unprocessed journal files after long downtime — the exact
-          // durability case spool mode exists for
-          .option("maxFileAge", "3650d")
-          .text(dir).withColumnRenamed("value", "line")
-      case None =>
-        mem = MemoryStream[String]
-        mem.toDF().withColumnRenamed("value", "line")
-    }
+    // transport seam: an explicit bus (e.g. BusSource.Kafka in a broker
+    // deployment, where the TCP listener is retired) wins; otherwise the
+    // spool journal (durable) or an in-memory stream (non-durable), both
+    // expressed through the same BusSource contract
+    val lines = bus.getOrElse {
+      spoolDir match {
+        case Some(dir) => BusSource.Journal(dir)
+        case None =>
+          mem = MemoryStream[String]
+          BusSource.Memory(mem)
+      }
+    }.lines(spark)
     // mixed protocol: plain "metric value ts" lines AND JSON-array frames
     // (the pickle-receiver analog) on the same port, one stream, one writer,
     // routed first-match across the schema set
@@ -403,11 +400,18 @@ object Daemon {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: Daemon <root> <retentions|storage-schemas.conf> [linePort] [httpPort] [bindInterface]")
+      "usage: Daemon <root> <retentions|storage-schemas.conf> [linePort] " +
+        "[httpPort] [bindInterface] [numInstances] [instance]")
     val root = args(0)
     val linePort = if (args.length > 2) args(2).toInt else 2003
     val httpPort = if (args.length > 3) args(3).toInt else 8080
     val bindInterface = if (args.length > 4) args(4) else "127.0.0.1"
+    // consistent-hash shard membership (reference: one [cache:X] section per
+    // instance, conf/rurouni.conf.example:21-29; routing fnv1a % N,
+    // rurouni/utils.py:107-108) — metrics hashing to another instance are
+    // rejected at registration (rurouni/cache.py:123-128)
+    val numInstances = if (args.length > 5) args(5).toInt else 1
+    val instance = if (args.length > 6) args(6).toInt else 0
     implicit val spark: SparkSession = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-daemon")
@@ -431,7 +435,8 @@ object Daemon {
       if (loaded.exists(_.name == "default")) loaded
       else loaded :+ StorageSchemas.defaultSchema
     val schemas = new StorageSchemas(all)
-    val catalog = new Catalog(root, schemas) // shared: one registry, one throttle
+    val catalog = new Catalog(root, schemas, // shared: one registry, one throttle
+      numInstances = numInstances, instance = instance)
     val stores = all.map(s => new MetricStore(root, s, Some(catalog)))
     val instr = new Instrumentation()
     val daemon = new Daemon(
@@ -445,7 +450,8 @@ object Daemon {
     val (lp, hp) = daemon.start()
     // scalastyle:off println
     println(s"graft-daemon: lines on $bindInterface:$lp, http on $bindInterface:$hp, " +
-      s"root=$root, schemas=${all.map(_.name).mkString(",")}")
+      s"root=$root, schemas=${all.map(_.name).mkString(",")}, " +
+      s"instance=$instance/$numInstances")
     // scalastyle:on println
     // register via Hadoop's ShutdownHookManager ABOVE Spark's own hook
     // priority: a plain JVM hook runs CONCURRENTLY with Spark's, so the

@@ -157,7 +157,9 @@ final class HotCache(val store: MetricStore, val cacheRetention: Long, val waitT
         val spine = store.catalog.map { c =>
           val all = c.metrics().where(col("schema_name") === store.schema.name)
             .select(col("metric"))
-          broadcast(metricFilter.fold(all)(m => all.where(col("metric") === m)))
+          // same threshold-gated hint as MetricStore.fetch (Catalog doc)
+          metricFilter.fold(c.hintSmall(all))(m =>
+            broadcast(all.where(col("metric") === m)))
         }
         (level, TimeSeries.gapFill(filtered, from, until, step, spine).orderBy("metric", "ts"))
     }

@@ -133,6 +133,57 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.rebuildFromStore(store) == 0)
   }
 
+  // ---- round-8 pins: admit is O(batch), never O(estate) ----------------
+
+  test("steady-state admit passes the batch through untouched (no estate join)") {
+    val cat = new Catalog(s"$root/c9", schemas)
+    cat.admit(pts("s.a", "s.b"), 100L).count()
+    val p = pts("s.a", "s.b")
+    // every metric known → the SAME frame comes back: no gate join exists
+    // at all, so per-batch cost cannot scale with the estate
+    assert(cat.admit(p, 200L) eq p)
+  }
+
+  test("admit's point gate joins this batch's rejects, not the estate, and survives the append") {
+    var now = 0.0
+    val cat = new Catalog(s"$root/c7", schemas,
+      bucket = Some(new TokenBucket(1, 0, () => now)))
+    val out = cat.admit(pts("t.a", "t.b", "t.c"), 100L) // grant t.a; throttle t.b, t.c
+    // the gate must NOT rescan the catalog: the admit append already
+    // happened, so a lineage recompute against the post-append estate
+    // would re-derive an empty fresh set and silently admit the throttled
+    // names — the reject set is checkpointed pre-append instead
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("c7/catalog"), plan.take(2000))
+    assert(out.select("metric").as[String].collect().toSeq == Seq("t.a"))
+    assert(cat.creates == 1 && cat.droppedCreates == 2)
+  }
+
+  test("metrics() is cached across calls; any mutation invalidates") {
+    val cat = new Catalog(s"$root/c10", schemas)
+    cat.admit(pts("k.a"), 100L).count()
+    val m1 = cat.metrics()
+    assert(m1 eq cat.metrics()) // cross-batch reuse: no parquet re-read
+    cat.admit(pts("k.b"), 200L).count() // append → invalidate
+    assert(!(m1 eq cat.metrics()))
+    assert(cat.metricCount() == 2)
+    cat.remove(Seq("k.a")) // remove → invalidate
+    assert(cat.metricCount() == 1)
+  }
+
+  test("hintSmall stops forcing broadcast above the estate threshold") {
+    val cat = new Catalog(s"$root/c11", schemas)
+    cat.admit(pts("h.a", "h.b", "h.c"), 100L).count()
+    def hinted(c: Catalog) =
+      c.hintSmall(c.metrics()).queryExecution.analyzed.toString.contains("ResolvedHint")
+    assert(hinted(cat)) // 3 rows ≤ default 1M threshold: broadcast forced
+    spark.conf.set("spark.graft.catalog.broadcastMaxRows", "2")
+    try {
+      val big = new Catalog(s"$root/c11", schemas) // re-reads conf
+      assert(!hinted(big)) // 3 rows > threshold 2: planner decides
+    } finally spark.conf.unset("spark.graft.catalog.broadcastMaxRows")
+  }
+
   test("remove deletes catalog rows") {
     val cat = new Catalog(s"$root/c5", schemas)
     cat.admit(pts("a", "b", "c"), 100L)

@@ -1122,4 +1122,19 @@ class TargetSpec extends AnyFunSuite {
     assert(evt("aliasByTags(seriesByTag('name=cpu','host=b'),'dc')")
       .keys.map(_._1).toSet == Set("east", ""))
   }
+
+  test("moving* windowSize accepts a quoted interval: '30s' == 3 slots at step 10 (r8)") {
+    // graphite's windowSize doc: integer datapoint count OR quoted time
+    // period; on a step-aligned frame they must select the same slots
+    for (f <- Seq("movingAverage", "movingSum", "movingMax", "movingMin",
+                  "movingMedian")) {
+      val byPoints = ev(s"$f(s.a.x,3)").map { case ((m, t), v) =>
+        (m.replace(",3)", ",\"30s\")"), t) -> v
+      }
+      assert(ev(s"$f(s.a.x,\"30s\")") == byPoints, f)
+    }
+    assert(
+      ev("movingWindow(s.a.x,\"30s\",\"sum\")").toSeq.map(kv => (kv._1._2, kv._2)).sorted ==
+      ev("movingWindow(s.a.x,3,\"sum\")").toSeq.map(kv => (kv._1._2, kv._2)).sorted)
+  }
 }
