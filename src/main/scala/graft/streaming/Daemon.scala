@@ -85,7 +85,8 @@ final class Daemon(routes: Seq[Daemon.Route], waitTime: Long,
                    bindInterface: String = "127.0.0.1",
                    spoolFlushMillis: Long = 1000L,
                    spoolFlushBytes: Long = 64L * 1024,
-                   bus: Option[BusSource] = None)
+                   bus: Option[BusSource] = None,
+                   maintenanceInterval: Long = 0L)
                   (implicit spark: SparkSession) {
   require(routes.nonEmpty, "daemon needs at least one schema route")
 
@@ -94,6 +95,35 @@ final class Daemon(routes: Seq[Daemon.Route], waitTime: Long,
   /** The first route's cache/store — THE cache in the single-schema case. */
   val hot: HotCache = hots.head
   def store: MetricStore = routes.head.store
+
+  /** One storage-maintenance tick (round-8): drain each store's recorded
+    * dirty state through the downsample cascade, then TTL each level — the
+    * jobs the reference gets per-write (kenshin/storage.py:505-528
+    * propagation inside update) and implicitly from its fixed-size files
+    * (no TTL process needed there; pday partitions need one here). Without
+    * this in the LIVE loop, a long-running daemon never downsamples and
+    * level 0 grows with wall time — the soak-test finding this fixes.
+    */
+  def maintain(now: Long): Unit =
+    routes.foreach { r =>
+      r.store.cascadeAuto()
+      r.store.enforceRetention(now)
+    }
+
+  // MinValue/2, not MinValue: `now - lastMaintenance` must not overflow
+  // on the first tick (it did — the gate then never fired)
+  @volatile private var lastMaintenance: Long = Long.MinValue / 2
+  /** Cadence gate for [[maintain]], run INSIDE the micro-batch callback
+    * (Ingest's postBatch hook): the level tables have a single writer, so
+    * cascade/TTL rewrites must interleave with flushes, never race them
+    * from a side thread. `maintenanceInterval` is in nowFn-clock seconds;
+    * 0 disables (admin-driven maintenance only).
+    */
+  private def maybeMaintain(now: Long): Unit =
+    if (maintenanceInterval > 0 && now - lastMaintenance >= maintenanceInterval) {
+      lastMaintenance = now
+      maintain(now)
+    }
 
   private val httpServer = new CacheQueryServer(hots, httpPort, instr, bindInterface)
   private var listener: ServerSocket = _
@@ -129,7 +159,8 @@ final class Daemon(routes: Seq[Daemon.Route], waitTime: Long,
     // routed first-match across the schema set
     ingest = Ingest.startMixedRouted(
       lines, routes.zip(hots).map { case (r, h) => (r.store.schema, h) },
-      checkpoint, nowFn, instr)
+      checkpoint, nowFn, instr,
+      postBatch = if (maintenanceInterval > 0) Some(maybeMaintain _) else None)
     listener = new ServerSocket(linePort, 64, InetAddress.getByName(bindInterface))
     running = true
     writerStop = false
@@ -446,7 +477,9 @@ object Daemon {
       // production default: journal through the spool so a restart resumes
       // from the checkpoint instead of losing buffered lines
       spoolDir = Some(s"$root/_spool"),
-      bindInterface = bindInterface)
+      bindInterface = bindInterface,
+      // live-loop storage maintenance: cascade + TTL once a minute
+      maintenanceInterval = 60L)
     val (lp, hp) = daemon.start()
     // scalastyle:off println
     println(s"graft-daemon: lines on $bindInterface:$lp, http on $bindInterface:$hp, " +

@@ -165,11 +165,19 @@ object Ingest {
     * the batch. Points matching NO schema are dropped (the caller appends a
     * catch-all default route for reference fidelity — Daemon.main does).
     */
+  /** @param postBatch maintenance hook invoked after every micro-batch's
+    *   routes have processed (same thread as the writes — the level tables
+    *   have ONE writer, so cascade/TTL work must interleave here, never
+    *   run from a side thread racing the flush). The daemon passes its
+    *   cadence-gated cascade+retention tick.
+    */
   def startMixedRouted(src: DataFrame, targets: Seq[(StorageSchema, HotCache)],
                        checkpoint: String,
                        nowFn: () => Long = () => System.currentTimeMillis() / 1000,
-                       instr: Option[Instrumentation] = None)(implicit spark: SparkSession): StreamingQuery =
-    startWithRouted(src, targets, checkpoint, nowFn, instr, parseMixed, malformedMixedCount)
+                       instr: Option[Instrumentation] = None,
+                       postBatch: Option[Long => Unit] = None)(implicit spark: SparkSession): StreamingQuery =
+    startWithRouted(src, targets, checkpoint, nowFn, instr, parseMixed,
+      malformedMixedCount, postBatch)
 
   /** First-match schema index over `metric`: `rlike("^(?:p)")` is exactly
     * `Pattern.lookingAt` — anchored at the start, unanchored at the end —
@@ -194,7 +202,8 @@ object Ingest {
                               checkpoint: String,
                               nowFn: () => Long, instr: Option[Instrumentation],
                               parse: DataFrame => DataFrame,
-                              countBad: DataFrame => Long): StreamingQuery =
+                              countBad: DataFrame => Long,
+                              postBatch: Option[Long => Unit] = None): StreamingQuery =
     src.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -229,6 +238,7 @@ object Ingest {
           points.unpersist()
           ()
         }
+        postBatch.foreach(f => f(nowFn()))
       }
       .start()
 }

@@ -76,6 +76,36 @@ class DaemonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ok, s"condition not reached within ${timeoutMs}ms")
   }
 
+  test("live maintenance cadence: the daemon's own loop cascades and TTLs (r8)") {
+    // maintenanceInterval > 0 wires cascade+TTL into the micro-batch
+    // callback (Ingest postBatch) — the soak's finding was that nothing
+    // drove them in the live loop before
+    val schema = StorageSchema("maint", ".*".r, 1.0, AggMethod.Average,
+      Seq(Archive(Step, 720), Archive(60, 1440)), 600, 8)
+    val store = new MetricStore(s"$root/maint", schema)
+    val d = new Daemon(Seq(Daemon.Route(store, 120L)), waitTime = 30L,
+      checkpoint = s"$root/maint-ckpt-${System.nanoTime()}", nowFn = () => Now,
+      maintenanceInterval = 1L)
+    val (linePort, _) = d.start()
+    try {
+      // TWO level-1 windows (60s-aligned, old enough to flush at once):
+      // the xff gate only propagates units strictly before the dirty end,
+      // so the second window's points are what release the first slot
+      val base = (Now - 600) / 60 * 60
+      send(linePort, (0 until 12).map(k => s"m.a ${(k % 6) + 1}.0 ${base + k * Step}"))
+      drainUntil(d, 30000) {
+        // the DAEMON must propagate: level 1's slot appears without any
+        // explicit cascade call, value = average of the six level-0 slots
+        val l1 = s"$root/maint/maint/level_1"
+        store.tableExists(l1) && {
+          val df = spark.read.parquet(l1)
+          df.where(col("metric") === "m.a" && col("ts") === base &&
+            col("value") === 3.5).count() == 1
+        }
+      }
+    } finally d.stop()
+  }
+
   test("socket ingest -> hot cache -> HTTP query/fetch -> shutdown flush (e2e)") {
     val d = mkDaemon("e2e", withCatalog = true)
     val (linePort, httpPort) = d.start()
