@@ -56,14 +56,47 @@ object SeriesOps {
     * slot sum and `nCol` its point count.
     */
   def movingAvg(rollup: DataFrame, keys: Seq[String], tsCol: String,
-                sumCol: String, nCol: String, rangeLen: Long): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
-      .rangeBetween(-rangeLen, Window.currentRow)
-    rollup
-      .withColumn("mov_sum", sum(col(sumCol)).over(w))
-      .withColumn("mov_n", sum(col(nCol)).over(w))
-      .withColumn("mavg", round(col("mov_sum").cast("double") / col("mov_n"), 6))
-      .drop("mov_sum")
+                sumCol: String, nCol: String, rangeLen: Long): DataFrame =
+    chunkedTrailing(rollup, keys, tsCol, rangeLen) { (df, base) =>
+      val w = base.rangeBetween(-rangeLen, Window.currentRow)
+      df.withColumn("mov_sum", sum(col(sumCol)).over(w))
+        .withColumn("mov_n", sum(col(nCol)).over(w))
+        .withColumn("mavg", round(col("mov_sum").cast("double") / col("mov_n"), 6))
+        .drop("mov_sum")
+    }
+
+  /** Parallelize a per-key TRAILING-range window over long histories:
+    * partition by (keys, 64×range time-chunk) and duplicate each chunk's
+    * trailing `rangeLen` tail as a halo into the next chunk, so every
+    * emitted row still sees its full trailing frame. A plain per-key
+    * window serializes a key's entire history through ONE task — at a
+    * decade of 60s slots that is millions of rows per partition (the
+    * round-8 100×-events finding: ts_anomaly 2.6 s at one month of
+    * history, 67 s at 8.5 years on the same 5 series). Halo rows only
+    * FEED frames — they are dropped after the window — so results are
+    * bit-identical to the unchunked form (the aggregates ride decimals /
+    * longs, associative under any partitioning); the overhead is the
+    * 1/64 halo duplication.
+    */
+  private def chunkedTrailing(rollup: DataFrame, keys: Seq[String],
+                              tsCol: String, rangeLen: Long)(
+      build: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame): DataFrame = {
+    val chunkLen = rangeLen * 64
+    val chunk = floor(col(tsCol) / chunkLen)
+    // one explode, not a self-union: a union's halo-side filter pushes
+    // into the (often expensive, aggregated) upstream and defeats exchange
+    // reuse — the rollup would compute twice
+    val own = struct(chunk.as("__chunk"), lit(false).as("__halo"))
+    val tagged = rollup.withColumn("__t",
+      explode(when(col(tsCol) % chunkLen >= chunkLen - rangeLen,
+        array(own, struct((chunk + 1).as("__chunk"), lit(true).as("__halo"))))
+        .otherwise(array(own))))
+      .withColumn("__chunk", col("__t.__chunk"))
+      .withColumn("__halo", col("__t.__halo"))
+      .drop("__t")
+    val w = Window.partitionBy(keys.map(col) :+ col("__chunk"): _*)
+      .orderBy(col(tsCol))
+    build(tagged, w).where(!col("__halo")).drop("__chunk", "__halo")
   }
 
   /** Trailing z-score anomaly flags over a rolled-up slot table — the
@@ -84,32 +117,32 @@ object SeriesOps {
     */
   def anomalyFlags(rollup: DataFrame, keys: Seq[String], tsCol: String,
                    sumCol: String, sqCol: String, nCol: String,
-                   rangeLen: Long, zThresh: Double, minSlots: Int): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
-      .rangeBetween(-rangeLen, -1)
-    val n = sum(col(nCol)).over(w)
-    val s = sum(col(sumCol)).over(w)
-    val s2 = sum(col(sqCol)).over(w)
-    val slotMean = col(sumCol).cast("double") / col(nCol)
-    // population variance over the trailing points: (n·Σx² − (Σx)²)/n² —
-    // numerator exact in decimal, one double division at the end
-    val mean = s.cast("double") / col("__wn")
-    val variance = (col("__wn") * s2 - s * s).cast("double") /
-      (col("__wn") * col("__wn")).cast("double")
-    rollup
-      .withColumn("__wn", n)
-      .withColumn("base_mean", round(mean, 6))
-      .withColumn("base_std", round(sqrt(variance), 6))
-      .withColumn("z",
-        when(col("__wn") >= minSlots && sqrt(variance) > 0,
-          round((slotMean - mean) / sqrt(variance), 6)))
-      .withColumn("is_anom",
-        when(col("__wn") >= minSlots && sqrt(variance) > 0,
-          (abs(slotMean - mean) > lit(zThresh) * sqrt(variance)).cast("int")))
-      .withColumn("base_mean", when(col("__wn") >= minSlots, col("base_mean")))
-      .withColumn("base_std", when(col("__wn") >= minSlots, col("base_std")))
-      .drop("__wn")
-  }
+                   rangeLen: Long, zThresh: Double, minSlots: Int): DataFrame =
+    chunkedTrailing(rollup, keys, tsCol, rangeLen) { (df, base) =>
+      val w = base.rangeBetween(-rangeLen, -1)
+      val n = sum(col(nCol)).over(w)
+      val s = sum(col(sumCol)).over(w)
+      val s2 = sum(col(sqCol)).over(w)
+      val slotMean = col(sumCol).cast("double") / col(nCol)
+      // population variance over the trailing points: (n·Σx² − (Σx)²)/n² —
+      // numerator exact in decimal, one double division at the end
+      val mean = s.cast("double") / col("__wn")
+      val variance = (col("__wn") * s2 - s * s).cast("double") /
+        (col("__wn") * col("__wn")).cast("double")
+      df
+        .withColumn("__wn", n)
+        .withColumn("base_mean", round(mean, 6))
+        .withColumn("base_std", round(sqrt(variance), 6))
+        .withColumn("z",
+          when(col("__wn") >= minSlots && sqrt(variance) > 0,
+            round((slotMean - mean) / sqrt(variance), 6)))
+        .withColumn("is_anom",
+          when(col("__wn") >= minSlots && sqrt(variance) > 0,
+            (abs(slotMean - mean) > lit(zThresh) * sqrt(variance)).cast("int")))
+        .withColumn("base_mean", when(col("__wn") >= minSlots, col("base_mean")))
+        .withColumn("base_std", when(col("__wn") >= minSlots, col("base_std")))
+        .drop("__wn")
+    }
 
   /** Top-k series by windowed integral (the sortByTotal/highestMax family
     * of serving-side series selection): rank keys by their exact decimal
