@@ -244,16 +244,24 @@ object PipelineQueries {
     // groupBy redistributes to full parallelism anyway, and the probe +
     // repartition cost more than the single-split map they would fix
     val emb = Queries.table(s, dir, "embeddings")
-    val b = Similarity.adaptivePlanesPerTable(emb.count())
+    // depth sizes cell occupancy of the CANONICAL corpus: blocking runs
+    // after canonicalization, so raw-count depth would make a 10x verbatim
+    // duplication silently sharpen the buckets (b 6 -> 10 on the 10x
+    // corpus) and cost recall — blocking must be duplication-invariant
+    // like every other near-dup kernel (round-8 100x finding)
+    val b = Similarity.adaptivePlanesPerTable(
+      emb.select(col("embedding")).distinct().count())
     val tables = Similarity.multiTablePlanes(LshTables, b, 64)
     Similarity.cosineNearDupPairs(emb, CosineThreshold, tables)
       .orderBy("a", "b")
   }
 
   val embedCosineNearDupSql: String = {
-    // one cells branch per adaptive depth, gated on the RAW corpus count
-    // (the Spark side sizes b from emb.count() before canonicalization):
-    // b is picked iff 32*2^(b-1) < n <= 32*2^b (floor 4)
+    // one cells branch per adaptive depth, gated on the CANONICAL corpus
+    // count (the Spark side sizes b from the distinct-vector count, so a
+    // duplicated corpus blocks identically to its distinct core): b is
+    // picked iff 32*2^(b-1) < n <= 32*2^b (floor 4). The round-7 lesson
+    // stands: the gate reaches the oracle as a function of the data.
     val branches = (4 to 8).map { b =>
       val tables = Similarity.multiTablePlanes(LshTables, b, 64)
       val minN = if (b == 4) 0L else 32L * (1L << (b - 1))
@@ -263,7 +271,7 @@ object PipelineQueries {
     }.mkString(" UNION ALL ")
     s"""WITH e AS (SELECT MIN(vec_id) AS vec_id, v FROM
        |       (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) GROUP BY v),
-       |rawn AS (SELECT COUNT(*) AS c FROM embeddings),
+       |rawn AS (SELECT COUNT(*) AS c FROM e),
        |cells AS ($branches),
        |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
        |         FROM cells l JOIN cells r
