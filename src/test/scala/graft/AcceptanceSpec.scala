@@ -188,7 +188,15 @@ class AcceptanceSpec extends AnyFunSuite {
     "aliasByTags(seriesByTag(\"name=cpu.total\"),\"host\")",
     // fallback / misc
     "fallbackSeries(servers.nosuch.*,servers.web01.cpu.user)",
-    "fallbackSeries(servers.web01.cpu.user,servers.db01.cpu.user)")
+    "fallbackSeries(servers.web01.cpu.user,servers.db01.cpu.user)",
+    // sibling-rename selection (the disk.bytes_free -> bytes_used idiom)
+    "useSeriesAbove(servers.*.memory.used,1000,\"used\",\"free\")",
+    // tag regex / not-equal matches (graphite tag query operators)
+    "seriesByTag(\"name=cpu.total\",\"host=~web.*\")",
+    "seriesByTag(\"name=cpu.total\",\"dc!=west\")",
+    "groupByTags(seriesByTag(\"name=cpu.total\",\"host=~.*0[12]\"),\"avg\",\"dc\")",
+    // absolute-bound slice (relative bounds need a render window)
+    s"timeSlice(servers.web01.cpu.user,${1700000000L - (1700000000L % 60)},${1700000000L - (1700000000L % 60) + 600})")
 
   /** Window-dependent synthetic sources evaluated with a render window. */
   private val windowedCorpus: Seq[String] = Seq(

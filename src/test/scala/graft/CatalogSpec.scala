@@ -171,6 +171,20 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.metricCount() == 1)
   }
 
+  test("the cached base is a file-list snapshot: appends never double-count (r8)") {
+    // a persisted frame over the DIRECTORY re-lists it on a recomputed
+    // scan and silently absorbs appended rows; the snapshot base cannot
+    val cat = new Catalog(s"$root/c12", schemas)
+    cat.admit(pts("d.a"), 100L).count()
+    val base = cat.metrics()
+    base.count() // materialize
+    cat.admit(pts("d.b", "d.c"), 200L).count() // parquet gains a new file
+    // the OLD frame still sees exactly its snapshot, even if recomputed
+    assert(base.select("metric").as[String].collect().toSeq == Seq("d.a"))
+    assert(cat.metricCount() == 3)
+    assert(cat.admit(pts("d.b"), 300L).count() == 1 && cat.creates == 3)
+  }
+
   test("hintSmall stops forcing broadcast above the estate threshold") {
     val cat = new Catalog(s"$root/c11", schemas)
     cat.admit(pts("h.a", "h.b", "h.c"), 100L).count()
