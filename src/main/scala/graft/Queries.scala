@@ -551,10 +551,20 @@ object Queries {
       .agg(
         sum(decPrice(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(decPrice(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(decPrice(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - decRate(col("l_discount"))))
+        // scale-6 sums round (HALF_UP via round(), which both engines share
+        // — decimal DOWNCAST does not: DuckDB's truncates) to their natural
+        // 2 decimals IN DECIMAL SPACE before the double cast: an exact
+        // 17-significant-digit decimal converts to double differently
+        // across engines (DuckDB double-rounds via int128*10^-s) — 1-ULP
+        // mismatch first seen at 10x-corpus magnitudes; at 13 digits the
+        // conversion is exact
+        round(sum(decPrice(col("l_extendedprice"))
+            * (lit(1).cast("decimal(3,2)") - decRate(col("l_discount")))), 2)
           .cast("double").as("sum_disc_price"),
-        sum(decPrice(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - decRate(col("l_discount")))
-          * (lit(1).cast("decimal(3,2)") + decRate(col("l_tax")))).cast("double").as("sum_charge"),
+        round(sum(decPrice(col("l_extendedprice"))
+            * (lit(1).cast("decimal(3,2)") - decRate(col("l_discount")))
+            * (lit(1).cast("decimal(3,2)") + decRate(col("l_tax")))), 2)
+          .cast("double").as("sum_charge"),
         (sum(decPrice(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(decPrice(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
         (sum(decRate(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
@@ -565,8 +575,8 @@ object Queries {
     """SELECT l_returnflag, l_linestatus,
       |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
       |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
-      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+      |CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_disc_price,
+      |CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
       |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
       |CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
