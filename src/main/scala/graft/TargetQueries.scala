@@ -128,7 +128,8 @@ object TargetQueries {
     s"""WITH base AS ($TargetBaseSql),
        |sm AS (
        |  SELECT metric, ts - (ts % 3600) AS ts, MAX(value) AS value
-       |  FROM base GROUP BY 1, 2),
+       |  FROM base WHERE regexp_matches(metric, '^app\\.[^.]*\\.u[^.]$$')
+       |  GROUP BY 1, 2),
        |g AS (
        |  SELECT string_split(metric, '.')[2] AS metric, ts,
        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS value
@@ -149,7 +150,9 @@ object TargetQueries {
   val tsTargetSelectSql: String =
     s"""WITH base AS ($TargetBaseSql),
        |winners AS (
-       |  SELECT metric FROM base GROUP BY metric
+       |  SELECT metric FROM base
+       |  WHERE regexp_matches(metric, '^app\\.[^.]*\\.u[^.]*$$')
+       |  GROUP BY metric
        |  HAVING CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) > 50),
        |f AS (SELECT b.* FROM base b JOIN winners w USING (metric)),
        |m AS (
@@ -176,7 +179,8 @@ object TargetQueries {
        |w AS (
        |  SELECT string_split(metric, '.')[1] || '.' || string_split(metric, '.')[2] AS metric,
        |         ts, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
-       |  FROM base GROUP BY 1, 2),
+       |  FROM base WHERE regexp_matches(metric, '^app\\.[^.]*\\.u[^.]*$$')
+       |  GROUP BY 1, 2),
        |o AS (
        |  SELECT metric, ts, value - MIN(value) OVER (PARTITION BY metric) AS value
        |  FROM w)
@@ -200,7 +204,8 @@ object TargetQueries {
        |  SELECT ts, value,
        |         ROW_NUMBER() OVER (PARTITION BY ts ORDER BY value) AS rn,
        |         COUNT(*) OVER (PARTITION BY ts) AS cnt
-       |  FROM base WHERE value IS NOT NULL),
+       |  FROM base WHERE value IS NOT NULL
+       |    AND regexp_matches(metric, '^app\\.[^.]*\\.u[^.]*$$')),
        |p AS (
        |  SELECT ts, value FROM r
        |  WHERE rn = LEAST(GREATEST((cnt + 2) // 2, 1), cnt))
