@@ -220,8 +220,97 @@ object Dedup {
       .groupBy(col("src").as("node"))
       .agg(min(col("label")).as("label"))
 
+  /** Partition-local union-find over the symmetrized edge stream: each
+    * partition unions every edge it holds (union-by-min, so a local root is
+    * the minimum node id of its partition-local component) and emits one
+    * (node, root) row per node it saw. A node's src-adjacency is colocated
+    * (edges arrive hash-partitioned by src), so band-clique components —
+    * the common near-dup shape — collapse to a single root before any
+    * global round. Driver-free and single-pass; per-task memory is
+    * O(distinct nodes in the partition), the same order as the edge
+    * partition itself.
+    */
+  private[graft] def localRoots(sym: DataFrame): DataFrame = {
+    val ss = sym.sparkSession
+    import ss.implicits._
+    sym.as[(Long, Long)].mapPartitions { it =>
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.get(x)
+        while (p != x) { x = p; p = parent.get(x) }
+        // path compression: point the walked chain at the root
+        var y = x0
+        while (y != x) { val n = parent.get(y); parent.put(y, x); y = n }
+        x
+      }
+      while (it.hasNext) {
+        val e = it.next()
+        parent.putIfAbsent(e._1, e._1)
+        parent.putIfAbsent(e._2, e._2)
+        val ra = find(e._1); val rb = find(e._2)
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val keys = parent.keySet().toArray(new Array[java.lang.Long](parent.size()))
+      keys.iterator.map(n => (n.longValue(), find(n.longValue())))
+    }.toDF("node", "root")
+  }
+
+  /** Connected components with partition-local pre-contraction. Phase 1:
+    * [[localRoots]] collapses each partition's components to their min-id
+    * root. Phase 2: the CONTRACTED graph — for every node, a star from its
+    * min local root to its other local roots (roots of one node are
+    * provably in one component, and every original edge put its two
+    * endpoints under one shared local root, so the quotient preserves
+    * exactly the original components) — goes through the global min-label
+    * rounds. Phase 3: node label = global label of its min local root.
+    *
+    * Bit-identical to min-label over the raw graph: the component's global
+    * min node is always its own local root (union-by-min can only point it
+    * at something smaller, and nothing is smaller), so it survives
+    * contraction and wins the global min. What the contraction buys at
+    * scale: the per-round broadcast shrinks from ALL pair-graph nodes to
+    * the cross-partition roots only (typically 100x fewer), and the rounds
+    * scan the contracted star edges instead of the full pair graph.
+    * Measured at the 10x corpus (same box, same hour): 4.9 s vs 17.6 s
+    * for the uncontracted rounds — and vs 9.3 s for single-node DuckDB on
+    * the identical unrolled-rounds SQL, the one contest the engine was
+    * losing at 10x in round 8 (bench/CROSSOVER_r8.md).
+    */
   def clusterLabels(pairs: DataFrame, iters: Int,
                     checkConverged: Boolean = false): DataFrame = {
+    val sym = pairs
+      .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+      .unionByName(
+        pairs.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
+      .repartition(col("src"))
+    // one (node, min root, all roots) row per node; materialized once —
+    // both the contracted edges and the final stitch read it
+    val grouped = localRoots(sym).groupBy(col("node"))
+      .agg(min(col("root")).as("rmin"), collect_set(col("root")).as("roots"))
+      .localCheckpoint()
+    val cpairs = grouped
+      .select(col("rmin"), explode(col("roots")).as("r"))
+      .where(col("r") =!= col("rmin"))
+      .select(col("rmin").as("a"), col("r").as("b")) // rmin < r by construction
+      .distinct()
+    val rootLabels = minLabelLoop(cpairs, iters, checkConverged)
+    // rootLabels is bounded by the cross-partition roots (tiny next to the
+    // node count) — broadcast the stitch join; a root with no contracted
+    // edges is its own converged label
+    grouped
+      .join(broadcast(rootLabels.withColumnRenamed("node", "rmin")), Seq("rmin"), "left")
+      .select(col("node"), coalesce(col("label"), col("rmin")).as("label"))
+  }
+
+  /** The global min-label rounds (adaptive, diameter-budgeted) — phase 2 of
+    * [[clusterLabels]], kept as the standard scalable formulation over
+    * whatever pair graph it is given.
+    */
+  private[graft] def minLabelLoop(pairs: DataFrame, iters: Int,
+                                  checkConverged: Boolean = false): DataFrame = {
     val edges = ccEdges(pairs)
     // nodes from the CACHED edge table (self-loops guarantee every node
     // appears as src) — deriving from the uncached upstream would run the

@@ -87,8 +87,12 @@ object SeriesOps {
     // into the (often expensive, aggregated) upstream and defeats exchange
     // reuse — the rollup would compute twice
     val own = struct(chunk.as("__chunk"), lit(false).as("__halo"))
+    // pmod, not %: Spark's % keeps the dividend's sign, so a pre-1970
+    // (negative) slot near a chunk boundary would fail the halo gate and
+    // silently starve the next chunk's trailing frames (floor() already
+    // handles negatives for the chunk id itself)
     val tagged = rollup.withColumn("__t",
-      explode(when(col(tsCol) % chunkLen >= chunkLen - rangeLen,
+      explode(when(pmod(col(tsCol), lit(chunkLen)) >= chunkLen - rangeLen,
         array(own, struct((chunk + 1).as("__chunk"), lit(true).as("__halo"))))
         .otherwise(array(own))))
       .withColumn("__chunk", col("__t.__chunk"))

@@ -173,8 +173,18 @@ object TargetEval {
     * throughout the public function docs. Slots map to rowsBetween;
     * intervals map to rangeBetween over the step-aligned epoch-seconds
     * axis, which selects exactly interval/step trailing slots on a dense
-    * frame (graphite's own conversion) and stays honestly time-bounded
-    * when slots are missing entirely.
+    * frame when the interval is a multiple of the step (graphite's own
+    * conversion) and stays honestly time-bounded when slots are missing
+    * entirely.
+    *
+    * DOCUMENTED DIVERGENCE (non-multiple intervals): graphite converts the
+    * interval to slots per series as `interval // step` (integer floor),
+    * so '25s' over a 10s-step series means 2 trailing slots; the
+    * time-range frame here covers [ts-interval+1, ts] = ceil(interval/
+    * step) slots (3). A WindowSpec's range bounds are plan literals, so
+    * the per-series floor conversion cannot ride one spec; the time-bound
+    * is kept as the more honest reading of "a 25-second window".
+    * TargetSpec pins both the multiple and the non-multiple behavior.
     */
   private def trailingWindow(arg: TExpr, fname: String): org.apache.spark.sql.expressions.WindowSpec =
     arg match {

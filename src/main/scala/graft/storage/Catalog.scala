@@ -83,6 +83,17 @@ final class Catalog(val root: String, val schemas: StorageSchemas,
     * reference has the same single-writer assumption for its in-memory
     * index, rurouni/cache.py:69-97).
     */
+  /** Drop the cached catalog base. CONCURRENCY NOTE: unpersist(false) is
+    * non-blocking — a fetch/find executing concurrently may still hold the
+    * evicted frame, and if the caller (remove/rehash via SafeSwap) then
+    * deletes the old snapshot files, a recompute of that frame fails with
+    * FileNotFoundException. Safe under the documented single-writer
+    * posture: admit-path appends never delete old part files (recompute
+    * always succeeds), and destructive admin ops (remove / changeSchema /
+    * rehash) are offline operations that must not run concurrently with
+    * serving reads — the same contract the reference's filesystem admin
+    * scripts assume.
+    */
   def invalidate(): Unit = synchronized {
     cachedBase.foreach(_._1.unpersist(false))
     cachedBase = None
@@ -187,25 +198,33 @@ final class Catalog(val root: String, val schemas: StorageSchemas,
       // steady state (every metric already registered): nothing to write,
       // nothing to drop — the batch passes through with zero extra plan
       if (total == 0) return points
-      // the reference walks creates in sorted name order, shard rejects
-      // consuming no tokens (rurouni/cache.py:112-151): granting
-      // min(tokens, ok) to the first `grant` shard-local names is the
-      // same admitted set, without the per-name driver walk
-      val grant = bucket.fold(ok)(_.consumeUpTo(ok))
-      val admitted = fresh.where(shardOkCol).orderBy(col("metric"))
+      // the reference walks creates in sorted name order and consumes ONE
+      // TOKEN PER NAME WALKED — token_bucket.consume(1) runs BEFORE the
+      // instance check (rurouni/cache.py:119-128), so a shard-foreign name
+      // burns a token and is then dropped anyway. Granting min(tokens,
+      // total) to the first `grant` names and shard-filtering INSIDE that
+      // prefix reproduces exactly that admitted set, without the per-name
+      // driver walk.
+      val grant = bucket.fold(total)(_.consumeUpTo(total))
+      val admitted = fresh.orderBy(col("metric"))
         .limit(math.min(grant, Int.MaxValue.toLong).toInt)
+        .where(shardOkCol)
         .persist()
       try {
+        // admitted = shard-local names inside the token-granted prefix;
+        // count() is one job over the persisted O(batch) frame
+        val nAdmitted = if (grant == total && ok == total) total
+                        else admitted.count()
         // the gate set is THIS BATCH's rejects (fresh \ admitted) — bounded
         // by the batch's distinct metrics, never by the estate. It must be
         // materialized lineage-free BEFORE the append below: a recompute
         // against the post-append catalog would re-derive a different
         // (empty) fresh set and silently admit throttled points.
         val rejected =
-          if (grant == total) None // all first-seen names admitted: no gate
+          if (nAdmitted == total) None // all first-seen names admitted: no gate
           else Some(fresh.join(admitted.select(col("metric")), Seq("metric"), "left_anti")
             .select(col("metric")).localCheckpoint(true))
-        if (grant > 0) {
+        if (nAdmitted > 0) {
           admitted
             .select(col("metric"), schemaNameCol(col("metric")).as("schema_name"),
               lit(now).as("created_ts"))
@@ -213,8 +232,8 @@ final class Catalog(val root: String, val schemas: StorageSchemas,
             .write.mode(SaveMode.Append).parquet(path)
           invalidate()
         }
-        creates += grant
-        droppedCreates += total - grant
+        creates += nAdmitted
+        droppedCreates += total - nAdmitted
         // drop a point iff its metric was first-seen AND not granted; the
         // build side is O(batch rejects), so the broadcast is always small
         // (contrast: the old gate broadcast the full estate every batch)

@@ -62,6 +62,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(10.0, 2.0))
   }
 
+  test("movingAvg: negative (pre-1970) timestamps keep their trailing frames across chunk boundaries (r9)") {
+    // the chunked-trailing halo gate must use pmod, not % (Spark's % keeps
+    // the dividend's sign): plant slots straddling a chunk boundary in
+    // negative-ts space and check the frame still sees its predecessor.
+    // range 60 => chunkLen 3840; boundary at -3840: ts -3870 is in chunk -2
+    // and within 60 of the boundary, so it must halo into chunk -1 and feed
+    // ts -3830's frame.
+    val roll = Seq(("m", -3870L, BigDecimal(6.00), 2L), ("m", -3830L, BigDecimal(12.00), 3L))
+      .toDF("metric", "ts", "sv", "n")
+      .withColumn("sv", col("sv").cast("decimal(18,2)"))
+    val got = SeriesOps.movingAvg(roll, Seq("metric"), "ts", "sv", "n", 60L)
+      .orderBy("ts").select("mov_n", "mavg").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((2L, 3.0), (5L, 3.6)))
+  }
+
   // ---- TF-IDF ----------------------------------------------------------------
 
   test("tfidf: scores and ranks match the hand computation") {

@@ -99,6 +99,25 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.droppedCreates == 1)
   }
 
+  test("shard-foreign creates consume tokens BEFORE the shard check (rurouni/cache.py:119-128)") {
+    // the reference's walk is: consume(1) first, instance check second —
+    // so a mis-routed name burns a token even though it is then dropped.
+    // Pick two names where the SORTED-first one is shard-foreign: with a
+    // 1-token bucket the foreign name eats the token, the local name gets
+    // none, and NOTHING is admitted.
+    val names = (1 to 200).map(i => s"tk.$i")
+    val foreign = names.filter(Fnv1a.shard(_, 4) == 3)
+    val local = names.filter(Fnv1a.shard(_, 4) == 0)
+    val pair = (for { f <- foreign; l <- local if f < l } yield (f, l)).head
+    var now = 0.0
+    val cat = new Catalog(s"$root/c3tok", schemas, numInstances = 4, instance = 0,
+      bucket = Some(new TokenBucket(1, 0, () => now)))
+    val out = cat.admit(pts(pair._1, pair._2), 100L)
+    assert(out.count() == 0, "token went to the shard-foreign name; local name throttled")
+    assert(cat.creates == 0 && cat.droppedCreates == 2)
+    assert(cat.metrics().count() == 0)
+  }
+
   test("catalog-backed fetch spine: silent series fetch as all-null") {
     val sch = StorageSchema("s", ".*".r, 1.0, AggMethod.Last, Seq(Archive(10, 360)), 600, 8)
     // the catalog must know the store's schema: fetch spines are filtered

@@ -1137,4 +1137,14 @@ class TargetSpec extends AnyFunSuite {
       ev("movingWindow(s.a.x,\"30s\",\"sum\")").toSeq.map(kv => (kv._1._2, kv._2)).sorted ==
       ev("movingWindow(s.a.x,3,\"sum\")").toSeq.map(kv => (kv._1._2, kv._2)).sorted)
   }
+
+  test("moving* NON-multiple interval: '25s' at step 10 time-bounds to 3 slots (documented divergence, r9)") {
+    // graphite floors interval//step (2 slots for '25s' at step 10); the
+    // range-frame here covers [ts-24, ts] = 3 step-10 slots. Pinned so the
+    // divergence documented at TargetEval.trailingWindow stays deliberate:
+    // if this ever changes to the floor conversion, update BOTH.
+    assert(ev("movingSum(s.a.x,\"25s\")").map { case ((m, t), v) =>
+      (m.replace("\"25s\"", "3"), t) -> v
+    } == ev("movingSum(s.a.x,3)"))
+  }
 }
