@@ -94,12 +94,11 @@ object Clustering {
     * length and no null elements (centroid means divide by the per-cluster
     * row count; distances truncate to the shorter operand, so ragged
     * corpora are ill-defined for k-means in any formulation).
-    * `idCol` must be UNIQUE per row: the frame path's per-id argmin
-    * (k > [[LiteralAssignMax]]) groups by id, so duplicate ids collapse to
-    * one output row there while the literal path keeps every row — a
-    * duplicated-id corpus silently changes row count with k. (The
-    * canonicalized entrypoints guarantee uniqueness via min-id reps;
-    * direct callers own it.)
+    * `idCol` must be UNIQUE per row (the canonicalized entrypoints
+    * guarantee uniqueness via min-id reps; direct callers own it). Both
+    * assignment paths keep every input row — r9: the frame path's old
+    * per-id argmin groupBy, which silently collapsed duplicate ids, is
+    * gone with the k-row fan.
     */
   def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int)
       : (DataFrame, Seq[(Int, Seq[Double])]) = {
@@ -244,13 +243,8 @@ object Clustering {
   private def kmeansFrame(e: DataFrame, k: Int, iters: Int,
                           weighted: Boolean, initFrom: DataFrame)
       : (DataFrame, Seq[(Int, Seq[Double])]) = {
-    // pre-partition ONCE by __id: BroadcastNestedLoopJoin preserves the
-    // streamed side's partitioning, so every iteration's per-id argmin
-    // groupBy is satisfied without an exchange — without this, each round
-    // would shuffle the full vector payload (the literal path never does)
-    val ep = e.repartition(col("__id")).cache()
     def assign(cents: DataFrame, withCnt: Boolean): DataFrame =
-      frameAssign(ep, cents, withCnt)
+      frameAssign(e, cents, withCnt)
     val w = Window.orderBy("__id")
     var cents = initFrom.orderBy("__id").limit(k)
       .select((row_number().over(w) - 1).cast("int").as("__cl"), col("__v").as("__c"))
@@ -265,55 +259,93 @@ object Clustering {
         .withColumn("__cc", VecOps.vecDot(col("__c"), col("__c")))
         .localCheckpoint()
     }
-    // final assignment materialized eagerly so ep can be released here
     val fin = assign(cents, withCnt = false)
       .select(col("__id"), col("__cl"), col("__d")).localCheckpoint()
-    ep.unpersist()
     val centsSeq = cents.orderBy("__cl").collect().toSeq
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
     (fin, centsSeq)
   }
 
-  /** One frame-path assignment: crossJoin a broadcast k-row centroid frame
-    * into the pre-partitioned corpus (the k-row fan), per-id argmin via
-    * map-side-combined min(struct(dist, cl)). BroadcastNestedLoopJoin
-    * preserves the streamed side's hash partitioning on __id, so the
-    * groupBy is exchange-free — the zero-exchange-per-iteration claim,
-    * pinned by PlanAuditSpec on exactly this builder.
+  /** One frame-path assignment: the k-row centroid frame is collected
+    * (bounded: k rows of dim doubles — the same bytes the previous
+    * BroadcastNestedLoopJoin shipped to every executor anyway) and the
+    * argmin runs as ONE primitive loop per corpus row over the broadcast
+    * matrix. The crossJoin+groupBy form this replaces materialized an
+    * n-by-k ROW FAN per iteration — 1.2e9 rows carrying a copied vector
+    * payload each at the 100x corpus (n=1.1M canonical, adaptive k=1050),
+    * which took dedup_semantic to 20 minutes; the loop form does the same
+    * n*k*dim flops with zero row blowup and NO exchange at all (the old
+    * form's "exchange-free" still paid the fan through the aggregate).
+    *
+    * Bit-identical to the fanned form and the literal path: the dot runs
+    * the same ascending index fold as VecDotExpr, d = vv - 2*dot + cc in
+    * the same association, and strict `<` over ascending cluster ids
+    * reproduces min(struct(d, cl))'s smallest-id tie-break. Pinned by
+    * PlanAuditSpec (plan shape) and the literal/frame equivalence spec.
     */
-  private def frameAssign(ep: DataFrame, cents: DataFrame, withCnt: Boolean): DataFrame = {
-    val d = col("__vv") - lit(2.0) * VecOps.vecDot(col("__v"), col("__c")) + col("__cc")
-    val fanned = ep.crossJoin(broadcast(cents))
-      .select(col("__id") +: col("__v") +:
-        (if (withCnt) Seq(col("__cnt")) else Nil) ++:
-        Seq(struct(d.as("__d"), col("__cl")).as("__s")): _*)
-    val aggs = Seq(first(col("__v")).as("__v")) ++
-      (if (withCnt) Seq(first(col("__cnt")).as("__cnt")) else Nil)
-    fanned.groupBy("__id")
-      .agg(min(col("__s")).as("__m"), aggs: _*)
-      .select(col("__id") +: col("__v") +:
-        (if (withCnt) Seq(col("__cnt")) else Nil) ++:
-        Seq(col("__m.__cl").as("__cl"), col("__m.__d").as("__d")): _*)
+  private def frameAssign(e: DataFrame, cents: DataFrame, withCnt: Boolean): DataFrame = {
+    val spark = e.sparkSession
+    val centArr: Array[(Int, Array[Double], Double)] = cents
+      .select(col("__cl"), col("__c"), col("__cc")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(centArr)
+    val schema = e.schema
+    val idIdx = schema.fieldIndex("__id")
+    val vIdx = schema.fieldIndex("__v")
+    val vvIdx = schema.fieldIndex("__vv")
+    val cntIdx = if (withCnt) schema.fieldIndex("__cnt") else -1
+    val outSchema = org.apache.spark.sql.types.StructType(
+      Seq(schema(idIdx), schema(vIdx)) ++
+        (if (withCnt) Seq(schema(cntIdx)) else Nil) ++
+        Seq(org.apache.spark.sql.types.StructField("__cl",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("__d",
+            org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    e.mapPartitions { it =>
+      val cs = bc.value
+      it.map { r =>
+        val vSeq = r.getSeq[Double](vIdx)
+        val v = vSeq.toArray
+        val vv = r.getDouble(vvIdx)
+        var bd = Double.NaN
+        var bcl = -1
+        var j = 0
+        while (j < cs.length) {
+          val c = cs(j)._2
+          var s = 0.0
+          var i = 0
+          val n = math.min(v.length, c.length)
+          while (i < n) { s += v(i) * c(i); i += 1 }
+          val d = vv - 2.0 * s + cs(j)._3
+          // struct-min semantics: smaller d wins, ties keep the earlier
+          // (smaller) cluster id; NaN sorts greatest like Spark's double
+          // ordering
+          if (bcl == -1 || d < bd || (bd.isNaN && !d.isNaN)) { bd = d; bcl = cs(j)._1 }
+          j += 1
+        }
+        if (withCnt) org.apache.spark.sql.Row(r.get(idIdx), vSeq, r.getLong(cntIdx), bcl, bd)
+        else org.apache.spark.sql.Row(r.get(idIdx), vSeq, bcl, bd)
+      }
+    }(enc)
   }
 
   /** The frame-path iteration assignment, UN-checkpointed, for the plan
-    * audit: the production builder ([[frameAssign]]) over the same
-    * pre-partitioned cached corpus and k-row centroid frame `kmeansFrame`
-    * uses — so the audited plan IS the per-iteration plan. Returns
-    * (pre-partitioned corpus — caller materializes then unpersists it,
-    * assignment frame).
+    * audit: the production builder ([[frameAssign]]) over the same cached
+    * corpus and k-row centroid frame `kmeansFrame` uses — so the audited
+    * plan IS the per-iteration plan. Returns (cached corpus — caller
+    * materializes then unpersists it, assignment frame).
     */
   private[graft] def frameAssignForAudit(emb: DataFrame, idCol: String,
                                          vecCol: String, k: Int): (DataFrame, DataFrame) = {
     val e = buildCorpus(emb, idCol, vecCol)
-    val ep = e.repartition(col("__id")).cache()
     val w = Window.orderBy("__id")
     val cents = e.orderBy("__id").limit(k)
       .select((row_number().over(w) - 1).cast("int").as("__cl"), col("__v").as("__c"))
       .withColumn("__cc", VecOps.vecDot(col("__c"), col("__c")))
       .localCheckpoint()
-    e.unpersist()
-    (ep, frameAssign(ep, cents, withCnt = false))
+    (e, frameAssign(e, cents, withCnt = false))
   }
 
   /** SemDeDup: k-means-cluster, then inside each cluster mark every vector

@@ -296,28 +296,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"both windows share partitioning — expected exactly 1 hash exchange, got $dataExchanges:\n$plan")
   }
 
-  test("kmeans frame-path argmin reuses the corpus partitioning (one exchange total)") {
-    import org.apache.spark.sql.functions._
-    // the shape kmeansFrame builds: pre-partitioned corpus, broadcast
-    // centroid fan-out, per-id argmin. BroadcastNestedLoopJoin preserves
-    // the streamed side's partitioning, so the groupBy must NOT add a
-    // second exchange — otherwise every Lloyd round re-shuffles the
-    // full vector payload
-    val rnd = new scala.util.Random(5)
-    val e = (0L until 200L).map(i => (i, Seq.fill(4)(rnd.nextDouble())))
-      .toDF("__id", "__v").repartition(col("__id"))
-    val cents = Seq((0, Seq(0.1, 0.1, 0.1, 0.1)), (1, Seq(0.9, 0.9, 0.9, 0.9)))
-      .toDF("__cl", "__c")
-    val plan = planOf(
-      e.crossJoin(broadcast(cents))
-        .select(col("__id"), col("__v"),
-          struct(graft.functions.VecOps.vecDot(col("__v"), col("__c")).as("__d"),
-            col("__cl")).as("__s"))
-        .groupBy("__id").agg(min(col("__s")).as("__m"), first(col("__v")).as("__v")))
-    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(exchanges == 1,
-      s"expected ONLY the repartition exchange, got $exchanges:\n$plan")
-  }
+  // (the r8 "frame-path argmin reuses the corpus partitioning" pin is
+  // retired with the k-row fan itself: the assignment no longer has a
+  // groupBy to keep exchange-free — see the k > 100 audit below)
 
   test("kmeans centroid sums use the vec_sum_scaled kernel, never a row explode") {
     // the Lloyd iteration must shuffle k ARRAY rows (ObjectHashAggregate
@@ -341,41 +322,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.nonEmpty) // kmeans itself ran through the kernel path
   }
 
-  test("frame-path kmeans iteration is exchange-free: broadcast fan preserves the corpus partitioning (k > 100)") {
-    import org.apache.spark.sql.functions.col
+  test("frame-path kmeans assignment is a zero-exchange argmin loop — no n-by-k row fan (k > 100)") {
     // 130 distinct ids, k = 120 — past LiteralAssignMax, the production
     // frame path. frameAssignForAudit builds the per-iteration assignment
-    // with the SAME builder kmeansFrame loops over.
+    // with the SAME builder kmeansFrame loops over. r9: the assignment is
+    // a mapPartitions argmin over the broadcast centroid matrix; the old
+    // crossJoin+groupBy fan materialized n*k rows per iteration (1.2e9 at
+    // the 100x corpus — dedup_semantic at 20 minutes), so the pin now is
+    // its ABSENCE: no join of any kind, no exchange, no re-aggregation in
+    // the per-iteration plan.
     val rnd = new scala.util.Random(7)
     val emb = (0L until 130L).map(i => (i, Seq.fill(6)(rnd.nextDouble())))
       .toDF("vec_id", "v")
-    val (ep, assign) =
+    val (e, assign) =
       graft.operators.Clustering.frameAssignForAudit(emb, "vec_id", "v", 120)
-    ep.count()       // materialize the one-time pre-partitioned cache
+    e.count()        // materialize the corpus cache
     assign.collect() // executedPlan under AQE is only final after execution
     val plan = assign.queryExecution.executedPlan.toString
-    ep.unpersist()
-    // the k-row centroid fan must be a BroadcastNestedLoopJoin over the
-    // STREAMED corpus (audit the operators above the cached corpus scan:
-    // the InMemoryRelation subtree prints the cache's BUILD lineage, which
-    // legitimately contains the one-time repartition exchange)
+    e.unpersist()
+    // audit the operators above the cached corpus scan (the
+    // InMemoryRelation subtree prints the cache's BUILD lineage)
     val iterOnly = plan.split("InMemoryRelation")(0)
-    assert(iterOnly.contains("BroadcastNestedLoopJoin"),
-      s"centroid fan must be the broadcast nested-loop join:\n$plan")
-    val shuffles = iterOnly.linesIterator
-      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
-    assert(shuffles == 0,
-      s"no exchange between the broadcast fan and the per-id argmin aggregate:\n$plan")
-    // every BroadcastExchange in the plan (AQE prints Final AND Initial
-    // sections) must build from the checkpointed k-row centroid scan
-    // (ExistingRDD), NEVER the cached corpus
-    val lines = plan.linesIterator.toVector
-    val bcasts = lines.zipWithIndex.filter(_._1.contains("BroadcastExchange"))
-    assert(bcasts.nonEmpty, s"centroid broadcast missing:\n$plan")
-    bcasts.foreach { case (_, i) =>
-      assert(lines(i + 1).contains("ExistingRDD"),
-        s"broadcast side must be the checkpointed centroids, not the corpus:\n$plan")
-    }
+    assert(iterOnly.contains("MapPartitions"),
+      s"assignment must be the argmin mapPartitions loop:\n$plan")
+    for (bad <- Seq("BroadcastNestedLoopJoin", "Join", "Exchange hashpartitioning",
+                    "HashAggregate"))
+      assert(!iterOnly.contains(bad),
+        s"per-iteration assignment must not contain $bad (the n*k fan is back):\n$plan")
   }
 
   test("admin paths never collect row data to the driver (grep gate)") {
