@@ -151,4 +151,100 @@ class SoakSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.fetch(None, SimEnd - 7L * 365 * 86400,
       SimEnd - 6L * 365 * 86400, SimEnd).isEmpty)
   }
+
+  test("fast-clock 6-year lane: level-3/4 TTL, the 7d/25w/5y selection boundaries, post-TTL fetches (r9)") {
+    // The 10-day soak never reaches 15m:25w or 12h:5y retention. This lane
+    // seeds each coarse level's OWN slot grid with the SAME closed form the
+    // live cascade would have produced (avg-of-avgs telescopes exactly for
+    // full windows: level-k slot T holds T + (step_k - 10)/2), overfills
+    // each level past its retention (level 4 gets ~5.5 years), then runs
+    // one live batch + the daemon's maintenance sequence at simulated
+    // now = T0 + ~6y. The seeded dirty ranges make cascadeAuto re-propagate
+    // coarse windows from the seeded finer levels — bit-identical to the
+    // seeds by the telescoping, so a propagation bug shows up as a value
+    // mismatch, not a silent overwrite.
+    val store = new MetricStore(s"$root/fast", schema)
+    val SimEnd6 = T0 + 2200L * 86400 // ~6 simulated years, pday+12h aligned
+    def seed(level: Int, spanDays: Long): Unit = {
+      val step = archives(level).secondsPerPoint.toLong
+      val lo = SimEnd6 - spanDays * 86400
+      val pts = spark.range(lo / step, SimEnd6 / step)
+        .select((col("id") * step).as("ts"))
+        .select(explode(array(
+          struct(lit("soak.a").as("metric"), col("ts"),
+            (col("ts") + lit((step - 10) / 2.0)).as("value")),
+          struct(lit("soak.b").as("metric"), col("ts"),
+            ((col("ts") + lit((step - 10) / 2.0)) * 0.5).as("value")))).as("p"))
+        .select(col("p.metric"), col("p.ts"), col("p.value"), col("p.ts").as("arrival"))
+      store.upsertSlots(level, pts)
+    }
+    seed(2, 9)     // 300s:7d   + 2 days over
+    seed(3, 210)   // 15m:25w   + ~35 days over
+    seed(4, 2000)  // 12h:5y    + ~175 days over
+    // the live tail: one hour of 10s points through the hot loop, then the
+    // daemon's exact maintenance sequence at the simulated now
+    val hot = new HotCache(store, cacheRetention = 620L, waitTime = 30L)
+    val tail = spark.range((SimEnd6 - 3600) / 10, SimEnd6 / 10)
+      .select((col("id") * 10).as("ts"))
+      .select(lit("soak.a").as("metric"), col("ts"),
+        col("ts").cast("double").as("value"), col("ts").as("arrival"))
+    hot.processBatch(tail, SimEnd6)
+    hot.flushAll(SimEnd6)
+    store.cascadeAuto()
+    store.enforceRetention(SimEnd6)
+
+    // ---- selection boundaries + closed form at every coarse level ------
+    // age picks the first archive whose retention covers it: 6d -> level 2,
+    // 170d -> level 3 (just inside 25w), 180d -> level 4 (just past 25w),
+    // 1800d -> deep level 4
+    val probes = Seq((6L * 86400, 2), (170L * 86400, 3),
+      (180L * 86400, 4), (1800L * 86400, 4))
+    for ((age, k) <- probes) {
+      val step = archives(k).secondsPerPoint
+      val Some((level, df)) = store.fetch(Some("soak.a"), SimEnd6 - age, SimEnd6, SimEnd6)
+      assert(level == k, s"age ${age / 86400}d selected level $level, wanted $k")
+      val safeEnd = SimEnd6 - 2L * math.max(step.toLong,
+        if (k == 0) 0L else store.propagateTimeunit(k - 1))
+      var covered = 0
+      df.collect().foreach { r =>
+        val (t, v) = (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+        if (t >= SimEnd6 - age && t + step <= safeEnd) {
+          assert(v.nonEmpty, s"level $k soak.a@$t: null inside the seeded span")
+          v.foreach(x => assert(x == closed("soak.a", k, t),
+            s"level $k soak.a@$t: $x != ${closed("soak.a", k, t)}"))
+          covered += 1
+        }
+      }
+      assert(covered > 0, s"level $k: no covered slots asserted")
+    }
+
+    // ---- TTL ran at the coarse levels AND kept everything fetchable ----
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root.toString), spark.sparkContext.hadoopConfiguration)
+    for ((k, seededDays) <- Seq((2, 9L), (3, 210L), (4, 2000L))) {
+      val days = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/fast/soak/level_$k"))
+        .map(_.getPath.getName).filter(_.startsWith("pday="))
+        .map(_.stripPrefix("pday=").toLong)
+      val retentionDays = archives(k).secondsPerPoint.toLong * archives(k).points / 86400
+      assert(days.min >= (SimEnd6 - archives(k).secondsPerPoint.toLong *
+        archives(k).points) / 86400 - 1,
+        s"level $k kept days past its TTL margin: oldest ${days.min}")
+      assert(days.min > (SimEnd6 - seededDays * 86400) / 86400,
+        s"level $k TTL never deleted (seeded ${seededDays}d > retention ${retentionDays}d)")
+    }
+    // the oldest RETAINED level-4 window still serves the closed form
+    val oldestSafe = SimEnd6 - archives(4).secondsPerPoint.toLong * archives(4).points + 2 * 86400
+    val Some((lv, dfOld)) = store.fetch(Some("soak.a"), oldestSafe, oldestSafe + 10 * 86400, SimEnd6)
+    assert(lv == 4)
+    val oldRows = dfOld.where(col("value").isNotNull).collect()
+    assert(oldRows.length >= 16, s"post-TTL oldest window served only ${oldRows.length} slots")
+    oldRows.foreach(r => assert(r.getDouble(2) == closed("soak.a", 4, r.getLong(1))))
+
+    // ---- clamp parity at the 6y depth ----------------------------------
+    val Some((l4c, _)) = store.fetch(Some("soak.a"), SimEnd6 - 7L * 365 * 86400, SimEnd6, SimEnd6)
+    assert(l4c == 4, "a 7-year from_time must clamp and answer from the coarsest archive")
+    assert(store.fetch(None, SimEnd6 - 9L * 365 * 86400,
+      SimEnd6 - 8L * 365 * 86400, SimEnd6).isEmpty)
+  }
 }
