@@ -171,22 +171,35 @@ final class MetricStore(val root: String, val schema: StorageSchema,
   private[graft] def swapPartitions(target: String, loDay: Long, hiDay: Long,
                                     merged: DataFrame): Unit = {
     recoverSwap(target) // clear any previous crash before staging anew
-    val staging = SafeSwap.stagingPath(target)
-    withPday(merged).write.mode(SaveMode.Overwrite).partitionBy("pday").parquet(staging)
-    val fs = hadoopFs(target)
-    val old = new Path(s"$target.__old")
-    fs.mkdirs(new Path(target))
-    fs.mkdirs(old)
-    (loDay to hiDay).foreach { day =>
-      val tgt = new Path(s"$target/pday=$day")
-      val stg = new Path(s"$staging/pday=$day")
-      if (fs.exists(tgt) && !fs.rename(tgt, new Path(s"$old/pday=$day")))
-        throw new java.io.IOException(s"swap: backup of $tgt failed")
-      if (fs.exists(stg) && !fs.rename(stg, tgt))
-        throw new java.io.IOException(s"swap: move-in of $stg failed")
+    MetricStore.activeSwaps.add(target)
+    try {
+      val staging = SafeSwap.stagingPath(target)
+      withPday(merged).write.mode(SaveMode.Overwrite).partitionBy("pday").parquet(staging)
+      // the rename window runs under the table's swap monitor: a concurrent
+      // serving read's recoverSwap probe must never observe the `.__old`
+      // backups of a LIVE swap mid-phase (it would "restore" them). The
+      // slow staging write above stays outside the lock, shielded by the
+      // activeSwaps registration instead.
+      MetricStore.swapMonitor(target).synchronized {
+        val fs = hadoopFs(target)
+        val old = new Path(s"$target.__old")
+        fs.mkdirs(new Path(target))
+        fs.mkdirs(old)
+        (loDay to hiDay).foreach { day =>
+          val tgt = new Path(s"$target/pday=$day")
+          val stg = new Path(s"$staging/pday=$day")
+          if (fs.exists(tgt) && !fs.rename(tgt, new Path(s"$old/pday=$day")))
+            throw new java.io.IOException(s"swap: backup of $tgt failed")
+          if (fs.exists(stg) && !fs.rename(stg, tgt))
+            throw new java.io.IOException(s"swap: move-in of $stg failed")
+        }
+        fs.delete(old, true)
+        fs.delete(new Path(staging), true)
+      }
+    } finally {
+      MetricStore.activeSwaps.remove(target)
+      ()
     }
-    fs.delete(old, true)
-    fs.delete(new Path(staging), true)
     ()
   }
 
@@ -195,7 +208,8 @@ final class MetricStore(val root: String, val schema: StorageSchema,
     * new content did not land, then drop the leftovers. Idempotent; no-op
     * (one exists probe) when there is no crash evidence.
     */
-  def recoverSwap(target: String): Unit = {
+  def recoverSwap(target: String): Unit = MetricStore.swapMonitor(target).synchronized {
+    if (MetricStore.activeSwaps.contains(target)) return // live swap, not a crash
     val fs = hadoopFs(target)
     val old = new Path(s"$target.__old")
     if (fs.exists(old)) {
@@ -220,6 +234,13 @@ final class MetricStore(val root: String, val schema: StorageSchema,
     org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
     org.apache.spark.sql.types.StructField("arrival", org.apache.spark.sql.types.LongType)))
 
+  /** levelSchema plus the pday partition column — the schema SnapshotRead
+    * needs to skip footer inference on the serving path.
+    */
+  private val levelSchemaP = org.apache.spark.sql.types.StructType(
+    levelSchema.fields :+ org.apache.spark.sql.types.StructField(
+      "pday", org.apache.spark.sql.types.LongType))
+
   private def lww(df: DataFrame): DataFrame = TimeSeries.lwwMerge(df)
 
   /** Raw level rows (may contain superseded duplicates), pruned to a time
@@ -230,7 +251,10 @@ final class MetricStore(val root: String, val schema: StorageSchema,
     if (!hasData(levelPath(i)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], levelSchema)
     else
-      spark.read.parquet(levelPath(i))
+      // snapshot read: this is the SERVING path — a render scans levels
+      // while the micro-batch loop appends (writeBatch partitionBy
+      // _temporary staging) and maintenance swaps partitions around it
+      SnapshotRead.parquet(spark, levelPath(i), levelSchemaP)
         .where(col("pday").between(fromTime / 86400L, untilTime / 86400L))
         .where(col("ts") >= fromTime && col("ts") < untilTime)
         .select(col("metric"), col("ts"), col("value"), col("arrival"))
@@ -441,14 +465,46 @@ final class MetricStore(val root: String, val schema: StorageSchema,
 
   /** True when the table dir holds at least one data file (a dir with only
     * _SUCCESS — e.g. after a TTL wiped every partition — counts as empty).
+    *
+    * Walks only VISIBLE entries and never descends into `_`/`.` names: the
+    * recursive listFiles it replaces walked INTO an in-flight append's
+    * `_temporary` staging, where a task file vanishing mid-walk surfaces
+    * as the local FS permission-probe failure (RenderLoadSpec's concurrent
+    * render/ingest mix). A path that vanishes during the walk reads as
+    * no-data-now — the same answer a moment earlier would have given.
     */
   def hasData(path: String): Boolean = {
     if (!tableExists(path)) return false
-    val it = hadoopFs(path).listFiles(new Path(path), true)
-    while (it.hasNext) {
-      val f = it.next().getPath.getName
-      if (!f.startsWith("_") && !f.startsWith(".")) return true
-    }
-    false
+    val fs = hadoopFs(path)
+    def visible(n: String): Boolean = !n.startsWith("_") && !n.startsWith(".")
+    def ls(p: Path) =
+      try fs.listStatus(p).filter(s => visible(s.getPath.getName))
+      catch { case _: Exception => Array.empty[org.apache.hadoop.fs.FileStatus] }
+    val top = ls(new Path(path))
+    top.exists(!_.isDirectory) ||
+      top.filter(_.isDirectory).exists(d => ls(d.getPath).exists(!_.isDirectory))
   }
+}
+
+object MetricStore {
+  /** Per-table monitors serializing swapPartitions' rename window against
+    * reader-side recoverSwap probes (same JVM — the daemon's HTTP threads
+    * serve while the micro-batch drains). Without this a serving read's
+    * recovery probe could observe a LIVE swap's `.__old` mid-phase and
+    * "restore" days the writer is about to move in. Cross-process writers
+    * remain excluded by the single-writer contract.
+    */
+  private val swapMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[storage] def swapMonitor(target: String): Object =
+    swapMonitors.computeIfAbsent(target, _ => new Object)
+
+  /** Tables with a swap IN FLIGHT in this JVM (staging write + rename
+    * window). A reader-side recoverSwap probe must no-op for these: its
+    * staging cleanup would otherwise delete the half-written staging dir
+    * of a LIVE drain (recovery is for crashed restarts, where no writer
+    * is active by definition).
+    */
+  private[storage] val activeSwaps: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

@@ -48,12 +48,20 @@ final class HotCache(val store: MetricStore, val cacheRetention: Long, val waitT
     org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
     org.apache.spark.sql.types.StructField("arrival", org.apache.spark.sql.types.LongType)))
 
+  private val hotSchemaP = org.apache.spark.sql.types.StructType(
+    hotSchema.fields :+ org.apache.spark.sql.types.StructField(
+      "pday", org.apache.spark.sql.types.LongType))
+
   private def rawHot(): DataFrame = {
     store.recoverSwap(hotPath) // cheap no-op unless a flush died mid-swap
     if (!store.hasData(hotPath))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], hotSchema)
     else
-      spark.read.parquet(hotPath)
+      // snapshot read: hotView/fetchMerged serve HTTP requests CONCURRENT
+      // with the micro-batch's appends and drain swaps on this directory —
+      // a plain directory read races their staging/deletes (500s under the
+      // RenderLoadSpec mix; see graft.storage.SnapshotRead)
+      graft.storage.SnapshotRead.parquet(spark, hotPath, hotSchemaP)
         .select(col("metric"), col("ts"), col("value"), col("arrival"))
   }
 
