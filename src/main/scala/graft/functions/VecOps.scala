@@ -40,6 +40,37 @@ object VecOps {
     math.sqrt(s)
   }
 
+  /** All-tables sign-LSH bucket ids (see [[LshBucketsExpr]]): one static
+    * JIT-compiled loop, arithmetic bit-identical to the per-plane
+    * VecDotExpr composition it replaces.
+    */
+  def lshBuckets(v: ArrayData, planes: Array[Array[Array[Double]]]): Array[Long] = {
+    val out = new Array[Long](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val tbl = planes(t)
+      var bucket = 0L
+      var p = 0
+      while (p < tbl.length) {
+        val plane = tbl(p)
+        val n = math.min(v.numElements(), plane.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += v.getDouble(i) * plane(i); i += 1 }
+        if (s > 0) bucket += 1L << p
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+
+  /** Column form of [[lshBuckets]]: `tables(t)(p)` = plane p of table t. */
+  def lshBucketsAll(vec: Column, tables: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(LshBucketsExpr(ColumnBridge.expression(vec),
+      tables.map(_.map(_.toArray).toArray).toArray))
+
   def vecQuantStats(a: Column): Column =
     ColumnBridge.column(VecQuantStatsExpr(ColumnBridge.expression(a)))
 
@@ -183,4 +214,49 @@ case class VecNormExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "vec_norm"
+}
+
+/** All LSH-table bucket ids for one vector in ONE compact kernel call.
+  *
+  * The column-expression formulation (`array(tables.map(lshBucket(v, _)))`,
+  * 16 tables x 16 planes at the 100x corpus's adaptive depth) inlines 256
+  * VecDotExpr loops into a single generated method — far past the JIT's
+  * method-size limits, so the stage runs in the BYTECODE INTERPRETER
+  * (~40 ms/row; found when the 100x embed_cosine_neardup run pinned 31
+  * cores inside generate_doConsume for half an hour). This kernel does the
+  * identical arithmetic — per table t, bucket = sum over planes p of
+  * (dot(v, plane_p) > 0 ? 1<<p : 0), dots folding ascending exactly like
+  * VecDotExpr — in one small generated call into a static JIT-compiled
+  * loop, keeping whole-stage codegen AND compiled execution at any depth.
+  */
+case class LshBucketsExpr(child: Expression, planes: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_buckets requires an array<double> input, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayData.toArrayData(VecOps.lshBuckets(v.asInstanceOf[ArrayData], planes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("planes", planes, "double[][][]")
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  graft.functions.VecOps.lshBuckets($a, $ref));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "lsh_buckets"
 }

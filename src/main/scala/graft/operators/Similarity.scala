@@ -149,11 +149,18 @@ object Similarity {
 
   /** Explode a vector into its (tbl, bucket) cells across all LSH tables:
     * posexplode of the per-table bucket array. One row per table — the
-    * standard multi-table candidate generator.
+    * standard multi-table candidate generator. The bucket array comes from
+    * the ONE-call [[graft.functions.VecOps.lshBucketsAll]] kernel: the
+    * per-table [[lshBucket]] composition inlines tables x planes dot loops
+    * into one generated method, which at adaptive depth (16x16 at the 100x
+    * corpus) exceeds JIT method limits and drops the stage into the
+    * bytecode interpreter (31 cores x ~40 ms/row — the round-9 100x
+    * finding). Identical bits, compiled execution at any depth.
     */
   private def withCells(df: DataFrame, vec: Column, tables: Seq[Seq[Seq[Double]]]): DataFrame =
     df.select(df.columns.toIndexedSeq.map(col) :+
-        posexplode(array(tables.map(t => lshBucket(vec, t)): _*)).as(Seq("tbl", "bucket")): _*)
+        posexplode(graft.functions.VecOps.lshBucketsAll(vec, tables))
+          .as(Seq("tbl", "bucket")): _*)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors by cosine (self-matches excluded). The query side is broadcast
@@ -268,10 +275,23 @@ object Similarity {
 
   /** Embedding near-duplicate pairs, LSH-blocked (the scale path, and the
     * oracle-checked one): all (a < b) sharing an LSH cell in at least one of
-    * T tables with cosine >= threshold. Candidates are generated slim
-    * ((a, b) ids only), deduped, then re-joined to the vectors for exact
-    * verification — the candidate shuffle carries 16 bytes per pair, not
-    * two embeddings.
+    * T tables with cosine >= threshold.
+    *
+    * Verification is INLINE in the cell self-join: each cell row carries
+    * its vector+norm, the join output streams through the cosine filter
+    * inside one codegen stage, and only the (tiny) verified set reaches
+    * the final distinct. The previous slim-pairs design (candidate ids →
+    * distinct → re-join vectors twice) materialized the FULL candidate
+    * set through two vector joins — at the 100x corpus (1.2M canonical
+    * vectors, adaptive depth 16, expected cell occupancy ~18) that is
+    * ~160M pairs x ~1.1 KB of joined vector payload ≈ 80+ GB of shuffle,
+    * which filled the disk (round-9 finding). Carrying the vector through
+    * the ONE cell shuffle costs n·T·(vec bytes) ≈ 10 GB at the same
+    * corpus, the two join sides reuse a single exchange, and candidates
+    * never exist as rows outside the streaming filter. A pair colliding
+    * in k tables verifies k times and collapses in the output distinct —
+    * cos is deterministic, so the result set is unchanged (oracle-green
+    * at every corpus).
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
                          tables: Seq[Seq[Seq[Double]]]): DataFrame = {
@@ -285,19 +305,16 @@ object Similarity {
         "vec_id", col("v"), Seq("v"))
       .withColumn("nrm", norm(col("v")))
       .cache()
-    val cells = withCells(e.select(col("vec_id"), col("v")), col("v"), tables)
-      .select(col("vec_id"), col("tbl"), col("bucket"))
-    val cand = cells.as("l").join(cells.as("r"),
+    val cells = withCells(e, col("v"), tables)
+      .select(col("vec_id"), col("v"), col("nrm"), col("tbl"), col("bucket"))
+    cells.as("l").join(cells.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
           col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
-      .distinct()
-    cand
-      .join(e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
-      .join(e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
-      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("cos",
+        round(dot(col("l.v"), col("r.v")) / (col("l.nrm") * col("r.nrm")), 6))
       .where(col("cos") >= threshold)
-      .select(col("a"), col("b"), col("cos"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"), col("cos"))
+      .distinct()
   }
 
   /** Exhaustive O(N^2) near-dup pairs — recall oracle for tests only, never

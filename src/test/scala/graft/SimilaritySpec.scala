@@ -38,6 +38,23 @@ class SimilaritySpec extends AnyFunSuite {
   }
   private def PipelineQueriesLshPlanes = PipelineQueries.LshPlanesPerTable
 
+  test("lshBucketsAll kernel is bit-identical to the per-table lshBucket composition (r9)") {
+    // the one-call kernel exists because the composed form's generated
+    // method exceeds JIT limits at adaptive depth; equivalence here pins
+    // that the kernel's arithmetic (dot fold order, >0 sign, bit sum)
+    // matches the documented column composition exactly, at an adaptive
+    // 16x16 depth like the 100x corpus selects
+    val tables = Similarity.multiTablePlanes(16, 16, 64)
+    val both = emb.select(
+        graft.functions.VecOps.lshBucketsAll(
+          Similarity.asDouble(col("embedding")), tables).as("k"),
+        org.apache.spark.sql.functions.array(
+          tables.map(t => Similarity.lshBucket(
+            Similarity.asDouble(col("embedding")), t)): _*).as("c"))
+      .where(org.apache.spark.sql.functions.not(col("k") === col("c")))
+    assert(both.isEmpty, "kernel and composition disagree on some vector")
+  }
+
   test("multi-table ANN recall@5 >= 0.9 vs brute force (sf0.01)") {
     val queries = emb.where(col("vec_id") < PipelineQueries.NumQueryVecs)
     val k = PipelineQueries.KnnK
