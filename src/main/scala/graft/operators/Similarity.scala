@@ -213,11 +213,20 @@ object Similarity {
       .where(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"))
       .dropDuplicates("query_id", "nbr_id")
-    // the candidate set is query-bounded (Q * tables * occupancy), so IT is
-    // the broadcast side of the vector re-join — the corpus never shuffles
-    val scored = cbase
-      .join(broadcast(cand.join(broadcast(qbase), "query_id")), "nbr_id")
+    // scoring joins: candidates meet the corpus through a SLIM shuffle
+    // join on nbr_id (16-byte pairs one side, one vector row per corpus
+    // vector the other), the Q query vectors ride a broadcast, and the
+    // cosine + slim projection stream in the same stage — so the joined
+    // vector payload never materializes. The previous shape broadcast
+    // cand x query-vectors, which is Q-bounded only while cell occupancy
+    // is small: at the 100x corpus (1.2M vectors, the recall-chosen fixed
+    // b=4 tables) candidates are ~0.6 * Q * n rows and the broadcast
+    // exceeded Spark's 8 GB hard cap (round-9 finding).
+    val scored = cand
+      .join(cbase, Seq("nbr_id"))
+      .join(broadcast(qbase), Seq("query_id"))
       .withColumn("cos", round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6))
+      .select(col("query_id"), col("nbr_id"), col("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -267,6 +276,10 @@ object Similarity {
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("nbr_id"))
       .withColumn("cos", round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6))
+      // slim BEFORE the top-k window: its exchange otherwise carries both
+      // joined vectors per scored row (~40x the bytes) — Q*n*nprobe/K rows
+      // of payload at corpus scale for a shuffle that only needs 24 bytes
+      .select(col("query_id"), col("nbr_id"), col("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
