@@ -83,21 +83,38 @@ final class Catalog(val root: String, val schemas: StorageSchemas,
     * reference has the same single-writer assumption for its in-memory
     * index, rurouni/cache.py:69-97).
     */
-  /** Drop the cached catalog base. CONCURRENCY NOTE: unpersist(false) is
-    * non-blocking — a fetch/find executing concurrently may still hold the
-    * evicted frame, and if the caller (remove/rehash via SafeSwap) then
-    * deletes the old snapshot files, a recompute of that frame fails with
-    * FileNotFoundException. Safe under the documented single-writer
-    * posture: admit-path appends never delete old part files (recompute
-    * always succeeds), and destructive admin ops (remove / changeSchema /
-    * rehash) are offline operations that must not run concurrently with
-    * serving reads — the same contract the reference's filesystem admin
-    * scripts assume.
+  /** Drop the cached catalog base. CONCURRENCY NOTE: the evicted frame is
+    * NOT unpersisted here — a fetch/find executing concurrently may still
+    * hold it (RenderLoadSpec drives exactly this: renders in flight while
+    * ingest registers new metrics), and dropping its blocks mid-scan fails
+    * the reader ("Block rdd_N_M does not exist"; local mode has no task
+    * retry). Retired frames go to a grace queue and are unpersisted only
+    * after [[retireGraceMs]] — any render that started against the old
+    * frame has long finished — or when the queue exceeds its cap during a
+    * registration storm (boot-time, before serving traffic exists).
+    * Destructive admin ops (remove / changeSchema / rehash) remain offline
+    * operations that must not run concurrently with serving reads: a
+    * recompute of a retired frame after its snapshot files are DELETED
+    * still fails, same as the reference's filesystem admin scripts assume.
     */
   def invalidate(): Unit = synchronized {
-    cachedBase.foreach(_._1.unpersist(false))
+    val now = System.currentTimeMillis()
+    cachedBase.foreach { case (df, _) => retired = (df, now) :: retired }
     cachedBase = None
     composedCache = None
+    reapRetired(now)
+  }
+
+  // (frame, retiredAtMillis) — newest first; bounded by retireMaxQueue
+  private var retired: List[(DataFrame, Long)] = Nil
+  private val retireGraceMs = 300000L
+  private val retireMaxQueue = 8
+
+  private def reapRetired(now: Long): Unit = synchronized {
+    val (inCap, overCap) = retired.splitAt(retireMaxQueue)
+    val (expired, live) = inCap.partition { case (_, t) => t + retireGraceMs <= now }
+    (overCap ++ expired).foreach { case (df, _) => df.unpersist(false) }
+    retired = live
   }
 
   private def cachedMetrics(): (DataFrame, Long) = synchronized {
@@ -105,6 +122,7 @@ final class Catalog(val root: String, val schemas: StorageSchemas,
     // clean, so per-batch cost is a couple of metadata calls, never data):
     // a restored mid-swap crash invalidates the cache inside `exists`
     val present = exists
+    reapRetired(System.currentTimeMillis())
     cachedBase.getOrElse {
       if (!present)
         // not cached: the catalog usually materializes shortly after boot

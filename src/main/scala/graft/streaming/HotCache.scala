@@ -117,7 +117,18 @@ final class HotCache(val store: MetricStore, val cacheRetention: Long, val waitT
 
   private def flushBelow(boundary: Long, now: Long): Unit = {
     if (!store.hasData(hotPath)) return
-    val raw = rawHot().cache()
+    // PRIVATE cache, not Dataset.cache(): a Dataset.cache() registers the
+    // plan in the session CacheManager, and a concurrent render's hotView()
+    // builds the SAME canonicalized SnapshotRead subplan between drains —
+    // Spark substitutes this drain-local cache into the render's plan, and
+    // the unpersist below then drops blocks out from under the in-flight
+    // render ("Block rdd_N_M does not exist" 500s under RenderLoadSpec;
+    // local mode has no task retry to recompute). Persisting at the RDD
+    // level keeps the multi-action reuse (toFlush / span / keep all read
+    // one materialization) while staying invisible to other plans.
+    val snap = rawHot()
+    val rdd = snap.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = spark.createDataFrame(rdd, snap.schema)
     try {
       val toFlush = TimeSeries.lwwMerge(raw.where(col("ts") < boundary))
       if (toFlush.isEmpty) return
@@ -131,7 +142,7 @@ final class HotCache(val store: MetricStore, val cacheRetention: Long, val waitT
       val keep = TimeSeries.lwwMerge(raw.where(col("ts") >= boundary))
       store.swapPartitions(hotPath, span.getLong(0) / 86400L, span.getLong(1) / 86400L, keep)
     } finally {
-      raw.unpersist()
+      rdd.unpersist(false)
       ()
     }
   }

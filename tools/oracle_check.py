@@ -3,26 +3,55 @@
 reads each query's parquet dump from Verify, runs the corresponding oracle
 SQL in DuckDB over the same testdata parquet tables, and compares
 (column names sorted, rows sorted, values hashed). Not part of the shipped
-library — the driver has its own copy of this logic."""
-import sys, json, glob, os
+library — the driver has its own copy of this logic.
+
+Options (for the big /tmp corpora where some oracles are intractable):
+  --only a,b,c     check only these queries
+  --timeout SECS   interrupt a DuckDB oracle after SECS and record TIMEOUT
+                   (a timeout is not a failure — it means the oracle, not
+                   the engine, can't reach that scale; record it as such)
+"""
+import sys, json, glob, os, argparse, threading
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
 
-outdir, sfdir = sys.argv[1], sys.argv[2]
+ap = argparse.ArgumentParser()
+ap.add_argument("outdir")
+ap.add_argument("sfdir")
+ap.add_argument("--only", default=None)
+ap.add_argument("--timeout", type=float, default=None)
+args = ap.parse_args()
+outdir, sfdir = args.outdir, args.sfdir
+
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
-fails = 0
+if args.only:
+    only = set(args.only.split(","))
+    oracles = {k: v for k, v in oracles.items() if k in only}
+fails = timeouts = 0
 for name, sql in sorted(oracles.items()):
     try:
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         got = pq.read_table(files[0]).to_pandas() if files else None
         if got is None:
             print(f"FAIL {name}: no spark output"); fails += 1; continue
-        exp = con.execute(sql).df()
+        timer = None
+        if args.timeout:
+            timer = threading.Timer(args.timeout, con.interrupt)
+            timer.start()
+        try:
+            exp = con.execute(sql).df()
+        except duckdb.InterruptException:
+            print(f"TIMEOUT {name}: oracle exceeded {args.timeout}s in DuckDB")
+            timeouts += 1
+            continue
+        finally:
+            if timer:
+                timer.cancel()
         g = got[sorted(got.columns)].sort_values(by=sorted(got.columns)).reset_index(drop=True)
         e = exp[sorted(exp.columns)].sort_values(by=sorted(exp.columns)).reset_index(drop=True)
         if list(g.columns) != list(e.columns):
@@ -51,5 +80,6 @@ for name, sql in sorted(oracles.items()):
             print(f"OK   {name}: {len(g)} rows")
     except Exception as ex:
         print(f"FAIL {name}: exception {str(ex)[:200]}"); fails += 1
-print("RESULT:", "ALL OK" if fails == 0 else f"{fails} FAILURES")
+print("RESULT:", ("ALL OK" if fails == 0 else f"{fails} FAILURES")
+      + (f" ({timeouts} oracle timeouts)" if timeouts else ""))
 sys.exit(1 if fails else 0)
