@@ -21,10 +21,16 @@ ap.add_argument("outdir")
 ap.add_argument("sfdir")
 ap.add_argument("--only", default=None)
 ap.add_argument("--timeout", type=float, default=None)
+ap.add_argument("--memlimit", default=None,
+                help="DuckDB memory_limit (e.g. '48GB') — without it DuckDB "
+                     "takes 80%% of RAM and the kernel OOM-kills the run on "
+                     "the big corpora instead of spilling/erroring gracefully")
 args = ap.parse_args()
 outdir, sfdir = args.outdir, args.sfdir
 
 con = duckdb.connect()
+if args.memlimit:
+    con.execute(f"SET memory_limit='{args.memlimit}'")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
