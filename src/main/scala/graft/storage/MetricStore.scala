@@ -190,6 +190,7 @@ final class MetricStore(val root: String, val schema: StorageSchema,
           val stg = new Path(s"$staging/pday=$day")
           if (fs.exists(tgt) && !fs.rename(tgt, new Path(s"$old/pday=$day")))
             throw new java.io.IOException(s"swap: backup of $tgt failed")
+          MetricStore.crashHoldHook(target, day)
           if (fs.exists(stg) && !fs.rename(stg, tgt))
             throw new java.io.IOException(s"swap: move-in of $stg failed")
         }
@@ -494,6 +495,25 @@ object MetricStore {
     * "restore" days the writer is about to move in. Cross-process writers
     * remain excluded by the single-writer contract.
     */
+  /** TEST-ONLY crash window: when `GRAFT_TEST_SWAP_HOLD` names a directory,
+    * the first swap whose target path contains `GRAFT_TEST_SWAP_HOLD_MATCH`
+    * (default: any) writes a `held` marker there MID-RENAME — after a day's
+    * old content renamed aside, before its new content moved in — and then
+    * blocks forever so a crash harness can SIGKILL the JVM inside the
+    * swap's most adversarial instant (CrashSpec). Never set in production:
+    * the held swap only ends with the process.
+    */
+  private def crashHoldHook(target: String, day: Long): Unit =
+    sys.env.get("GRAFT_TEST_SWAP_HOLD").foreach { dir =>
+      val want = sys.env.getOrElse("GRAFT_TEST_SWAP_HOLD_MATCH", "")
+      if (target.contains(want)) {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, "held"),
+          s"$target pday=$day".getBytes("UTF-8"))
+        while (true) Thread.sleep(100)
+      }
+    }
+
   private val swapMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[storage] def swapMonitor(target: String): Object =

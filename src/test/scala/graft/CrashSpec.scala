@@ -116,4 +116,78 @@ class CrashSpec extends AnyFunSuite with BeforeAndAfterAll {
         == found.lastIndexOf("\"path\":\"" + m + "\""), s"$m duplicated in find")
     }
   }
+
+  /** SIGKILL INSIDE the store swap's rename window — the most adversarial
+    * instant SafeSwap/swapPartitions protects: a pday's old content is
+    * renamed aside and its new content has NOT moved in when the process
+    * dies. File-level injection covers this in SafeSwapSpec; this lane
+    * proves it at the process level on a live daemon, via the
+    * GRAFT_TEST_SWAP_HOLD hook (MetricStore.crashHoldHook): the daemon's
+    * first level_0 swap parks mid-rename, we SIGKILL it there, restart
+    * without the hook, and the boot-time recoverSwap + journal replay must
+    * converge to every journaled point served exactly once.
+    */
+  test("SIGKILL inside the level-swap rename window: recoverSwap + replay converge") {
+    val daemonRoot = s"$root/swapcrash"
+    val holdDir = Files.createDirectories(Paths.get(s"$root/hold"))
+    live = Some(DaemonHarness.spawn(daemonRoot, extraEnv = Map(
+      "GRAFT_TEST_SWAP_HOLD" -> holdDir.toString,
+      "GRAFT_TEST_SWAP_HOLD_MATCH" -> "level_0")))
+    val l0 = live.get
+
+    // timestamps below the flush watermark (now - cacheRetention - wait =
+    // now - 1810 for "10s:1h") but inside the 1h retention: stragglers go
+    // straight into the store upsert, whose level_0 swap then parks
+    // mid-rename on the hook
+    val now = (System.currentTimeMillis() / 1000 / 10) * 10
+    val pts = for (i <- 1 to 8; k <- 0 until 5)
+      yield (s"swapcrash.m$i", now - 2400 + k * 10, i * 1000 + k + 0.25)
+    DaemonHarness.send(l0.linePort, pts.map { case (m, ts, v) => s"$m $v $ts" })
+
+    val marker = holdDir.resolve("held")
+    assert(DaemonHarness.poll(180) { Files.exists(marker) },
+      "daemon never reached the level_0 swap rename window")
+    val heldAt = new String(Files.readAllBytes(marker), "UTF-8")
+    assert(heldAt.contains("level_0"), s"held in unexpected swap: $heldAt")
+
+    val spool = Paths.get(daemonRoot, "_spool")
+    val journalSnapshot =
+      if (!Files.isDirectory(spool)) Nil
+      else Files.list(spool).iterator().asScala.toSeq.filter(Files.isRegularFile(_))
+        .flatMap { f =>
+          new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").filter(_.nonEmpty).flatMap { l =>
+              l.split(" ") match {
+                case Array(m, v, t) => Some((m, t.toLong, v.toDouble))
+                case _              => None
+              }
+            }
+        }
+    assert(journalSnapshot.nonEmpty,
+      "nothing journaled while the swap is held — the batch cannot have committed")
+    DaemonHarness.sigkill(l0)
+    live = None
+
+    // restart WITHOUT the hook: boot recovery restores the aside pday,
+    // the uncommitted batch replays from the spool, LWW upsert converges
+    live = Some(DaemonHarness.spawn(daemonRoot))
+    val l1 = live.get
+    // stragglers live in the STORE, not the hot cache — assert through the
+    // full hot∪historical fetch path, not the cache-only /query endpoint
+    def fetched(m: String): String = CacheQueryCli.fetch(
+      "127.0.0.1", Seq(l1.httpPort), m, now - 2500, now - 2200,
+      System.currentTimeMillis() / 1000L)
+    for ((m, ts, v) <- journalSnapshot.distinct) {
+      assert(DaemonHarness.poll(180) { fetched(m).contains(s"[$ts,$v]") },
+        s"point $m [$ts,$v] lost across the mid-swap crash")
+      val body = fetched(m)
+      assert(body.indexOf(s"[$ts,") == body.lastIndexOf(s"[$ts,"),
+        s"slot $m@$ts appears twice after mid-swap replay: $body")
+    }
+    // no crash debris left behind once recovery + replay have run
+    assert(DaemonHarness.poll(120) {
+      !Files.exists(Paths.get(s"$daemonRoot/default/level_0.__old")) &&
+        !Files.exists(Paths.get(s"$daemonRoot/default/level_0.__staging"))
+    }, "recovery left swap debris on level_0")
+  }
 }

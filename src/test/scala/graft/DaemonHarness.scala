@@ -29,7 +29,8 @@ object DaemonHarness {
     */
   def spawn(root: String, retentions: String = "10s:1h",
             numInstances: Int = 1, instance: Int = 0,
-            cores: Int = 3, xmx: String = "4g"): Live = {
+            cores: Int = 3, xmx: String = "4g",
+            extraEnv: Map[String, String] = Map.empty): Live = {
     val java = System.getProperty("java.home") + "/bin/java"
     val cmd = Seq(java, s"-Xmx$xmx", "-cp", System.getProperty("java.class.path")) ++
       addOpens ++ Seq("graft.streaming.Daemon",
@@ -38,6 +39,7 @@ object DaemonHarness {
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("SPARK_MASTER", s"local[$cores]")
     pb.environment().put("SPARK_GRAFT_CPUS", cores.toString)
+    extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
     pb.redirectErrorStream(true)
     val proc = pb.start()
     val banner = """lines on 127\.0\.0\.1:(\d+), http on 127\.0\.0\.1:(\d+)""".r
