@@ -711,9 +711,13 @@ object PipelineQueries {
       .groupBy(col("a"), col("b"), col("reg"))
       .agg(max(col("m_rank")).as("m_rank"))
     val uest = Sketches.hllEstimate(uregs, Seq("a", "b"), "est_union")
-    val st = docs.select(col("source"), col("text")).distinct()
+    // exact lane joins on the md5 digest, not the text: the digest IS the
+    // engine's exact-duplicate identity everywhere (see Dedup.canonicalize),
+    // and distinct+self-join over 16-byte keys shuffles KB-scale rows
+    // instead of full document bodies at corpus scale
+    val st = docs.select(col("source"), md5(col("text")).as("d")).distinct()
     val inter = st.as("l").join(st.as("r"),
-        col("l.text") === col("r.text") && col("l.source") < col("r.source"))
+        col("l.d") === col("r.d") && col("l.source") < col("r.source"))
       .groupBy(col("l.source").as("a"), col("r.source").as("b"))
       .agg(count(lit(1)).as("n_exact"))
     // assembly joins are over source/pair-bounded aggregates (≤ sources²
@@ -761,9 +765,9 @@ object PipelineQueries {
        |             round(CASE WHEN raw <= ${2.5 * m} AND v > 0
        |                        THEN $m.0 * ln($m.0 / v) ELSE raw END, 4) AS est_union
        |      FROM uraw),
-       |stx AS (SELECT DISTINCT source, text FROM documents),
+       |stx AS (SELECT DISTINCT source, md5(text) AS d FROM documents),
        |inter AS (SELECT l.source AS a, r.source AS b, COUNT(*) AS n
-       |          FROM stx l JOIN stx r ON l.text = r.text AND l.source < r.source
+       |          FROM stx l JOIN stx r ON l.d = r.d AND l.source < r.source
        |          GROUP BY 1, 2)
        |SELECT pairs.a, pairs.b,
        |       CAST(COALESCE(inter.n, 0) AS BIGINT) AS n_exact_overlap,

@@ -35,8 +35,7 @@ object ScaleQueries {
     val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    Graph.pagerank(edges, PrIters)
+    Graph.pagerank(edges, PrIters, dedupEdges = true)
       .orderBy(col("rank").desc, col("n"))
       .limit(PrTopK)
       .select(col("n").as("node"), col("rank"))

@@ -39,12 +39,21 @@ object Graph {
   val Scale = 1000000000000L // 1e12: 85*Scale fits a BIGINT with 5 digits spare
 
   /** `iters` rounds of integer PageRank over `edges` (cols `src`, `dst`;
-    * duplicates allowed — they are weighted as parallel edges). Returns
+    * duplicates allowed — they are weighted as parallel edges; pass
+    * `dedupEdges = true` for an unweighted simple graph). Returns
     * (node, rank) with rank on the 1e12 scale.
+    *
+    * Edge dedup runs AFTER the repartition on purpose: hash(src) already
+    * clusters every (src, dst) group, so the dropDuplicates aggregate is
+    * exchange-free on top of the one repartition shuffle — a caller-side
+    * `.distinct()` would pay a second full-edge exchange (hash(src, dst)
+    * then hash(src)) for the same result.
     */
-  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .repartition(col("src")).cache()
+  def pagerank(edges: DataFrame, iters: Int,
+               dedupEdges: Boolean = false): DataFrame = {
+    val cast = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src"))
+    val e = (if (dedupEdges) cast.dropDuplicates("src", "dst") else cast).cache()
     // static per-node state: out-degree, NULL for dangling nodes — carried
     // WITH the rank through every round so no round re-joins a separate
     // degree or node table
@@ -55,8 +64,10 @@ object Graph {
       .cache()
     val nn = nodeDeg.count() // one bounded driver scalar, reused every round
     require(nn > 0, "pagerank: empty graph")
+    // init is a constant projection over the just-materialized nodeDeg
+    // cache — round 1's three scans of it are in-memory reads, so a
+    // checkpoint here would only add a materialization job
     val init = nodeDeg.select(col("n"), col("deg"), lit(Scale / nn).as("rank"))
-      .localCheckpoint()
     val out = (1 to iters).foldLeft(init) { (ranks, _) =>
       // dangling mass: one row, safe to broadcast at any scale
       val dangling = ranks
