@@ -56,11 +56,14 @@ object Graph {
     val e = (if (dedupEdges) cast.dropDuplicates("src", "dst") else cast).cache()
     // static per-node state: out-degree, NULL for dangling nodes — carried
     // WITH the rank through every round so no round re-joins a separate
-    // degree or node table
-    val nodeDeg = e.select(col("src").as("n"))
-      .unionByName(e.select(col("dst").as("n"))).distinct()
-      .join(e.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg")),
-        Seq("n"), "left")
+    // degree or node table. One fused pass: tagging each endpoint row with
+    // its src-ness and summing under a single groupBy builds nodes AND
+    // out-degrees in ONE shuffle with map-side combine, where the textbook
+    // distinct-then-join-degrees shape pays two full endpoint shuffles
+    // plus a join. NULLIF(·, 0) restores the dangling-node NULL marker.
+    val nodeDeg = e.select(col("src").as("n"), lit(1L).as("s"))
+      .unionByName(e.select(col("dst").as("n"), lit(0L).as("s")))
+      .groupBy(col("n")).agg(nullif(sum(col("s")), lit(0L)).as("deg"))
       .cache()
     val nn = nodeDeg.count() // one bounded driver scalar, reused every round
     require(nn > 0, "pagerank: empty graph")
