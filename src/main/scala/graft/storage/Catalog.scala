@@ -90,8 +90,12 @@ final class Catalog(val root: String, val schemas: StorageSchemas,
     * the reader ("Block rdd_N_M does not exist"; local mode has no task
     * retry). Retired frames go to a grace queue and are unpersisted only
     * after [[retireGraceMs]] — any render that started against the old
-    * frame has long finished — or when the queue exceeds its cap during a
-    * registration storm (boot-time, before serving traffic exists).
+    * frame has long finished. A registration storm can outrun the grace
+    * window (every creating admit invalidates, so 9 retire in minutes);
+    * the queue cap bounds that memory, but an over-cap frame is still
+    * held for [[retireMinHoldMs]] — longer than any render the load gate
+    * admits — so the cap can never unpersist a frame a live render may
+    * still be scanning.
     * Destructive admin ops (remove / changeSchema / rehash) remain offline
     * operations that must not run concurrently with serving reads: a
     * recompute of a retired frame after its snapshot files are DELETED
@@ -108,13 +112,19 @@ final class Catalog(val root: String, val schemas: StorageSchemas,
   // (frame, retiredAtMillis) — newest first; bounded by retireMaxQueue
   private var retired: List[(DataFrame, Long)] = Nil
   private val retireGraceMs = 300000L
+  private val retireMinHoldMs = 60000L
   private val retireMaxQueue = 8
 
   private def reapRetired(now: Long): Unit = synchronized {
     val (inCap, overCap) = retired.splitAt(retireMaxQueue)
+    // over-cap frames drop early, but never inside the minimum hold: a
+    // storm may briefly push the queue past its cap, which costs memory,
+    // not correctness
+    val (dropCap, holdCap) =
+      overCap.partition { case (_, t) => t + retireMinHoldMs <= now }
     val (expired, live) = inCap.partition { case (_, t) => t + retireGraceMs <= now }
-    (overCap ++ expired).foreach { case (df, _) => df.unpersist(false) }
-    retired = live
+    (dropCap ++ expired).foreach { case (df, _) => df.unpersist(false) }
+    retired = live ++ holdCap
   }
 
   private def cachedMetrics(): (DataFrame, Long) = synchronized {

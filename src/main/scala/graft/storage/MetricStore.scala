@@ -478,9 +478,23 @@ final class MetricStore(val root: String, val schema: StorageSchema,
     if (!tableExists(path)) return false
     val fs = hadoopFs(path)
     def visible(n: String): Boolean = !n.startsWith("_") && !n.startsWith(".")
-    def ls(p: Path) =
-      try fs.listStatus(p).filter(s => visible(s.getPath.getName))
-      catch { case _: Exception => Array.empty[org.apache.hadoop.fs.FileStatus] }
+    // a vanished path reads as empty and a listing that raced a rename
+    // retries (same shape as SnapshotRead.ls), but a PERSISTENT failure
+    // (permissions, bad mount, disk fault) propagates — mapping it to
+    // "no data" would serve empty results and skip flushes during an
+    // outage instead of failing loudly
+    def ls(p: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+      var attempt = 0
+      while (true) {
+        try return fs.listStatus(p).filter(s => visible(s.getPath.getName))
+        catch {
+          case _: java.io.FileNotFoundException =>
+            return Array.empty[org.apache.hadoop.fs.FileStatus]
+          case _: Exception if attempt < 3 => attempt += 1
+        }
+      }
+      Array.empty[org.apache.hadoop.fs.FileStatus] // unreachable
+    }
     val top = ls(new Path(path))
     top.exists(!_.isDirectory) ||
       top.filter(_.isDirectory).exists(d => ls(d.getPath).exists(!_.isDirectory))

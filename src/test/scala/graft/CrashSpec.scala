@@ -44,9 +44,11 @@ class CrashSpec extends AnyFunSuite with BeforeAndAfterAll {
     ()
   }
 
-  /** All "metric value ts" lines currently journaled in the spool. */
-  private def journaled(): Seq[(String, Long, Double)] = {
-    val spool = Paths.get(s"$root/d", "_spool")
+  /** All "metric value ts" lines currently journaled in `daemonRoot`'s
+    * spool (defaults to the mid-ingest test's daemon).
+    */
+  private def journaled(daemonRoot: String = s"$root/d"): Seq[(String, Long, Double)] = {
+    val spool = Paths.get(daemonRoot, "_spool")
     if (!Files.isDirectory(spool)) return Nil
     Files.list(spool).iterator().asScala.toSeq.filter(Files.isRegularFile(_))
       .flatMap { f =>
@@ -150,19 +152,7 @@ class CrashSpec extends AnyFunSuite with BeforeAndAfterAll {
     val heldAt = new String(Files.readAllBytes(marker), "UTF-8")
     assert(heldAt.contains("level_0"), s"held in unexpected swap: $heldAt")
 
-    val spool = Paths.get(daemonRoot, "_spool")
-    val journalSnapshot =
-      if (!Files.isDirectory(spool)) Nil
-      else Files.list(spool).iterator().asScala.toSeq.filter(Files.isRegularFile(_))
-        .flatMap { f =>
-          new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8)
-            .split("\n").filter(_.nonEmpty).flatMap { l =>
-              l.split(" ") match {
-                case Array(m, v, t) => Some((m, t.toLong, v.toDouble))
-                case _              => None
-              }
-            }
-        }
+    val journalSnapshot = journaled(daemonRoot)
     assert(journalSnapshot.nonEmpty,
       "nothing journaled while the swap is held — the batch cannot have committed")
     DaemonHarness.sigkill(l0)

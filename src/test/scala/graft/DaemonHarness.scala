@@ -46,14 +46,30 @@ object DaemonHarness {
     val reader = new BufferedReader(new InputStreamReader(proc.getInputStream))
     val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(180)
     var ports: Option[(Int, Int)] = None
+    // the deadline is enforced by a watchdog, not just the loop guard: a
+    // live-but-silent daemon (wedged before its banner) blocks readLine()
+    // forever, and only killing the process unblocks it
+    @volatile var bannerSeen = false
+    val watchdog = new Thread(() => {
+      val interrupted =
+        try { Thread.sleep(TimeUnit.SECONDS.toMillis(180)); false }
+        catch { case _: InterruptedException => true }
+      if (!interrupted && !bannerSeen) { proc.destroyForcibly(); () }
+    })
+    watchdog.setDaemon(true)
+    watchdog.start()
     while (ports.isEmpty && System.nanoTime() < deadline) {
       val line = reader.readLine()
       if (line == null)
-        throw new AssertionError(s"daemon (instance $instance) exited before its banner")
+        throw new AssertionError(
+          s"daemon (instance $instance) exited (or was killed at the 180s " +
+            "banner deadline) before printing its banner")
       banner.findFirstMatchIn(line).foreach(m =>
         ports = Some((m.group(1).toInt, m.group(2).toInt)))
     }
     require(ports.nonEmpty, s"daemon (instance $instance): no banner within 180s")
+    bannerSeen = true
+    watchdog.interrupt()
     // drain remaining subprocess output so its stdout pipe never fills
     new Thread(() => {
       try { while (reader.readLine() != null) () } catch { case _: Throwable => () }

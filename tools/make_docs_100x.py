@@ -40,8 +40,11 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfdocs100x"
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
 os.makedirs(OUT, exist_ok=True)
 
-# zipf-shaped 32-slot lookup: rank r covers ~2^-(r+1) of rewrites
-ZIPF32 = [0] * 16 + [1] * 8 + [2] * 4 + [3] * 2 + [4] + [5]
+# zipf-shaped lookup over ALL 32 hot ranks: rank r covers ~2^-(r+1) of
+# rewrites down to the one-slot floor, so rank 0 carries ~half and every
+# boilerplate doc occurs (the first cut of this table only reached rank 5,
+# so the measured corpus had 6 mega-groups instead of the documented 32)
+ZIPF32 = [r for r in range(32) for _ in range(max(1, 2 ** (10 - r)))]
 
 M1, M2 = 1315423911, 2654435761  # mixing constants for the bucket hash
 
@@ -84,7 +87,7 @@ for k in range(COPIES):
                 t = texts[i]
                 counts["verbatim"] += 1
             elif b < 95:
-                t = hot[ZIPF32[(did * M2 + k * M1) % 32]]
+                t = hot[ZIPF32[(did * M2 + k * M1) % len(ZIPF32)]]
                 counts["zipf"] += 1
             else:
                 toks = texts[i].split(" ")
@@ -133,7 +136,7 @@ for k in range(COPIES):
             elif b < 80:
                 v, lab = vecs[i], labels[i]
             elif b < 95:
-                v, lab = ehot[ZIPF32[(vid * M2 + k * M1) % 32]], labels[i]
+                v, lab = ehot[ZIPF32[(vid * M2 + k * M1) % len(ZIPF32)]], labels[i]
             else:
                 v = (vecs[i] + rng.standard_normal(dim).astype(np.float32)
                      * 0.01 * norm_mean).astype(np.float32)

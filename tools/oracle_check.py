@@ -47,7 +47,13 @@ for name, sql in sorted(oracles.items()):
             print(f"FAIL {name}: no spark output"); fails += 1; continue
         timer = None
         if args.timeout:
-            timer = threading.Timer(args.timeout, con.interrupt)
+            # gate the interrupt on a per-query flag: a timer firing in the
+            # window between execute() returning and cancel() would otherwise
+            # leave the interrupt flag on the shared connection and abort the
+            # NEXT query (misattributed TIMEOUT)
+            done = threading.Event()
+            timer = threading.Timer(
+                args.timeout, lambda: None if done.is_set() else con.interrupt())
             timer.start()
         try:
             exp = con.execute(sql).df()
@@ -57,6 +63,7 @@ for name, sql in sorted(oracles.items()):
             continue
         finally:
             if timer:
+                done.set()
                 timer.cancel()
         g = got[sorted(got.columns)].sort_values(by=sorted(got.columns)).reset_index(drop=True)
         e = exp[sorted(exp.columns)].sort_values(by=sorted(exp.columns)).reset_index(drop=True)
