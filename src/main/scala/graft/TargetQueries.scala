@@ -137,8 +137,9 @@ object TargetQueries {
        |SELECT metric, ts, value FROM g ORDER BY metric, ts""".stripMargin
 
   /** Filter + windowed transform: keep series whose per-series average
-    * clears a bar (filterSeries/averageAbove — a broadcast-semi-join winner
-    * frame, not a collect), then a 3-slot moving sum per surviving series.
+    * clears a bar (averageAbove — a metric-partitioned window over ONE
+    * pass of the input, not a second compute of the upstream rollup plus
+    * a winner broadcast), then a 3-slot moving sum per surviving series.
     * Exactness: the average is decimal-sum / count and the comparison is
     * strict, so the winner set is engine-stable; the moving sum rides the
     * decimal lane with one cast at the end.

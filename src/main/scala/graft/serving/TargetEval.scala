@@ -266,6 +266,29 @@ object TargetEval {
     aggFor(method, col("value"), col("ts"))
   }
 
+  /** [[seriesStat]] as a whole-series WINDOW column (partitioned by
+    * metric): the same statistic, applied with `.over` at each aggregate
+    * LEAF because a composite like avg's sum/count cannot be wrapped in
+    * one WindowExpression. Lets the Above/Below filter family evaluate in
+    * a single pass over its input instead of a second full compute of the
+    * upstream pipeline plus a winner broadcast that is unbounded at
+    * estate scale. TargetSpec pins this ≡ the [[statFor]] agg path per
+    * method (named filter vs generic filterSeries on a random frame), so
+    * the two shapes cannot drift.
+    */
+  private def seriesStatOver(kind: String, w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val v = col("value"); val ts = col("ts")
+    kind match {
+      case "average" => sum(dec(v)).over(w).cast("double") / count(v).over(w)
+      case "maximum" => max(v).over(w)
+      case "minimum" => min(v).over(w)
+      case "current" =>
+        max(when(v.isNotNull, struct(ts, v))).over(w).getField("value")
+      case "total"   => sum(dec(v)).over(w).cast("double")
+      case other     => fail(s"unknown series statistic '$other'")
+    }
+  }
+
   /** graphite's full aggFuncs method set as ONE aggregation column over
     * (value, ts) rows — the [[aggFor]] core plus median / range / stddev /
     * diff / multiply — shared by `aggregate`, `aggregateWithWildcards`,
@@ -1582,14 +1605,20 @@ object TargetEval {
          | "minimumAbove" | "minimumBelow" | "currentAbove" | "currentBelow" =>
         arity(2)
         val n = num(args(1))
-        val sl = sl0
-        val stat = seriesStat(name.stripSuffix("Above").stripSuffix("Below"))
+        // one pass: the per-series statistic rides a metric-partitioned
+        // window, so the upstream pipeline (an arbitrary fetch/transform
+        // chain, the expensive part) is computed ONCE — the winner-frame
+        // semi-join shape computed it twice and broadcast a winner set
+        // that is series-count-bounded, i.e. unbounded at estate scale.
+        // An all-null series' stat is NULL, which fails both > and < —
+        // identical to the winner shape dropping it.
+        val stat = seriesStatOver(
+          name.stripSuffix("Above").stripSuffix("Below"),
+          Window.partitionBy(col("metric")))
         val keep =
           if (name.endsWith("Above")) col("__stat") > lit(n)
           else col("__stat") < lit(n)
-        val winners = sl.groupBy(col("metric")).agg(stat.as("__stat"))
-          .where(keep).select(col("metric"))
-        sl.join(broadcast(winners), Seq("metric"), "left_semi")
+        sl0.withColumn("__stat", stat).where(keep).drop("__stat")
 
       case "filterSeries" =>
         // the generic form the eight named filters route through in

@@ -382,6 +382,37 @@ class TargetSpec extends AnyFunSuite {
     assert(names("averageAbove(s.*.x,0)") == Set("s.a.x", "s.b.x"))
   }
 
+  test("named Above/Below filters (window path) == filterSeries (agg path) on a random gappy frame") {
+    // the named eight evaluate their per-series statistic as a window;
+    // generic filterSeries still uses the groupBy+semi-join statFor shape —
+    // equality here pins the two implementations to the same semantics
+    // (gaps, an all-null series, negative values, several thresholds)
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(20260815)
+    val rows = for { s <- 0 until 12; t <- 0 until 40 } yield (
+      s"r.s$s.x", t * 10L,
+      if (s == 11) None // all-null series: NULL stat must fail > and <
+      else if (rnd.nextInt(5) == 0) None
+      else Some(math.round(rnd.nextDouble() * 2000.0 - 1000.0) / 100.0))
+    val f = rows.toDF("metric", "ts", "value")
+      .select(col("metric"), col("ts"), col("value").cast("double"))
+    def run(t: String): Map[(String, Long), Option[Double]] =
+      TargetEval.eval(TargetLang.parse(t), g => TargetEval.globFilter(f, g))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val pairs = Seq(
+      ("averageAbove", "average", ">"), ("averageBelow", "average", "<"),
+      ("maximumAbove", "max", ">"), ("maximumBelow", "max", "<"),
+      ("minimumAbove", "min", ">"), ("minimumBelow", "min", "<"),
+      ("currentAbove", "current", ">"), ("currentBelow", "current", "<"))
+    for ((named, func, op) <- pairs; n <- Seq(-3.0, 0.0, 2.5)) {
+      val a = run(s"$named(r.*.x,$n)")
+      val b = run(s"""filterSeries(r.*.x,"$func","$op",$n)""")
+      assert(a == b, s"$named(r.*.x,$n) diverged from filterSeries($func,$op)")
+      assert(a.nonEmpty || b.isEmpty) // guard against vacuous equality
+    }
+  }
+
   test("highestCurrent / lowestCurrent select by the last non-null value") {
     assert(ev("highestCurrent(s.*.x,1)").keys.map(_._1).toSet == Set("s.b.x"))
     assert(ev("lowestCurrent(s.*.x,1)").keys.map(_._1).toSet == Set("s.a.x"))
