@@ -34,11 +34,19 @@ import graft.ops.CacheQueryCli
 class CrashSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var root: Path = _
-  private var live: Option[DaemonHarness.Live] = None
+  // EVERY daemon this suite ever spawned: each test spawns a fresh JVM
+  // (and the crash tests spawn a restart on top of a SIGKILL'd one), so
+  // tracking only the latest would orphan its predecessors — a leaked
+  // daemon keeps micro-batching forever and skews every later benchmark
+  // on the box. stop() on an already-dead process is a no-op.
+  private var spawned: List[DaemonHarness.Live] = Nil
+  private def track(l: DaemonHarness.Live): DaemonHarness.Live = {
+    spawned = l :: spawned; l
+  }
 
   override def beforeAll(): Unit = { root = Files.createTempDirectory("graft-crash") }
   override def afterAll(): Unit = {
-    live.foreach(DaemonHarness.stop)
+    spawned.foreach(DaemonHarness.stop)
     import scala.reflect.io.Directory
     new Directory(new java.io.File(root.toString)).deleteRecursively()
     ()
@@ -65,8 +73,7 @@ class CrashSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("SIGKILL mid-ingest: journaled points survive the restart, exactly once") {
     val daemonRoot = s"$root/d"
-    live = Some(DaemonHarness.spawn(daemonRoot))
-    val l0 = live.get
+    val l0 = track(DaemonHarness.spawn(daemonRoot))
 
     val now = (System.currentTimeMillis() / 1000 / 10) * 10
     def line(m: String, k: Int, v: Double) = s"$m $v ${now - 120 + k * 10}"
@@ -91,12 +98,10 @@ class CrashSpec extends AnyFunSuite with BeforeAndAfterAll {
     // are in the hot table; both must serve after restart)
     val journalSnapshot = journaled()
     DaemonHarness.sigkill(l0)
-    live = None
     assert(journalSnapshot.nonEmpty, "kill landed after full drain+clean; rerun window")
 
     // ---- phase 3: restart on the same spool/checkpoint/store -----------
-    live = Some(DaemonHarness.spawn(daemonRoot))
-    val l1 = live.get
+    val l1 = track(DaemonHarness.spawn(daemonRoot))
     val mustServe = (aPts ++ journalSnapshot).distinct
     for ((m, ts, v) <- mustServe) {
       assert(DaemonHarness.poll(180) {
@@ -132,10 +137,9 @@ class CrashSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("SIGKILL inside the level-swap rename window: recoverSwap + replay converge") {
     val daemonRoot = s"$root/swapcrash"
     val holdDir = Files.createDirectories(Paths.get(s"$root/hold"))
-    live = Some(DaemonHarness.spawn(daemonRoot, extraEnv = Map(
+    val l0 = track(DaemonHarness.spawn(daemonRoot, extraEnv = Map(
       "GRAFT_TEST_SWAP_HOLD" -> holdDir.toString,
       "GRAFT_TEST_SWAP_HOLD_MATCH" -> "level_0")))
-    val l0 = live.get
 
     // timestamps below the flush watermark (now - cacheRetention - wait =
     // now - 1810 for "10s:1h") but inside the 1h retention: stragglers go
@@ -156,12 +160,10 @@ class CrashSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(journalSnapshot.nonEmpty,
       "nothing journaled while the swap is held — the batch cannot have committed")
     DaemonHarness.sigkill(l0)
-    live = None
 
     // restart WITHOUT the hook: boot recovery restores the aside pday,
     // the uncommitted batch replays from the spool, LWW upsert converges
-    live = Some(DaemonHarness.spawn(daemonRoot))
-    val l1 = live.get
+    val l1 = track(DaemonHarness.spawn(daemonRoot))
     // stragglers live in the STORE, not the hot cache — assert through the
     // full hot∪historical fetch path, not the cache-only /query endpoint
     def fetched(m: String): String = CacheQueryCli.fetch(
