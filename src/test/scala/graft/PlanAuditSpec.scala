@@ -392,18 +392,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"), s"series data must not shuffle to join winners:\n$plan")
   }
 
-  test("target filterSeries family keeps the broadcast-semi winner shape under a window chain") {
-    // the ts_target_select shape: averageAbove's winner set must broadcast
-    // back (never sort-merge), and movingSum's per-series window must ride
-    // the same metric partitioning — series data shuffles once for the
-    // window, not per stage
+  test("target named filters evaluate as one pass — no join, one metric exchange for filter+window") {
+    // the ts_target_select shape: averageAbove's per-series statistic is a
+    // metric-partitioned window over ONE pass of the rollup (no second
+    // compute of the upstream, no winner broadcast — unbounded at estate
+    // scale), and movingSum's per-series window rides the SAME metric
+    // partitioning: one hashpartitioning(metric) exchange serves both.
     val plan = planOf(TargetQueries.tsTargetSelect(spark, sfDir))
-    assert(plan.contains("LeftSemi") && plan.contains("BroadcastExchange"),
-      s"threshold filter must be a broadcast semi-join:\n$plan")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
-      s"series data must not shuffle to join winners:\n$plan")
-    assert(plan.contains("partial_avg") || plan.contains("partial_sum"),
-      s"the per-series statistic must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("BroadcastExchange") &&
+      !plan.contains("CartesianProduct"),
+      s"threshold filter must be a window, never a join or broadcast:\n$plan")
+    // single-key metric partitioning only: the base rollup's own
+    // hashpartitioning(metric, ts) exchange is a different (and expected)
+    // shuffle
+    val metricExchanges =
+      "hashpartitioning\\(metric#\\d+, \\d+\\)".r.findAllIn(plan).size
+    assert(metricExchanges == 1,
+      s"filter stat + movingSum must share ONE metric exchange, saw $metricExchanges:\n$plan")
+    // and the stat did not silently degrade to a whole-frame window
+    assert(plan.contains("windowspecdefinition(metric"),
+      s"per-series statistic must partition its window by metric:\n$plan")
   }
 
   test("target wildcard-strip aggregation partial-aggregates; offsetToZero adds no join") {
