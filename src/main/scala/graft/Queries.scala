@@ -516,22 +516,28 @@ object Queries {
       .agg(count(lit(1)).as("n"))
       .orderBy("metric", "shard")
 
-  /** The metric namespace of the events table is closed (five event types
-    * at every sf), so the hash DuckDB cannot compute is precomputed here by
-    * the golden-vectored JVM Fnv1a.shard and joined as a VALUES table. The
-    * INNER join makes an unexpected metric surface as a row-count mismatch
-    * instead of a silent pass.
+  /** The oracle computes fnv1a-32 INDEPENDENTLY in SQL — a list_reduce of
+    * the FNV round over the metric's character codes (ASCII namespace; the
+    * reference's metric names are dotted ASCII) — so it holds on ANY metric
+    * namespace, not just the driver corpora's closed five (the round-8/9
+    * VALUES-join oracle failed by design on the zipf-10× corpus's
+    * `zipf.*` names). Unsigned `h % 8` equals the JVM's
+    * `floorMod(signedH, 8)` because 8 divides 2^32. Cross-checked against
+    * the golden-vectored JVM shards for all driver metrics plus zipf names.
     */
-  val fnv1aShardSql: String = {
-    val metrics = Seq("click", "error", "purchase", "signup", "view")
-    val vals = metrics
-      .map(m => s"('$m', ${graft.functions.Fnv1a.shard(m, 8)})").mkString(", ")
+  val fnv1aShardSql: String =
     s"""WITH base AS ($MetricBaseSql),
-       |shards(metric, shard) AS (VALUES $vals)
-       |SELECT b.metric AS metric, CAST(s.shard AS INTEGER) AS shard, COUNT(*) AS n
-       |FROM base b JOIN shards s ON b.metric = s.metric
+       |hashed AS (
+       |  SELECT metric,
+       |    list_reduce(
+       |      list_prepend(2166136261::BIGINT,
+       |        list_transform(range(1, length(metric)+1),
+       |                       i -> ord(substr(metric, i, 1))::BIGINT)),
+       |      (h, b) -> (xor(h, b) * 16777619) % 4294967296) % 8 AS shard
+       |  FROM (SELECT DISTINCT metric FROM base))
+       |SELECT b.metric AS metric, CAST(h.shard AS INTEGER) AS shard, COUNT(*) AS n
+       |FROM base b JOIN hashed h ON b.metric = h.metric
        |GROUP BY 1, 2 ORDER BY metric, shard""".stripMargin
-  }
 
   // =====================================================================
   // Relational coverage (scans, joins, windows, set ops) on the star schema

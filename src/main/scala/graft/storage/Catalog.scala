@@ -122,9 +122,20 @@ final class Catalog(val root: String, val schemas: StorageSchemas,
     // not correctness
     val (dropCap, holdCap) =
       overCap.partition { case (_, t) => t + retireMinHoldMs <= now }
+    // EMERGENCY cap: a registration storm could otherwise hold every
+    // over-cap frame for the full min-hold exactly when memory pressure
+    // peaks — above 4x the soft cap the oldest frames (list tail = oldest)
+    // unpersist even inside the hold. A render that outlives its frame's
+    // eviction under a 32-frame storm pays a recompute, not a wrong answer:
+    // the frame's snapshot file list is stable under recompute.
+    val emergency = retireMaxQueue * 4
+    val (heldSafe, heldEmergency) =
+      if (retireMaxQueue + holdCap.size > emergency)
+        holdCap.splitAt(emergency - retireMaxQueue)
+      else (holdCap, Nil)
     val (expired, live) = inCap.partition { case (_, t) => t + retireGraceMs <= now }
-    (dropCap ++ expired).foreach { case (df, _) => df.unpersist(false) }
-    retired = live ++ holdCap
+    (dropCap ++ heldEmergency ++ expired).foreach { case (df, _) => df.unpersist(false) }
+    retired = live ++ heldSafe
   }
 
   private def cachedMetrics(): (DataFrame, Long) = synchronized {

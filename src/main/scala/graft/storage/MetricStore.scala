@@ -490,7 +490,13 @@ final class MetricStore(val root: String, val schema: StorageSchema,
         catch {
           case _: java.io.FileNotFoundException =>
             return Array.empty[org.apache.hadoop.fs.FileStatus]
-          case _: Exception if attempt < 3 => attempt += 1
+          case _: Exception if attempt < 3 =>
+            // back off so the retry span actually covers a swap's rename
+            // window (a vanishing file can surface as a permission-probe
+            // failure, not FNF, on local FS) — 3 instant retries complete
+            // in microseconds while the window lasts milliseconds
+            Thread.sleep(10L << attempt)
+            attempt += 1
         }
       }
       Array.empty[org.apache.hadoop.fs.FileStatus] // unreachable

@@ -52,7 +52,12 @@ object SnapshotRead {
         try return fs.listStatus(p).filter(s => visible(s.getPath.getName))
         catch {
           case _: java.io.FileNotFoundException => return Array.empty
-          case _: Exception if attempt < 3 => attempt += 1
+          case _: Exception if attempt < 3 =>
+            // back off across the swap rename window (non-FNF transient:
+            // local FS permission-probe failure on a vanishing file) —
+            // same shape and rationale as MetricStore.hasData.ls
+            Thread.sleep(10L << attempt)
+            attempt += 1
         }
       }
       Array.empty // unreachable

@@ -405,12 +405,17 @@ class TargetSpec extends AnyFunSuite {
       ("maximumAbove", "max", ">"), ("maximumBelow", "max", "<"),
       ("minimumAbove", "min", ">"), ("minimumBelow", "min", "<"),
       ("currentAbove", "current", ">"), ("currentBelow", "current", "<"))
+    var sawRows = false
     for ((named, func, op) <- pairs; n <- Seq(-3.0, 0.0, 2.5)) {
       val a = run(s"$named(r.*.x,$n)")
       val b = run(s"""filterSeries(r.*.x,"$func","$op",$n)""")
       assert(a == b, s"$named(r.*.x,$n) diverged from filterSeries($func,$op)")
-      assert(a.nonEmpty || b.isEmpty) // guard against vacuous equality
+      sawRows |= a.nonEmpty
     }
+    // guard against vacuous equality across the WHOLE sweep: if every
+    // (named, n) combination filtered everything out, the equalities above
+    // proved nothing about the window-vs-agg semantics
+    assert(sawRows, "every Above/Below combination returned zero series")
   }
 
   test("highestCurrent / lowestCurrent select by the last non-null value") {

@@ -10,9 +10,16 @@ Options (for the big /tmp corpora where some oracles are intractable):
   --timeout SECS   interrupt a DuckDB oracle after SECS and record TIMEOUT
                    (a timeout is not a failure — it means the oracle, not
                    the engine, can't reach that scale; record it as such)
+  --ulp1 a,b       for these queries, accept float64 values that differ by
+                   at most 1 ulp. Two zipf-10x queries (ts_anomaly,
+                   ts_moving_avg) print round()-of-a-quotient ties that land
+                   1 ulp apart between JVM and DuckDB on non-representable
+                   binary quotients — a permanent, documented print-level
+                   divergence, not a product difference (SURVEY round 8/9).
 """
 import sys, json, glob, os, argparse, threading
 import duckdb
+import numpy as np
 import pyarrow.parquet as pq
 import pandas as pd
 
@@ -21,6 +28,8 @@ ap.add_argument("outdir")
 ap.add_argument("sfdir")
 ap.add_argument("--only", default=None)
 ap.add_argument("--timeout", type=float, default=None)
+ap.add_argument("--ulp1", default=None,
+                help="comma-list of queries where float64 may differ by 1 ulp")
 ap.add_argument("--memlimit", default=None,
                 help="DuckDB memory_limit (e.g. '48GB') — without it DuckDB "
                      "takes 80%% of RAM and the kernel OOM-kills the run on "
@@ -47,13 +56,19 @@ for name, sql in sorted(oracles.items()):
             print(f"FAIL {name}: no spark output"); fails += 1; continue
         timer = None
         if args.timeout:
-            # gate the interrupt on a per-query flag: a timer firing in the
-            # window between execute() returning and cancel() would otherwise
-            # leave the interrupt flag on the shared connection and abort the
-            # NEXT query (misattributed TIMEOUT)
+            # the check-and-interrupt must be ATOMIC with done-setting: a
+            # timer that passes `done.is_set()` and is then preempted could
+            # call con.interrupt() after execute() returned, poisoning the
+            # shared connection for the NEXT query (misattributed TIMEOUT).
+            # A lock held across both the callback's check+interrupt and the
+            # finally block's done-set closes that window.
             done = threading.Event()
-            timer = threading.Timer(
-                args.timeout, lambda: None if done.is_set() else con.interrupt())
+            gate = threading.Lock()
+            def fire():
+                with gate:
+                    if not done.is_set():
+                        con.interrupt()
+            timer = threading.Timer(args.timeout, fire)
             timer.start()
         try:
             exp = con.execute(sql).df()
@@ -63,7 +78,8 @@ for name, sql in sorted(oracles.items()):
             continue
         finally:
             if timer:
-                done.set()
+                with gate:
+                    done.set()
                 timer.cancel()
         g = got[sorted(got.columns)].sort_values(by=sorted(got.columns)).reset_index(drop=True)
         e = exp[sorted(exp.columns)].sort_values(by=sorted(exp.columns)).reset_index(drop=True)
@@ -72,6 +88,7 @@ for name, sql in sorted(oracles.items()):
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); fails += 1; continue
         # exact value compare (driver hashes values)
+        ulp_ok = args.ulp1 and name in set(args.ulp1.split(","))
         mismatch = None
         for c in g.columns:
             a, b = g[c], e[c]
@@ -83,6 +100,17 @@ for name, sql in sorted(oracles.items()):
                 neq = (av.astype(object) != bv.astype(object))
             except Exception as ex:
                 mismatch = f"compare error in {c}: {ex}"; break
+            if neq.any() and ulp_ok and a.dtype == np.float64 and b.dtype == np.float64:
+                # tolerate exactly-1-ulp prints on designated queries; any
+                # mismatch beyond 1 ulp still fails
+                x, y = av[neq].to_numpy(), bv[neq].to_numpy()
+                within = (y == np.nextafter(x, np.inf)) | (y == np.nextafter(x, -np.inf))
+                if within.all():
+                    continue
+                j = int(np.flatnonzero(~within)[0])
+                i = neq[neq].index[j]
+                mismatch = f"value in {c} @row{i}: {av[i]!r} vs {bv[i]!r} (>1 ulp, dtypes {a.dtype}/{b.dtype})"
+                break
             if neq.any():
                 i = neq[neq].index[0]
                 mismatch = f"value in {c} @row{i}: {av[i]!r} vs {bv[i]!r} (dtypes {a.dtype}/{b.dtype})"
