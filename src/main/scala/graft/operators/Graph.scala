@@ -40,18 +40,40 @@ object Graph {
 
   /** `iters` rounds of integer PageRank over `edges` (cols `src`, `dst`;
     * duplicates allowed — they are weighted as parallel edges; pass
-    * `dedupEdges = true` for an unweighted simple graph). Returns
-    * (node, rank) with rank on the 1e12 scale.
+    * `dedupEdges = true` for an unweighted simple graph; null endpoints
+    * are dropped — NULL is the reserved dangling-mass group key below).
+    * Returns (node, rank) with rank on the 1e12 scale.
     *
     * Edge dedup runs AFTER the repartition on purpose: hash(src) already
     * clusters every (src, dst) group, so the dropDuplicates aggregate is
     * exchange-free on top of the one repartition shuffle — a caller-side
     * `.distinct()` would pay a second full-edge exchange (hash(src, dst)
     * then hash(src)) for the same result.
+    *
+    * Round shape (round-10 fusion): the dangling-mass aggregate no longer
+    * runs as its own pass-plus-broadcast over the rank table — dangling
+    * rows ride the SAME union → groupBy(n) shuffle as the inbound shares,
+    * grouped under the reserved NULL key (no node id can collide: null
+    * endpoints are filtered at the door). Each round checkpoints the slim
+    * (n, x) aggregate instead of the full (n, deg, rank) table, reads the
+    * one dangling row back as a driver literal (bounded collect, ~32
+    * in-memory partitions), and rebuilds ranks lazily as a zipper join of
+    * the cached nodeDeg with the checkpointed aggregate — both hash(n)
+    * partitioned, so no exchange. One shuffle per round, total.
+    * Measured vs the two-pass broadcast shape, interleaved warm runs on
+    * the same box: sf0.1 3.9–4.8 vs 4.7 s, 10× 5.8–7.7 vs 6.0–8.2 s,
+    * 100× (58.7M edges) 18.4 vs 17.9 s — NEUTRAL within box noise at
+    * these sizes; kept for the structural reasons above, which a local
+    * box cannot price: on a real cluster the old shape's per-round
+    * dangling pass is a full extra scan job of the rank table plus a
+    * broadcast barrier. Integer sums are order-independent, so ranks stay
+    * bit-identical (oracle hash-exact at sf0.01/sf0.1).
     */
   def pagerank(edges: DataFrame, iters: Int,
                dedupEdges: Boolean = false): DataFrame = {
-    val cast = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val cast = edges
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("src"))
     val e = (if (dedupEdges) cast.dropDuplicates("src", "dst") else cast).cache()
     // static per-node state: out-degree, NULL for dangling nodes — carried
@@ -68,35 +90,45 @@ object Graph {
     val nn = nodeDeg.count() // one bounded driver scalar, reused every round
     require(nn > 0, "pagerank: empty graph")
     // init is a constant projection over the just-materialized nodeDeg
-    // cache — round 1's three scans of it are in-memory reads, so a
-    // checkpoint here would only add a materialization job
+    // cache — round 1's scans of it are in-memory reads, so a checkpoint
+    // here would only add a materialization job
     val init = nodeDeg.select(col("n"), col("deg"), lit(Scale / nn).as("rank"))
     val out = (1 to iters).foldLeft(init) { (ranks, _) =>
-      // dangling mass: one row, safe to broadcast at any scale
-      val dangling = ranks
-        .agg(coalesce(sum(when(col("deg").isNull, col("rank"))), lit(0L)).as("dt"))
       val shares = ranks.where(col("deg").isNotNull)
         .select(col("n").as("src"), expr("rank DIV deg").as("share"))
-      val inbound = e.join(shares, "src")
-        .groupBy(col("dst").as("n")).agg(sum(col("share")).as("inb"))
-      ranks
-        .join(inbound, Seq("n"), "left")
-        .crossJoin(broadcast(dangling))
+      val contrib = e.join(shares, "src")
+        .select(col("dst").as("n"), col("share").as("x"))
+        .unionByName(ranks.where(col("deg").isNull)
+          .select(lit(null).cast("long").as("n"), col("rank").as("x")))
+        .groupBy(col("n")).agg(sum(col("x")).as("x"))
+        .localCheckpoint()
+      // dangling mass: ONE row of the in-memory checkpoint — a bounded
+      // driver read, not a data-sized collect
+      val dt = contrib.where(col("n").isNull).select(col("x"))
+        .collect().headOption.map(_.getLong(0)).getOrElse(0L)
+      // both Scala / and Spark DIV floor alike here: every operand is
+      // non-negative (ranks are sums of non-negative integer terms)
+      nodeDeg.join(
+          contrib.where(col("n").isNotNull).select(col("n"), col("x").as("inb")),
+          Seq("n"), "left")
         .select(col("n"), col("deg"),
           (lit((15L * Scale) / (100L * nn)) // teleport term: driver constant
-            + expr(s"(85 * dt) DIV (100 * $nn)")
+            + lit((85L * dt) / (100L * nn)) // dangling term: driver constant
             + expr("(85 * coalesce(inb, 0)) DIV 100")).as("rank"))
-        .localCheckpoint()
     }
-    // every round's ranks are EAGER localCheckpoints, so the final frame no
-    // longer reads e/nodeDeg — release them instead of pinning executor
-    // storage for the session's lifetime
+    // the final ranks frame is a lazy join over e/nodeDeg-derived caches —
+    // pin it once so the caches can be released instead of holding
+    // executor storage for the session's lifetime
+    val fin = out.localCheckpoint()
     e.unpersist()
     nodeDeg.unpersist()
-    out.select(col("n"), col("rank"))
+    fin.select(col("n"), col("rank"))
   }
 
-  /** Unrolled DuckDB mirror. `edgesSql` must yield (src, dst). */
+  /** Unrolled DuckDB mirror of the fused round shape (dangling mass rides
+    * the same union → GROUP BY as the inbound shares, under the reserved
+    * NULL key). `edgesSql` must yield (src, dst).
+    */
   def pagerankSql(edgesSql: String, iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       // every SUM is cast back to BIGINT: DuckDB promotes SUM(BIGINT) to
@@ -104,16 +136,22 @@ object Graph {
       // driver's type-sensitive hash then diverges on value-identical rows
       s"""s$k AS (SELECT r.n, r.rank // d.deg AS share
          |        FROM r${k - 1} r JOIN deg d USING (n)),
-         |dang$k AS (SELECT CAST(coalesce(SUM(r.rank), 0) AS BIGINT) AS dt
-         |           FROM r${k - 1} r LEFT JOIN deg d USING (n) WHERE d.n IS NULL),
+         |agg$k AS MATERIALIZED (
+         |  SELECT n, CAST(SUM(x) AS BIGINT) AS x FROM (
+         |    SELECT e.dst AS n, s.share AS x FROM e JOIN s$k s ON e.src = s.n
+         |    UNION ALL
+         |    SELECT NULL AS n, r.rank AS x
+         |    FROM r${k - 1} r LEFT JOIN deg d USING (n) WHERE d.n IS NULL
+         |  ) GROUP BY n),
+         |dang$k AS (SELECT CAST(coalesce(
+         |  (SELECT x FROM agg$k WHERE n IS NULL), 0) AS BIGINT) AS dt),
          |r$k AS MATERIALIZED (
          |  SELECT nodes.n,
          |         CAST((15 * ${Scale}::BIGINT) // (100 * meta.nn)
          |         + (85 * dang$k.dt) // (100 * meta.nn)
-         |         + (85 * coalesce(inb.s, 0)) // 100 AS BIGINT) AS rank
+         |         + (85 * coalesce(inb.x, 0)) // 100 AS BIGINT) AS rank
          |  FROM nodes CROSS JOIN meta CROSS JOIN dang$k
-         |  LEFT JOIN (SELECT e.dst AS n, CAST(SUM(s.share) AS BIGINT) AS s
-         |             FROM e JOIN s$k s ON e.src = s.n GROUP BY 1) inb
+         |  LEFT JOIN (SELECT n, x FROM agg$k WHERE n IS NOT NULL) inb
          |    ON inb.n = nodes.n)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS MATERIALIZED ($edgesSql),
