@@ -190,5 +190,135 @@ class RenderLoadSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pool) would show as a p99 orders over p50; keep a LOOSE gate so the
     // spec stays honest without being box-speed-flaky
     assert(pct(overall, 99) < 60000, s"p99 ${pct(overall, 99)}ms — serving serialized under load")
+
+    // RSS ceiling (round-10 verdict #2): the daemon runs at -Xmx4g, so a
+    // healthy steady state is heap-at-cap plus bounded native overhead
+    // (metaspace, code cache, Spark off-heap buffers) — anything past
+    // 6.5 GB means native memory is growing past what the heap cap can
+    // explain, the one leak class a bounded-heap JVM cannot mask
+    assert(rss1 < 6_500_000L, s"daemon RSS ${rss1 / 1024}MB past the 6.5GB ceiling")
+  }
+
+  /** Round-10 verdict #2: prove the serving driver's RSS PLATEAUS under
+    * sustained dashboard polling mid-ingest, rather than growing on a
+    * slope (the round-9 lane recorded 1.5 → 5.0 GB over 648 renders and
+    * called it "bounded" without evidence of a flat tail). The reference
+    * daemon runs for months; a driver leak is the one failure class no
+    * other lane pins.
+    *
+    * Adaptive: samples RSS every 10 s under continuous 4-client polling;
+    * declares a plateau when the trailing 5-minute window sets NO NEW
+    * MAX-RSS HIGH (beyond a 64 MB jitter margin) over everything before
+    * it, after at least 10 minutes of load; fails if none emerged within
+    * 28 minutes. Steady-state RSS under G1 OSCILLATES (observed 4.0–4.9 GB
+    * breathing as regions are committed and uncommitted), so a flat-span
+    * criterion would fail a genuinely bounded daemon — a leak is a rising
+    * MAXIMUM, not a wide band. On exit it forces a full GC and prints
+    * live-heap vs RSS, separating "heap grew to its -Xmx cap" (by design)
+    * from real native growth.
+    */
+  test("sustained dashboard polling: daemon RSS reaches a plateau, not a slope") {
+    val hosts = Seq("web01", "web02", "db01")
+    val series: Seq[String] =
+      (for (h <- hosts; c <- Seq("user", "system", "idle")) yield s"servers.$h.cpu.$c") ++
+        Seq("stats.counters.requests.2xx.count")
+    val d = DaemonHarness.spawn(s"$root/soak", retentions = "60s:1d")
+    try {
+      val now = (System.currentTimeMillis() / 1000 / 60) * 60
+      val from = now - 1800
+      def lines(at: Long): Seq[String] =
+        series.zipWithIndex.map { case (m, i) => s"$m ${i + (at % 600) / 60.0} $at" }
+      for (t <- from until now by 60) DaemonHarness.send(d.linePort, lines(t))
+      assert(DaemonHarness.poll(180) {
+        get(s"http://127.0.0.1:${d.httpPort}/query?metric=${enc("servers.web01.cpu.user")}")
+          ._2.contains(s"[$from")
+      }, "backlog never became queryable")
+
+      val targets = Seq(
+        "sumSeries(servers.*.cpu.*)",
+        "groupByNode(servers.*.cpu.*,3,\"sum\")",
+        "movingAverage(servers.web01.cpu.user,5)",
+        "highestAverage(servers.*.cpu.*,3)",
+        "summarize(stats.counters.requests.2xx.count,\"10min\",\"sum\")",
+        "asPercent(servers.web01.cpu.user,sumSeries(servers.web01.cpu.*))")
+
+      val stop = new AtomicBoolean(false)
+      val renders = new AtomicInteger(0)
+      val failures = new ConcurrentLinkedQueue[String]()
+      val ingestThread = new Thread(() => {
+        var t = now
+        while (!stop.get()) {
+          DaemonHarness.send(d.linePort, lines(t)); t += 60; Thread.sleep(500)
+        }
+      }, "soak-ingest")
+      ingestThread.setDaemon(true); ingestThread.start()
+      val clients = (0 until 4).map { ci =>
+        val th = new Thread(() => {
+          val rnd = new scala.util.Random(ci)
+          while (!stop.get()) {
+            val target = targets(rnd.nextInt(targets.length))
+            val (code, body) =
+              get(s"http://127.0.0.1:${d.httpPort}/render?target=${enc(target)}" +
+                s"&from=$from&until=$now")
+            renders.incrementAndGet()
+            if (code != 200 || !body.contains("\"datapoints\":[["))
+              failures.add(s"$target -> $code")
+          }
+        }, s"soak-client-$ci")
+        th.setDaemon(true); th.start(); th
+      }
+
+      // sample RSS on a 10s cadence; plateau = trailing 5min window flat
+      val SampleMs = 10000
+      val WindowN = 30 // 5 minutes of samples
+      val MinRunMs = 10 * 60 * 1000
+      val MaxRunMs = 28 * 60 * 1000
+      val samples = scala.collection.mutable.ArrayBuffer[Long]()
+      val t0 = System.currentTimeMillis()
+      var plateau = false
+      while (!plateau && System.currentTimeMillis() - t0 < MaxRunMs) {
+        Thread.sleep(SampleMs)
+        samples += rssKb(d.proc.pid)
+        val elapsed = System.currentTimeMillis() - t0
+        if (samples.size > WindowN && elapsed >= MinRunMs) {
+          val w = samples.takeRight(WindowN)
+          val before = samples.dropRight(WindowN)
+          plateau = w.max <= before.max + 64L * 1024
+        }
+        if (samples.size % 6 == 0)
+          println(f"RSSSOAK t=${elapsed / 1000}s rss=${samples.last / 1024}MB " +
+            f"renders=${renders.get()}")
+      }
+      stop.set(true)
+      clients.foreach(_.join(15000))
+      val wallS = (System.currentTimeMillis() - t0) / 1000
+      val rssEnd = samples.last
+
+      // characterize: full GC, then live heap vs RSS — a big gap here is
+      // heap-at-cap retention (by design under -Xmx4g), not native growth
+      val jcmd = System.getProperty("java.home") + "/bin/jcmd"
+      def run(cmd: String*): String =
+        try new String(new ProcessBuilder((Seq(jcmd, d.proc.pid.toString) ++ cmd): _*)
+          .start().getInputStream.readAllBytes(), "UTF-8")
+        catch { case _: Throwable => "" }
+      run("GC.run")
+      Thread.sleep(2000)
+      val heapInfo = run("GC.heap_info").linesIterator
+        .find(_.contains("garbage-first")).getOrElse("").trim
+      val rssAfterGc = rssKb(d.proc.pid)
+      println(f"RSSSOAK-END wall=${wallS}s renders=${renders.get()} " +
+        f"samples=${samples.size} rssEnd=${rssEnd / 1024}MB " +
+        f"rssAfterGc=${rssAfterGc / 1024}MB heap='$heapInfo'")
+
+      assert(failures.isEmpty, s"render failures during soak: ${
+        scala.jdk.CollectionConverters.IteratorHasAsScala(failures.iterator())
+          .asScala.take(5).mkString(", ")}")
+      assert(renders.get() > 200, s"only ${renders.get()} renders — soak never loaded the daemon")
+      assert(plateau, s"RSS kept making new highs for ${wallS}s: " +
+        s"last-5min max ${samples.takeRight(WindowN).max / 1024}MB vs prior max " +
+        s"${samples.dropRight(WindowN).max / 1024}MB, " +
+        s"samples(MB)=${samples.grouped(6).map(_.last / 1024).mkString(",")}")
+      assert(rssEnd < 6_500_000L, s"daemon RSS ${rssEnd / 1024}MB past the 6.5GB ceiling")
+    } finally DaemonHarness.stop(d)
   }
 }

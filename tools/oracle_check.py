@@ -11,11 +11,14 @@ Options (for the big /tmp corpora where some oracles are intractable):
                    (a timeout is not a failure — it means the oracle, not
                    the engine, can't reach that scale; record it as such)
   --ulp1 a,b       for these queries, accept float64 values that differ by
-                   at most 1 ulp. Two zipf-10x queries (ts_anomaly,
-                   ts_moving_avg) print round()-of-a-quotient ties that land
-                   1 ulp apart between JVM and DuckDB on non-representable
-                   binary quotients — a permanent, documented print-level
-                   divergence, not a product difference (SURVEY round 8/9).
+                   at most one round(x, 6) print-grid step (1e-6). Two
+                   zipf-10x queries (ts_anomaly, ts_moving_avg) hit
+                   round()-of-a-quotient TIES that the JVM (exact
+                   binary-to-decimal) and DuckDB (double multiply) settle
+                   onto adjacent 1e-6 grid points — a permanent, documented
+                   print-level divergence, not a product difference
+                   (SURVEY round 8/9). Any difference beyond one grid step
+                   still fails.
 """
 import sys, json, glob, os, argparse, threading
 import duckdb
@@ -81,8 +84,18 @@ for name, sql in sorted(oracles.items()):
                 with gate:
                     done.set()
                 timer.cancel()
-        g = got[sorted(got.columns)].sort_values(by=sorted(got.columns)).reset_index(drop=True)
-        e = exp[sorted(exp.columns)].sort_values(by=sorted(exp.columns)).reset_index(drop=True)
+        ulp_sort = args.ulp1 and name in set(args.ulp1.split(","))
+        def sort_keys(df):
+            cols = sorted(df.columns)
+            if not ulp_sort:
+                return cols
+            # ulp-tolerant queries: align rows by their IDENTITY columns
+            # first — with a float64 leading the sort, a 1e-6 print-grid
+            # divergence reorders rows and misaligns every later column
+            return ([c for c in cols if df[c].dtype != "float64"] +
+                    [c for c in cols if df[c].dtype == "float64"])
+        g = got[sorted(got.columns)].sort_values(by=sort_keys(got)).reset_index(drop=True)
+        e = exp[sorted(exp.columns)].sort_values(by=sort_keys(exp)).reset_index(drop=True)
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}"); fails += 1; continue
         if len(g) != len(e):
@@ -101,15 +114,16 @@ for name, sql in sorted(oracles.items()):
             except Exception as ex:
                 mismatch = f"compare error in {c}: {ex}"; break
             if neq.any() and ulp_ok and a.dtype == np.float64 and b.dtype == np.float64:
-                # tolerate exactly-1-ulp prints on designated queries; any
-                # mismatch beyond 1 ulp still fails
+                # tolerate one round(x,6) grid step on designated queries;
+                # anything beyond still fails (1.01 slack covers the grid
+                # step itself not being a representable double)
                 x, y = av[neq].to_numpy(), bv[neq].to_numpy()
-                within = (y == np.nextafter(x, np.inf)) | (y == np.nextafter(x, -np.inf))
+                within = np.abs(x - y) <= 1.01e-6
                 if within.all():
                     continue
                 j = int(np.flatnonzero(~within)[0])
                 i = neq[neq].index[j]
-                mismatch = f"value in {c} @row{i}: {av[i]!r} vs {bv[i]!r} (>1 ulp, dtypes {a.dtype}/{b.dtype})"
+                mismatch = f"value in {c} @row{i}: {av[i]!r} vs {bv[i]!r} (>1e-6 grid step, dtypes {a.dtype}/{b.dtype})"
                 break
             if neq.any():
                 i = neq[neq].index[0]
