@@ -70,7 +70,8 @@ object Graph {
     * bit-identical (oracle hash-exact at sf0.01/sf0.1).
     */
   def pagerank(edges: DataFrame, iters: Int,
-               dedupEdges: Boolean = false): DataFrame = {
+               dedupEdges: Boolean = false,
+               roundProbe: (DataFrame, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     val cast = edges
       .where(col("src").isNotNull && col("dst").isNotNull)
       .select(col("src").cast("long"), col("dst").cast("long"))
@@ -96,25 +97,30 @@ object Graph {
     val out = (1 to iters).foldLeft(init) { (ranks, _) =>
       val shares = ranks.where(col("deg").isNotNull)
         .select(col("n").as("src"), expr("rank DIV deg").as("share"))
-      val contrib = e.join(shares, "src")
+      val contribPlan = e.join(shares, "src")
         .select(col("dst").as("n"), col("share").as("x"))
         .unionByName(ranks.where(col("deg").isNull)
           .select(lit(null).cast("long").as("n"), col("rank").as("x")))
         .groupBy(col("n")).agg(sum(col("x")).as("x"))
-        .localCheckpoint()
+      val contrib = contribPlan.localCheckpoint()
       // dangling mass: ONE row of the in-memory checkpoint — a bounded
       // driver read, not a data-sized collect
       val dt = contrib.where(col("n").isNull).select(col("x"))
         .collect().headOption.map(_.getLong(0)).getOrElse(0L)
       // both Scala / and Spark DIV floor alike here: every operand is
       // non-negative (ranks are sums of non-negative integer terms)
-      nodeDeg.join(
+      val next = nodeDeg.join(
           contrib.where(col("n").isNotNull).select(col("n"), col("x").as("inb")),
           Seq("n"), "left")
         .select(col("n"), col("deg"),
           (lit((15L * Scale) / (100L * nn)) // teleport term: driver constant
             + lit((85L * dt) / (100L * nn)) // dangling term: driver constant
             + expr("(85 * coalesce(inb, 0)) DIV 100")).as("rank"))
+      // test seam: PlanAuditSpec pins the round's physical shape (one
+      // exchange in contrib, zipper-joined next) — checkpointing erases
+      // the plan, so the pin needs the frames pre-checkpoint/pre-action
+      roundProbe(contribPlan, next)
+      next
     }
     // the final ranks frame is a lazy join over e/nodeDeg-derived caches —
     // pin it once so the caches can be released instead of holding

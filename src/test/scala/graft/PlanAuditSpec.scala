@@ -240,14 +240,50 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the window must consume aggregated bins, not raw rows:\n$plan")
   }
 
-  test("pagerank never broadcasts the rank table and builds no cartesian product") {
-    val edges = (1L to 200L).map(i => (i, i % 23 + 1)).toDF("src", "dst")
-    val out = graft.operators.Graph.pagerank(edges, 2)
-    // the final round's plan: ranks join inbound must be a shuffle join
-    // (rank table is graph-sized at scale); only the 1-row dangling
-    // aggregate may broadcast
-    val plan = planOf(out)
-    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+  test("pagerank round: one exchange in the fused contrib, zipper next-ranks") {
+    // the round-10 fused shape: inbound shares and the dangling mass ride
+    // ONE union -> groupBy(n) shuffle; the next-ranks join must zipper the
+    // cached nodeDeg with the checkpointed aggregate (both hash(n)). The
+    // probe sees the frames pre-checkpoint, where the plan is visible.
+    // AQE and broadcast thresholds are disabled for the pin: at toy scale
+    // both planners legitimately broadcast the tiny sides, which would
+    // hide exactly the structural shuffles this test exists to count —
+    // REPARTITION_BY_COL exchanges belong to the cached edge build and
+    // are excluded; ENSURE_REQUIREMENTS exchanges are the round's own.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = (1L to 200L).map(i => (i, i % 23 + 1)).toDF("src", "dst")
+      // walk the TREE, not the explain string: toString prints each cached
+      // relation's build plan (nodeDeg's own exchange shows up twice), but
+      // collect() does not descend into InMemoryRelation cache builders,
+      // so it counts exactly the round's OWN operators
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+      import org.apache.spark.sql.execution.joins.CartesianProductExec
+      val plans = scala.collection.mutable.ArrayBuffer
+        .empty[(SparkPlan, SparkPlan, String, String)]
+      graft.operators.Graph.pagerank(edges, 2, roundProbe = (contrib, next) =>
+        plans += ((contrib.queryExecution.executedPlan,
+          next.queryExecution.executedPlan, planOf(contrib), planOf(next))))
+      assert(plans.size == 2)
+      def shuffles(p: SparkPlan): Int = p.collect { case e: ShuffleExchangeExec => e }.size
+      def bcasts(p: SparkPlan): Int = p.collect { case e: BroadcastExchangeExec => e }.size
+      def carts(p: SparkPlan): Int = p.collect { case e: CartesianProductExec => e }.size
+      for (((contrib, next, cs, ns), k) <- plans.zipWithIndex) {
+        assert(carts(contrib) == 0 && carts(next) == 0, s"no cartesian allowed:\n$cs")
+        assert(bcasts(contrib) == 0 && bcasts(next) == 0,
+          s"round ${k + 1}: nothing in a round may statically broadcast:\n$cs")
+        assert(shuffles(contrib) == 1,
+          s"round ${k + 1}: fused contrib must be ONE exchange, got ${shuffles(contrib)}:\n$cs")
+        assert(shuffles(next) == 0,
+          s"round ${k + 1}: next-ranks must zipper, got ${shuffles(next)}:\n$ns")
+      }
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
   test("snapshot diff is ONE full-outer shuffle join over pruned snapshots") {
