@@ -84,10 +84,10 @@ for name, sql in sorted(oracles.items()):
                 with gate:
                     done.set()
                 timer.cancel()
-        ulp_sort = args.ulp1 and name in set(args.ulp1.split(","))
+        ulp_ok = bool(args.ulp1) and name in set(args.ulp1.split(","))
         def sort_keys(df):
             cols = sorted(df.columns)
-            if not ulp_sort:
+            if not ulp_ok:
                 return cols
             # ulp-tolerant queries: align rows by their IDENTITY columns
             # first — with a float64 leading the sort, a 1e-6 print-grid
@@ -101,7 +101,6 @@ for name, sql in sorted(oracles.items()):
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); fails += 1; continue
         # exact value compare (driver hashes values)
-        ulp_ok = args.ulp1 and name in set(args.ulp1.split(","))
         mismatch = None
         for c in g.columns:
             a, b = g[c], e[c]
