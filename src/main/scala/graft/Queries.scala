@@ -517,13 +517,15 @@ object Queries {
       .orderBy("metric", "shard")
 
   /** The oracle computes fnv1a-32 INDEPENDENTLY in SQL — a list_reduce of
-    * the FNV round over the metric's character codes (ASCII namespace; the
-    * reference's metric names are dotted ASCII) — so it holds on ANY metric
-    * namespace, not just the driver corpora's closed five (the round-8/9
-    * VALUES-join oracle failed by design on the zipf-10× corpus's
-    * `zipf.*` names). Unsigned `h % 8` equals the JVM's
-    * `floorMod(signedH, 8)` because 8 divides 2^32. Cross-checked against
-    * the golden-vectored JVM shards for all driver metrics plus zipf names.
+    * the FNV round over the metric's UTF-8 BYTES (extracted as hex pairs of
+    * `hex(encode(metric))`, since DuckDB has no blob indexing) — so it
+    * matches the byte-defined JVM hash on ANY metric name, ASCII or not
+    * (round-11 ADVICE: the previous `ord(substr(...))` variant hashed
+    * Unicode code points and would have diverged — a loud false FAIL — on a
+    * non-ASCII name; verified byte-identical on 'zipf.é' and the driver
+    * corpora). Unsigned `h % 8` equals the JVM's `floorMod(signedH, 8)`
+    * because 8 divides 2^32. Cross-checked against the golden-vectored JVM
+    * shards for all driver metrics plus zipf names.
     */
   val fnv1aShardSql: String =
     s"""WITH base AS ($MetricBaseSql),
@@ -531,8 +533,8 @@ object Queries {
        |  SELECT metric,
        |    list_reduce(
        |      list_prepend(2166136261::BIGINT,
-       |        list_transform(range(1, length(metric)+1),
-       |                       i -> ord(substr(metric, i, 1))::BIGINT)),
+       |        list_transform(range(1, octet_length(encode(metric))+1),
+       |                       i -> ('0x' || substr(hex(encode(metric)), 2*i-1, 2))::BIGINT)),
        |      (h, b) -> (xor(h, b) * 16777619) % 4294967296) % 8 AS shard
        |  FROM (SELECT DISTINCT metric FROM base))
        |SELECT b.metric AS metric, CAST(h.shard AS INTEGER) AS shard, COUNT(*) AS n

@@ -495,7 +495,16 @@ final class MetricStore(val root: String, val schema: StorageSchema,
             // window (a vanishing file can surface as a permission-probe
             // failure, not FNF, on local FS) — 3 instant retries complete
             // in microseconds while the window lasts milliseconds
-            Thread.sleep(10L << attempt)
+            try Thread.sleep(10L << attempt)
+            catch {
+              case _: InterruptedException =>
+                // a serving thread interrupted mid-listing must not leak
+                // InterruptedException out of hasData: restore the flag and
+                // stop backing off — one final attempt, then the underlying
+                // FS error (not the interrupt) propagates
+                Thread.currentThread().interrupt()
+                attempt = 2
+            }
             attempt += 1
         }
       }

@@ -56,7 +56,15 @@ object SnapshotRead {
             // back off across the swap rename window (non-FNF transient:
             // local FS permission-probe failure on a vanishing file) —
             // same shape and rationale as MetricStore.hasData.ls
-            Thread.sleep(10L << attempt)
+            try Thread.sleep(10L << attempt)
+            catch {
+              case _: InterruptedException =>
+                // interrupted mid-listing: restore the flag and stop
+                // backing off — one final attempt, then the underlying FS
+                // error (not InterruptedException) propagates
+                Thread.currentThread().interrupt()
+                attempt = 2
+            }
             attempt += 1
         }
       }

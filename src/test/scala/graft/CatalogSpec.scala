@@ -223,5 +223,83 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.remove(Seq("b"))
     assert(cat.metrics().select("metric").as[String].collect().toSorted == Seq("a", "c"))
   }
+
+  test("emergency eviction under a registration storm: live readers recompute, never fail") {
+    // Round-10 ADVICE (medium): the emergency cap unpersists retired frames
+    // INSIDE the min-hold window, and the code claims a render scanning such
+    // a frame "pays a recompute, not a wrong answer". This test verifies
+    // that claim empirically: the retired frames are plain .persist() over a
+    // stable explicit file-list snapshot (lineage intact — contrast a
+    // localCheckpoint, whose truncated lineage makes mid-scan unpersist
+    // fatal), so a scan that loses its blocks must fall back to lineage
+    // recompute. Storm = 40 metrics()/invalidate() cycles (the in-process
+    // equivalent of 40 creating admits), enough to push the retired queue
+    // past the 32-frame emergency threshold while 4 reader threads
+    // continuously scan the OLDEST captured frames — exactly the frames the
+    // emergency regime evicts mid-hold.
+    // grace and min-hold pushed past the test's wall-clock: the ONLY code
+    // path that can unpersist a frame inside this test is the emergency cap
+    spark.conf.set("spark.graft.catalog.retireGraceMs", "1800000")
+    spark.conf.set("spark.graft.catalog.retireMinHoldMs", "1800000")
+    try {
+      val cat = new Catalog(s"$root/cemerg", schemas)
+      cat.admit(pts((1 to 2000).map(i => f"em.m$i%04d"): _*), 100L).count()
+
+      // each captured frame reads a DISTINCT file-list snapshot (every storm
+      // admit appends a part file), so every persist is its own CacheManager
+      // entry — an invalidate-only storm would alias one shared entry and
+      // make the storageLevel assertions vacuous
+      val captured = new java.util.concurrent.CopyOnWriteArrayList[(org.apache.spark.sql.DataFrame, Long)]()
+      captured.add((cat.metrics(), cat.metricCount()))
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val scans = new java.util.concurrent.atomic.AtomicInteger(0)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val readers = (0 until 4).map { ci =>
+        val t = new Thread(() => {
+          val rnd = new scala.util.Random(ci)
+          while (!stop.get()) {
+            try {
+              // bias to the oldest third — those are the emergency victims
+              val n = captured.size()
+              val idx = if (n <= 1) 0 else rnd.nextInt(math.max(1, n / 3))
+              val (f, expect) = captured.get(idx)
+              val c = f.count()
+              if (c != expect) errors.add(s"frame[$idx] count $c != $expect")
+              scans.incrementAndGet()
+            } catch {
+              case e: Throwable => errors.add(s"scan failed: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            }
+          }
+        }, s"emerg-reader-$ci")
+        t.setDaemon(true); t.start(); t
+      }
+      // the storm: 40 creating admits, each appends a file, retires the live
+      // frame, and builds a fresh one
+      for (i <- 1 to 40) {
+        cat.admit(pts(f"em.storm$i%02d"), 200L).count()
+        captured.add((cat.metrics(), cat.metricCount()))
+      }
+      // emergency must have actually evicted old frames WHILE readers were live
+      import org.apache.spark.storage.StorageLevel
+      val evictedDuringLoad = (0 until captured.size())
+        .count(i => captured.get(i)._1.storageLevel == StorageLevel.NONE)
+      // deterministic post-eviction scan of the oldest (certainly-evicted) frame
+      assert(captured.get(0)._1.storageLevel == StorageLevel.NONE,
+        "storm did not trip the emergency cap — test is vacuous")
+      assert(captured.get(0)._1.count() == captured.get(0)._2,
+        "recompute of an evicted frame returned wrong rows")
+      Thread.sleep(1500) // let readers take a few more post-eviction scans
+      stop.set(true)
+      readers.foreach(_.join(30000))
+      assert(errors.isEmpty, s"reader failures under emergency eviction (${errors.size}): " +
+        scala.jdk.CollectionConverters.IteratorHasAsScala(errors.iterator()).asScala.take(3).mkString(" | "))
+      assert(scans.get() > 20, s"only ${scans.get()} concurrent scans — storm too fast to exercise readers")
+      assert(evictedDuringLoad >= 5, s"only $evictedDuringLoad frames evicted — emergency regime barely exercised")
+      println(s"EMERGENCY-EVICT scans=${scans.get()} evicted=$evictedDuringLoad captured=${captured.size()}")
+    } finally {
+      spark.conf.unset("spark.graft.catalog.retireGraceMs")
+      spark.conf.unset("spark.graft.catalog.retireMinHoldMs")
+    }
+  }
   private implicit class SortedOps(a: Array[String]) { def toSorted: Seq[String] = a.toSeq.sorted }
 }

@@ -40,11 +40,15 @@ ap.add_argument("--memlimit", default=None,
 args = ap.parse_args()
 outdir, sfdir = args.outdir, args.sfdir
 
-con = duckdb.connect()
-if args.memlimit:
-    con.execute(f"SET memory_limit='{args.memlimit}'")
-for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+def fresh_con():
+    c = duckdb.connect()
+    if args.memlimit:
+        c.execute(f"SET memory_limit='{args.memlimit}'")
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    return c
+
+con = fresh_con()
 
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 if args.only:
@@ -59,41 +63,63 @@ for name, sql in sorted(oracles.items()):
             print(f"FAIL {name}: no spark output"); fails += 1; continue
         timer = None
         if args.timeout:
-            # the check-and-interrupt must be ATOMIC with done-setting: a
-            # timer that passes `done.is_set()` and is then preempted could
-            # call con.interrupt() after execute() returned, poisoning the
-            # shared connection for the NEXT query (misattributed TIMEOUT).
-            # A lock held across both the callback's check+interrupt and the
-            # finally block's done-set closes that window.
+            # The gate makes check+interrupt atomic with done-setting, but a
+            # window is inherent to this design: the timer can fire between
+            # con.execute() returning and the finally block acquiring the
+            # gate — done is not yet set, so the interrupt lands on the IDLE
+            # connection and would misattribute the NEXT query as TIMEOUT.
+            # So we also record whether fire() actually interrupted (under
+            # the gate); if it fired but this query completed normally, the
+            # connection is poisoned — discard it and reopen before the next
+            # query instead of trusting the lock alone.
             done = threading.Event()
             gate = threading.Lock()
+            fired = [False]
             def fire():
                 with gate:
                     if not done.is_set():
+                        fired[0] = True
                         con.interrupt()
             timer = threading.Timer(args.timeout, fire)
             timer.start()
+        interrupted = False
         try:
             exp = con.execute(sql).df()
         except duckdb.InterruptException:
-            print(f"TIMEOUT {name}: oracle exceeded {args.timeout}s in DuckDB")
-            timeouts += 1
-            continue
+            interrupted = True
         finally:
             if timer:
                 with gate:
                     done.set()
                 timer.cancel()
+                if fired[0] and not interrupted:
+                    # late fire after a normal completion: pending interrupt
+                    # sits on the shared connection — replace it
+                    con.close()
+                    con = fresh_con()
+        if interrupted:
+            print(f"TIMEOUT {name}: oracle exceeded {args.timeout}s in DuckDB")
+            timeouts += 1
+            continue
         ulp_ok = bool(args.ulp1) and name in set(args.ulp1.split(","))
         def sort_keys(df):
             cols = sorted(df.columns)
             if not ulp_ok:
                 return cols
-            # ulp-tolerant queries: align rows by their IDENTITY columns
-            # first — with a float64 leading the sort, a 1e-6 print-grid
-            # divergence reorders rows and misaligns every later column
-            return ([c for c in cols if df[c].dtype != "float64"] +
-                    [c for c in cols if df[c].dtype == "float64"])
+            # ulp-tolerant queries: align rows by their IDENTITY (non-float)
+            # columns ONLY — appending float64 tiebreakers reintroduces the
+            # bug the tolerance exists for (a 1e-6 grid-step divergence
+            # reorders engine vs oracle rows and misaligns every later
+            # column). That requires the identity columns to uniquely key
+            # rows; verified below with a clear failure if they don't.
+            return [c for c in cols if df[c].dtype != "float64"]
+        if ulp_ok:
+            idc = sort_keys(got)
+            if not idc:
+                print(f"FAIL {name}: ulp1 query has no non-float identity columns to sort by"); fails += 1; continue
+            if got.duplicated(subset=idc).any():
+                print(f"FAIL {name}: ulp1 identity columns {idc} do not uniquely key rows — "
+                      f"row alignment would be ambiguous; fix the query or drop it from --ulp1"); fails += 1; continue
         g = got[sorted(got.columns)].sort_values(by=sort_keys(got)).reset_index(drop=True)
         e = exp[sorted(exp.columns)].sort_values(by=sort_keys(exp)).reset_index(drop=True)
         if list(g.columns) != list(e.columns):
