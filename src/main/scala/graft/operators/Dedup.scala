@@ -402,13 +402,12 @@ object Dedup {
     }
     val agged = h.groupBy(col("doc_id"))
       .agg(laneSums.head, laneSums.tail :+ count(lit(1)).as("n"): _*)
-    def sOf(j: Int): Column =
-      shiftright(col(s"l${j % SimhashBandBits}"), (j / SimhashBandBits) * 15)
-        .bitwiseAND(0x7fff)
-    val recomposed = (0 until SimhashBits)
-      // bit j set iff vote sum 2*S_j - N > 0
-      .map(j => when(sOf(j) * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    // bit j set iff vote sum 2*S_j - N > 0, via the compact kernel: the
+    // composed 60-term when() chain generated a 13.8 KB projection method —
+    // past the JVM's 8000-byte JIT limit, so the per-doc recompose silently
+    // ran in the bytecode interpreter (CodegenAuditSpec catch, round 11)
+    val recomposed = graft.functions.HashKernels.simhashRecompose(
+      array((0 until SimhashBandBits).map(f => col(s"l$f")): _*), col("n"))
     agged.select(col("doc_id"),
       when(col("n") > 0x7fff, raise_error(concat(lit(
         "simhash: doc exceeds 32767 distinct tokens (lane overflow): "), col("doc_id"))))

@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, SortMergeJoinExec}
+
+/** One query's structural plan facts, counted over the EXECUTED tree.
+  *
+  * @param fallbacks every CodegenFallback expression found, as
+  *   "nodeName: ExpressionClass" — the round-9 regression class (a hot
+  *   kernel dropping to the interpreter) shows up here as a `graft.*`
+  *   class name, which CodegenAuditSpec pins to zero.
+  */
+final case class Census(
+    shuffles: Int,
+    broadcastJoins: Int,
+    sortMergeJoins: Int,
+    codegenSpans: Int,
+    fallbacks: Seq[String])
+
+/** Census a query plan by WALKING the executed physical tree, not by
+  * grepping explain text (round-10 verdict #3: the pre-execution formatted
+  * explain carries no codegen ids under AQE, so the old text census read
+  * `wscg = 0` for ~90/95 queries and could not catch an
+  * interpreter-fallback regression; the post-execution text overcounts
+  * ~3x instead, because AQE explain prints Initial AND Final sections and
+  * repeats shared cached subtrees).
+  *
+  * Counting rules, chosen to mean "what actually executes once":
+  *  - nodes are deduplicated by object IDENTITY, so a persisted subtree
+  *    referenced from several scans counts once;
+  *  - AdaptiveSparkPlanExec / QueryStageExec are transparent wrappers —
+  *    the census descends into their resolved plan;
+  *  - ReusedExchangeExec counts nothing (the original exchange already
+  *    counted where it executes);
+  *  - InMemoryTableScanExec descends into the cached plan (its build cost
+  *    is part of the query the first time) and still counts its own node's
+  *    expressions.
+  */
+object PlanCensus {
+
+  /** Execute the frame's OWN QueryExecution (a noop `df.write` would build
+    * a separate one and leave this tree unfinalized under AQE), then
+    * census the final executed plan.
+    */
+  def executedCensus(df: DataFrame): Census = {
+    df.queryExecution.toRdd.foreach(_ => ())
+    censusOf(df.queryExecution.executedPlan)
+  }
+
+  def censusOf(root: SparkPlan): Census = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    var shuffles, bcastJoins, smj, spans = 0
+    val fallbacks = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def walkExpr(e: Expression, at: String): Unit = {
+      e match {
+        case _: CodegenFallback => fallbacks += s"$at: ${e.getClass.getName}"
+        case _ =>
+      }
+      e.children.foreach(walkExpr(_, at))
+    }
+
+    def walk(p: SparkPlan): Unit = {
+      if (p == null || !seen.add(p)) return
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan); return
+        case q: QueryStageExec => walk(q.plan); return
+        case _: ReusedExchangeExec => return
+        case _: WholeStageCodegenExec => spans += 1
+        case _: ShuffleExchangeLike => shuffles += 1
+        case _: BroadcastHashJoinExec | _: BroadcastNestedLoopJoinExec => bcastJoins += 1
+        case _: SortMergeJoinExec => smj += 1
+        case m: InMemoryTableScanExec => walk(m.relation.cachedPlan)
+        case _: BroadcastExchangeLike => // shape visible via the join count
+        case _ =>
+      }
+      p.expressions.foreach(walkExpr(_, p.nodeName))
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+
+    walk(root)
+    Census(shuffles, bcastJoins, smj, spans, fallbacks.toSeq)
+  }
+}
