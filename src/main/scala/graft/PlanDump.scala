@@ -22,7 +22,9 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
     val census = scala.collection.mutable.ArrayBuffer.empty[(String, graft.plans.Census)]
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+           if only.forall(_.contains(name))) {
       // EXECUTE each frame, then census the executed tree (round-10 verdict
       // #3: the pre-execution formatted explain carries no codegen ids
       // under AQE, so the old text census read wscg = 0 for ~90/95 queries

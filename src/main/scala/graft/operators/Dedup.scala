@@ -151,20 +151,33 @@ object Dedup {
     // equi-join shuffles 8-byte keys, and hash collisions affect both the
     // intersection and the sizes identically (standard hashed-shingle
     // Jaccard). Distinct AFTER hashing keeps multiplicities exact.
-    val shAll = shingles(canon, w)
+    //
+    // ONE exchange for the whole shingle stage (round-11 verdict #4: the
+    // old shape reshuffled the shingle table for the distinct, the df
+    // aggregate, the cap join, and both self-join sides — the heaviest
+    // plan in the suite). hash(shingle) co-locates equal (shingle, doc_id)
+    // tuples, so it SATISFIES the distinct's clustering requirement, the
+    // per-shingle df aggregate, the cap semi-join, and both sides of the
+    // intersection self-join: everything downstream of the repartition is
+    // exchange-free until the pair groupBy.
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val dis = shingles(canon, w)
       .select(col("doc_id"), h32(col("shingle")).as("shingle"))
-      .distinct()
+      .repartition(n, col("shingle"))
+      .dropDuplicates("shingle", "doc_id")
+      .cache()
     // document-frequency cap: a shingle present in k docs contributes k^2
     // candidate rows to the self-join — common phrases ("all rights
     // reserved") become unbounded-skew mega-keys at corpus scale. Shingles
     // with df > dfCap are boilerplate, not signal: drop them from the
     // shingle sets entirely (Jaccard is then over the informative shingles).
-    val sh = shAll.join(
-        shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val sh = dis.join(
+        dis.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .where(col("df") <= dfCap).drop("df"),
         Seq("shingle"))
-      .cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // per-doc capped-set sizes: small (one row per doc) — cached so the a-
+    // and b-side joins below don't re-derive it from the shingle cache twice
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")).cache()
     val inter = sh.as("l").join(sh.as("r"),
         col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
