@@ -121,8 +121,11 @@ object Clustering {
     * scan).
     */
   def kmeansAdaptive(emb: DataFrame, idCol: String, vecCol: String, iters: Int,
-                     minK: Int = 8): (DataFrame, Seq[(Int, Seq[Double])]) = {
-    val (out, cents, repFrame) = kmeansCanonical(emb, idCol, vecCol, iters, minK)
+                     minK: Int = 8,
+                     roundProbe: DataFrame => Unit = _ => ())
+      : (DataFrame, Seq[(Int, Seq[Double])]) = {
+    val (out, cents, repFrame) =
+      kmeansCanonical(emb, idCol, vecCol, iters, minK, roundProbe)
     repFrame.unpersist()
     (out, cents)
   }
@@ -133,7 +136,8 @@ object Clustering {
     * reuses it as its pairing groups.
     */
   private def kmeansCanonical(emb: DataFrame, idCol: String, vecCol: String,
-                              iters: Int, minK: Int)
+                              iters: Int, minK: Int,
+                              roundProbe: DataFrame => Unit = _ => ())
       : (DataFrame, Seq[(Int, Seq[Double])], DataFrame) = {
     val full = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val canon = full.groupBy("__v")
@@ -147,8 +151,9 @@ object Clustering {
     // rule as the unweighted path; limit-k plans a TakeOrdered, no full sort
     val initFrom = canon.select(explode(col("__members")).as("__id"), col("__v"))
     val (assignRep, cents) =
-      if (k > LiteralAssignMax) kmeansFrame(ew, k, iters, weighted = true, initFrom)
-      else kmeansLiteral(ew, k, iters, weighted = true, initFrom)
+      if (k > LiteralAssignMax)
+        kmeansFrame(ew, k, iters, weighted = true, initFrom, roundProbe)
+      else kmeansLiteral(ew, k, iters, weighted = true, initFrom, roundProbe)
     val chkRep = assignRep.select(col("__id").as("__rep"), col("__cl"), col("__d"))
       .localCheckpoint()
     val perId = chkRep.join(canon.select(col("__rep"), col("__members")), "__rep")
@@ -168,9 +173,11 @@ object Clustering {
     * equivalence (same assignments, centroids, tie-breaks) on one corpus.
     */
   private[graft] def kmeansImpl(emb: DataFrame, idCol: String, vecCol: String,
-                                k: Int, iters: Int, useFrame: Boolean)
+                                k: Int, iters: Int, useFrame: Boolean,
+                                roundProbe: DataFrame => Unit = _ => ())
       : (DataFrame, Seq[(Int, Seq[Double])]) =
-    finishKmeans(buildCorpus(emb, idCol, vecCol), idCol, k, iters, useFrame)
+    finishKmeans(buildCorpus(emb, idCol, vecCol), idCol, k, iters, useFrame,
+      roundProbe)
 
   /** The corpus frame is scanned by EVERY Lloyd iteration plus the final
     * assignment (and the adaptive-k distinct) — cache it once (projected:
@@ -183,10 +190,12 @@ object Clustering {
       .cache()
 
   private def finishKmeans(e: DataFrame, idCol: String, k: Int, iters: Int,
-                           useFrame: Boolean): (DataFrame, Seq[(Int, Seq[Double])]) = {
+                           useFrame: Boolean,
+                           roundProbe: DataFrame => Unit = _ => ())
+      : (DataFrame, Seq[(Int, Seq[Double])]) = {
     val (out, cents) =
-      if (useFrame) kmeansFrame(e, k, iters, weighted = false, e)
-      else kmeansLiteral(e, k, iters, weighted = false, e)
+      if (useFrame) kmeansFrame(e, k, iters, weighted = false, e, roundProbe)
+      else kmeansLiteral(e, k, iters, weighted = false, e, roundProbe)
     // the result is slim (id, cluster, dist2): materialize it eagerly so the
     // corpus cache can be released before returning — callers' downstream
     // plans then read the checkpoint, not a re-scan
@@ -215,7 +224,8 @@ object Clustering {
     * itself, or the exploded full-id view of a canonicalized corpus.
     */
   private def kmeansLiteral(e: DataFrame, k: Int, iters: Int,
-                            weighted: Boolean, initFrom: DataFrame)
+                            weighted: Boolean, initFrom: DataFrame,
+                            roundProbe: DataFrame => Unit = _ => ())
       : (DataFrame, Seq[(Int, Seq[Double])]) = {
     val carry = if (weighted) Seq("__cnt") else Nil
     // init: the k smallest-id vectors, cluster id = rank (0-based). A tiny
@@ -224,7 +234,11 @@ object Clustering {
       .select("__v").collect().toSeq.zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0)) }
     for (_ <- 1 to iters) {
-      val sums = clusterSums(withAssign(e, cents, carry), weighted).collect()
+      // test seam: PlanAuditSpec pins the per-iteration shape (one exchange,
+      // no broadcast of the corpus, k-row aggregate) on the PRE-collect plan
+      val sumsPlan = clusterSums(withAssign(e, cents, carry), weighted)
+      roundProbe(sumsPlan)
+      val sums = sumsPlan.collect()
       cents = sums.map { r =>
         val n = r.getLong(2)
         (r.getInt(0), r.getSeq[Long](1).map(_ / (n * 1000000.0)))
@@ -241,7 +255,8 @@ object Clustering {
     * and min(struct(dist, cl)) reproduces the smallest-id tie-break.
     */
   private def kmeansFrame(e: DataFrame, k: Int, iters: Int,
-                          weighted: Boolean, initFrom: DataFrame)
+                          weighted: Boolean, initFrom: DataFrame,
+                          roundProbe: DataFrame => Unit = _ => ())
       : (DataFrame, Seq[(Int, Seq[Double])]) = {
     def assign(cents: DataFrame, withCnt: Boolean): DataFrame =
       frameAssign(e, cents, withCnt)
@@ -253,11 +268,14 @@ object Clustering {
     for (_ <- 1 to iters) {
       // same vec_sum_scaled kernel as the literal path: k array rows
       // shuffle, centroids derived without ever leaving the cluster
-      cents = clusterSums(assign(cents, weighted), weighted)
+      val centsPlan = clusterSums(assign(cents, weighted), weighted)
         .select(col("__cl"),
           expr("transform(__sums, s -> s / (__n * 1000000.0D))").as("__c"))
         .withColumn("__cc", VecOps.vecDot(col("__c"), col("__c")))
-        .localCheckpoint()
+      // test seam: PlanAuditSpec pins the per-iteration shape here — the
+      // localCheckpoint below erases the plan (the pagerank lesson)
+      roundProbe(centsPlan)
+      cents = centsPlan.localCheckpoint()
     }
     val fin = assign(cents, withCnt = false)
       .select(col("__id"), col("__cl"), col("__d")).localCheckpoint()
@@ -381,10 +399,12 @@ object Clustering {
     * vectors total.
     */
   def semanticDedupAdaptive(emb: DataFrame, idCol: String, vecCol: String,
-                            iters: Int, threshold: Double, minK: Int = 8): DataFrame = {
+                            iters: Int, threshold: Double, minK: Int = 8,
+                            roundProbe: DataFrame => Unit = _ => ()): DataFrame = {
     require(threshold <= 1.0,
       "semanticDedup: threshold > 1 breaks the identical-vector fast path")
-    val (assign, _, repFrame) = kmeansCanonical(emb, idCol, vecCol, iters, minK)
+    val (assign, _, repFrame) =
+      kmeansCanonical(emb, idCol, vecCol, iters, minK, roundProbe)
     val copyDrops = repFrame
       .select(explode(col("__members")).as("__id"), col("__rep"))
       .where(col("__id") =!= col("__rep"))
