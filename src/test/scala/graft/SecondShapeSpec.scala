@@ -191,4 +191,127 @@ class SecondShapeSpec extends AnyFunSuite {
     assert(missing == 0, s"$missing of $expN witness pairs missing from the result")
     res.unpersist()
   }
+
+  test("dedup_ngram_jaccard: seeded witness pairs — exact-Jaccard sound and shingle-complete") {
+    // round-11 verdict #1: the two largest still-unverified 100× heavies get
+    // the embed_cosine_neardup recipe. Second shape here: per-doc CAPPED
+    // shingle SETS as arrays (window-df + collect_set), pairs verified by
+    // array_intersect — no hashed-shingle self-join, no pair groupBy, no
+    // df semi-join; only the hash function and the cap CONSTANT are shared,
+    // because they define the operator's semantics.
+    import org.apache.spark.sql.expressions.Window
+    val res = PipelineQueries.dedupNgramJaccard(spark, dir).cache()
+    val docs = Queries.spread(Queries.table(spark, dir, "documents"))
+    val canon = Dedup.canonicalize(docs.select(col("doc_id"), col("text")),
+      "doc_id", md5(col("text")), Seq("text"))
+    // independent df: a count window over per-(doc, hash) distinct rows
+    val perDoc = Dedup.shingles(canon, 3)
+      .select(col("doc_id"), Dedup.h32(col("shingle")).as("h"))
+      .dropDuplicates("doc_id", "h")
+    val capped = perDoc
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("df") <= PipelineQueries.JaccardDfCap)
+    val sets = capped.groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("n"))
+      .cache()
+
+    // SOUNDNESS: a seeded 1k-pair sample of the result must reproduce the
+    // SAME rounded jaccard from the array sets and clear the threshold
+    val sample = res.orderBy(md5(concat_ws("|", col("a"), col("b")))).limit(1000)
+    val recomputed = sample
+      .join(sets.select(col("doc_id").as("a"), col("hs").as("ha"), col("n").as("na")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("hs").as("hb"), col("n").as("nb")), "b")
+      .withColumn("ni", size(array_intersect(col("ha"), col("hb"))).cast("double"))
+      .withColumn("j2", round(col("ni") / (col("na") + col("nb") - col("ni")), 6))
+    val n = sample.count()
+    val bad = recomputed
+      .where(col("j2") =!= col("jaccard") || col("j2") < PipelineQueries.JaccardMin)
+      .count()
+    assert(n > 0, "vacuous witness: query returned no pairs")
+    assert(bad == 0, s"$bad of $n sampled result pairs failed exact-Jaccard recompute")
+
+    // COMPLETENESS: seeded sample of capped shared shingles; EVERY doc pair
+    // sharing one, with array-recomputed jaccard >= threshold, must appear
+    val sampledSh = capped.groupBy(col("h")).agg(count(lit(1)).as("cn"))
+      .where(col("cn") >= 2)
+      .orderBy(md5(col("h").cast("string"))).limit(200)
+      .select(col("h"))
+    val inSh = capped.join(sampledSh, Seq("h")).select(col("h"), col("doc_id"))
+    val expected = inSh.as("l").join(inSh.as("r"),
+        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
+      .join(sets.select(col("doc_id").as("a"), col("hs").as("ha"), col("n").as("na")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("hs").as("hb"), col("n").as("nb")), "b")
+      .withColumn("ni", size(array_intersect(col("ha"), col("hb"))).cast("double"))
+      .where(round(col("ni") / (col("na") + col("nb") - col("ni")), 6)
+        >= PipelineQueries.JaccardMin)
+      .select(col("a"), col("b"))
+    val expN = expected.count()
+    assert(expN > 0, "vacuous completeness witness: no shared-shingle pairs above threshold")
+    val missing = expected.join(res, Seq("a", "b"), "left_anti").count()
+    assert(missing == 0, s"$missing of $expN witness pairs missing from the result")
+    sets.unpersist(); res.unpersist()
+  }
+
+  test("dedup_minhash_lsh: seeded witness pairs — band-collision sound and bucket-complete") {
+    // Second shape: signatures recomputed through the DOCUMENTED
+    // minhashFamily composition (md5 hex windows + conv, per hash) instead
+    // of the HashKernels.minhashWindows codegen kernel the production path
+    // uses, banded with concat_ws over slice exactly as the op defines a
+    // band key. A kernel bug (the round-9 fallback class's cousin) would
+    // diverge here.
+    val res = PipelineQueries.dedupMinhashLsh(spark, dir).cache()
+    val docs = Queries.spread(Queries.table(spark, dir, "documents"))
+    val nh = PipelineQueries.MinhashBands * PipelineQueries.MinhashRows
+    val fam = Dedup.minhashFamily(col("shingle"), nh)
+    val sigs = Dedup.shingles(docs.select(col("doc_id"), col("text")), 3)
+      .groupBy(col("doc_id"))
+      .agg(min(fam.head).as("h0"), fam.tail.zipWithIndex.map {
+        case (c, i) => min(c).as(s"h${i + 1}") }: _*)
+    val banded = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(PipelineQueries.MinhashBands - 1)),
+          b => concat_ws(",", slice(
+            array((0 until nh).map(k => col(s"h$k")): _*),
+            b * PipelineQueries.MinhashRows + 1, lit(PipelineQueries.MinhashRows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .cache()
+    val bucketN = banded.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("cn")).cache()
+
+    // SOUNDNESS: each sampled result pair must share at least one band
+    // whose independently-recomputed bucket is within the cap
+    val sample = res.orderBy(md5(concat_ws("|", col("a"), col("b")))).limit(1000)
+    val keptB = banded.join(
+      bucketN.where(col("cn") <= PipelineQueries.MinhashBucketCap)
+        .select(col("band"), col("band_key")), Seq("band", "band_key"))
+    val witnessed = sample
+      .join(keptB.select(col("doc_id").as("a"), col("band"), col("band_key")), "a")
+      .join(keptB.select(col("doc_id").as("b"), col("band").as("band2"),
+        col("band_key").as("key2")), "b")
+      .where(col("band") === col("band2") && col("band_key") === col("key2"))
+      .select(col("a"), col("b")).distinct()
+    val n = sample.count()
+    assert(n > 0, "vacuous witness: query returned no pairs")
+    val unsound = sample.select(col("a"), col("b"))
+      .join(witnessed, Seq("a", "b"), "left_anti").count()
+    assert(unsound == 0,
+      s"$unsound of $n sampled result pairs have NO capped band collision in the recomputed signatures")
+
+    // COMPLETENESS: seeded sample of capped buckets (2..cap members) from
+    // the independent signatures; every within-bucket pair must be present
+    val sampledBk = bucketN
+      .where(col("cn") >= 2 && col("cn") <= PipelineQueries.MinhashBucketCap)
+      .orderBy(md5(concat_ws("|", col("band"), col("band_key")))).limit(200)
+      .select(col("band"), col("band_key"))
+    val inBk = banded.join(sampledBk, Seq("band", "band_key"))
+    val expected = inBk.as("l").join(inBk.as("r"),
+        col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
+    val expN = expected.count()
+    assert(expN > 0, "vacuous completeness witness: no in-bucket pairs")
+    val missing = expected.join(res, Seq("a", "b"), "left_anti").count()
+    assert(missing == 0, s"$missing of $expN witness pairs missing from the result")
+    banded.unpersist(); bucketN.unpersist(); res.unpersist()
+  }
 }
