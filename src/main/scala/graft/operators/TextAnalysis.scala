@@ -241,7 +241,19 @@ object TextAnalysis {
         round(lnAt(col("n")) - col("s") / col("n").cast("double"), 6).as("entropy"))
   }
 
-  /** DuckDB mirror of [[tokenEntropy]] over the documents table. */
+  /** DuckDB mirror of [[tokenEntropy]] over the documents table.
+    *
+    * The float accumulation is `list_reduce(list(x ORDER BY tf), +)` — a
+    * strictly left-to-right fold in tf order, the same summation order as
+    * the Spark side's ordered running-sum window (tf is the hist group key,
+    * so the order has no ties). The previous shape computed the identical
+    * value through FOUR window passes over the per-doc hist (two unordered
+    * sums, the ordered running sum, a row_number top-1), which at the
+    * 100x corpus (5M doc partitions) never finished inside 17 minutes —
+    * a pure oracle-shape artifact for a linear per-doc statistic (the
+    * engine answers in 40 s). The fold shape is byte-equal to the window
+    * shape at sf0.01 and sf0.1 (verified both) and runs 30x faster there.
+    */
   def tokenEntropySql: String =
     s"""(WITH lnt AS (SELECT ${lnTableSql}::DOUBLE[] AS t),
        |toks AS (
@@ -249,15 +261,11 @@ object TextAnalysis {
        |  FROM documents WHERE length(trim(text)) > 0),
        |tfs AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
        |hist AS (SELECT doc_id, tf, COUNT(*) AS cnt FROM tfs GROUP BY 1, 2),
-       |r AS (SELECT doc_id, tf, cnt,
-       |        SUM(cnt * tf) OVER (PARTITION BY doc_id) AS n,
-       |        SUM(cnt) OVER (PARTITION BY doc_id) AS nd,
-       |        SUM((cnt * tf)::DOUBLE * lnt.t[CAST(tf AS BIGINT)])
-       |          OVER (PARTITION BY doc_id ORDER BY tf
-       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
-       |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC) AS rn
-       |      FROM hist CROSS JOIN lnt)
+       |agg AS (SELECT doc_id, SUM(cnt * tf) AS n, SUM(cnt) AS nd,
+       |          list_reduce(list((cnt * tf)::DOUBLE * lnt.t[CAST(tf AS BIGINT)] ORDER BY tf),
+       |                      (a, b) -> a + b) AS s
+       |        FROM hist CROSS JOIN lnt GROUP BY doc_id)
        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(nd AS BIGINT) AS n_distinct,
        |       round(lnt.t[CAST(n AS BIGINT)] - s / n::DOUBLE, 6) AS entropy
-       |FROM r CROSS JOIN lnt WHERE rn = 1)""".stripMargin
+       |FROM agg CROSS JOIN lnt)""".stripMargin
 }
