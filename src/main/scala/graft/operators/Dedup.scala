@@ -124,6 +124,11 @@ object Dedup {
         banded.groupBy(col("band"), col("band_key")).count()
           .where(col("count") <= bucketCap).drop("count"),
         Seq("band", "band_key"))
+    // sort-merge, deliberately: an interleaved SHUFFLE_HASH A/B at the 100x
+    // corpus measured neutral-to-noise (30.2/30.7 vs 27.2/31.6 s) — these
+    // rows are ~24 B slim, so the SMJ sorts are cheap and the safer
+    // spill path wins; contrast Similarity.cosineNearDupPairs, whose
+    // 560 B vector rows made the same hint a 3.7x win (round 11)
     val l = kept.as("l")
     val r = kept.as("r")
     l.join(r,
@@ -178,6 +183,10 @@ object Dedup {
     // per-doc capped-set sizes: small (one row per doc) — cached so the a-
     // and b-side joins below don't re-derive it from the shingle cache twice
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")).cache()
+    // sort-merge, deliberately: SHUFFLE_HASH measured neutral here in an
+    // interleaved 100x A/B (45.3/39.4 vs 52.5/34.1 s) — 16 B slim rows, so
+    // sorts are not the cost the way they are for the vector-carrying
+    // cosine cell join (see Similarity.cosineNearDupPairs)
     val inter = sh.as("l").join(sh.as("r"),
         col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
