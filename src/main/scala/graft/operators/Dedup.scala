@@ -111,9 +111,20 @@ object Dedup {
 
   def minhashLshPairs(docs: DataFrame, w: Int, bands: Int, rowsPerBand: Int,
                       bucketCap: Int = 100): DataFrame = {
-    // signatures are tiny (one row per doc); cache so the band self-join
-    // doesn't recompute the shingle+hash pipeline for each side
-    val banded = bandedSignatures(docs, w, bands, rowsPerBand).cache()
+    // ONE exchange for the whole banding stage (round 11 — the same
+    // exchange-reuse audit ngramJaccardPairs got): repartitioning the
+    // banded rows on (band, band_key) SATISFIES the bucket-count
+    // aggregate's clustering, the cap join, and both sides of the
+    // candidate self-join, so everything downstream of this cached
+    // repartition is exchange-free until the final pair distinct. The
+    // plain .cache() this replaces kept the banding pipeline from
+    // recomputing but still paid a fresh shuffle at each of those four
+    // consumers (19 exchanges in the round-10 census — the second-worst
+    // plan in the suite).
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val banded = bandedSignatures(docs, w, bands, rowsPerBand)
+      .repartition(n, col("band"), col("band_key"))
+      .cache()
     // bucket-size cap: a band bucket holding k docs emits k^2/2 pairs; on
     // boilerplate-heavy corpora one mega-bucket reintroduces the quadratic
     // blowup LSH exists to avoid. Buckets above the cap are dropped — their
@@ -446,11 +457,18 @@ object Dedup {
                           bucketCap: Int = 1000): DataFrame = {
     require(maxDist < SimhashBands,
       s"$SimhashBands-band blocking guarantees recall only for maxDist <= ${SimhashBands - 1}")
-    val sh = simhash(docs).cache() // one row per doc; see minhashLshPairs
-    val banded0 = sh.select(col("doc_id"), col("simhash"),
+    // one cached repartition on the collision key serves the bucket-count
+    // aggregate, the cap join, and both self-join sides — same
+    // exchange-reuse shape as minhashLshPairs (round 11); the banding
+    // itself derives from the simhash aggregate in the same job, so no
+    // separate signature cache is needed
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val banded0 = simhash(docs).select(col("doc_id"), col("simhash"),
         posexplode(array((0 until SimhashBands).map(b =>
           shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(SimhashBandMask)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .repartition(n, col("band"), col("band_key"))
+      .cache()
     // mega-bucket guard (same rationale as minhashLshPairs' bucketCap): a
     // band bucket of k docs emits k^2/2 candidates; boilerplate-heavy
     // corpora concentrate near-identical simhashes into one bucket and

@@ -156,6 +156,42 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a propagation round must not re-shuffle the pre-partitioned edges:\n$plan")
   }
 
+  test("LSH banding stages reuse ONE exchange: cap agg, cap join and self-join shuffle-free") {
+    import org.apache.spark.sql.functions.col
+    // round 11: minhashLshPairs and simhashNearDupPairs repartition the
+    // banded rows on (band, band_key) ONCE (cached); the bucket-count
+    // aggregate, the cap join and both candidate self-join sides must all
+    // reuse that partitioning. In the executed plan the cached repartition
+    // lives inside the InMemoryRelation build lineage, so OUTSIDE it the
+    // only hash exchange allowed is the final pair distinct's.
+    def bandingShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // AQE: executedPlan final only after execution
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryRelation"),
+        s"banded rows are not cached — audit is vacuous:\n${plan.take(2000)}")
+      plan.split("InMemoryRelation")(0).linesIterator
+        .count(l => l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
+    }
+    val docs = Queries.spread(Queries.table(spark, sfDir, "documents"))
+    val mh = bandingShuffles(graft.operators.Dedup.minhashLshPairs(
+      docs, 3, PipelineQueries.MinhashBands, PipelineQueries.MinhashRows,
+      PipelineQueries.MinhashBucketCap))
+    assert(mh <= 1, s"minhash banding leaked exchanges past the repartition: $mh")
+    val sh = bandingShuffles(graft.operators.Dedup.simhashNearDupPairs(
+      docs, 3, PipelineQueries.SimhashBucketCap))
+    assert(sh <= 1, s"simhash banding leaked exchanges past the repartition: $sh")
+    // vacuity: the same walker DOES see the exchanges of an un-reused shape
+    val naive = docs.select(col("doc_id"), (col("doc_id") % 5).as("k"))
+    val cnt = naive.groupBy("k").count().where(col("count") > 0).drop("count")
+    val leaky = naive.join(cnt, "k").as("l")
+      .join(naive.join(cnt, "k").as("r"), Seq("k")).distinct()
+    leaky.collect()
+    val leakyN = leaky.queryExecution.executedPlan.toString
+      .split("InMemoryRelation")(0).linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
+    assert(leakyN > 1, s"walker failed to count exchanges in a leaky plan: $leakyN")
+  }
+
   test("shingle generation runs the codegen'd kernel, not interpreted HOF lambdas") {
     // (the per-doc BAND transform() stays a lambda — 4 elements per doc;
     // it's the per-shingle path that must be the kernel)

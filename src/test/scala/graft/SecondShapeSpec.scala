@@ -243,11 +243,24 @@ class SecondShapeSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad of $n sampled result pairs failed exact-Jaccard recompute")
 
     // COMPLETENESS: seeded sample of capped shared shingles; EVERY doc pair
-    // sharing one, with array-recomputed jaccard >= threshold, must appear
-    val sampledSh = capped.groupBy(col("h")).agg(count(lit(1)).as("cn"))
+    // sharing one, with array-recomputed jaccard >= threshold, must appear.
+    // The sample is 200 corpus-wide seeded shingles (unbiased) UNION 200
+    // seeded shingles shared by a sampled RESULT pair (anchored): at the
+    // 100x corpus the distinct-content rewrites make a random shared
+    // shingle's pairs almost never clear the threshold, so the unbiased
+    // half alone went vacuous — every anchored shingle is shared by an
+    // above-threshold pair by construction, so expN > 0 is guaranteed
+    // while the unbiased half still sweeps for missing pairs anywhere
+    val randomSh = capped.groupBy(col("h")).agg(count(lit(1)).as("cn"))
       .where(col("cn") >= 2)
       .orderBy(md5(col("h").cast("string"))).limit(200)
       .select(col("h"))
+    val anchoredSh = sample.select(col("a"), col("b"))
+      .join(capped.select(col("doc_id").as("a"), col("h")), "a")
+      .join(capped.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
+      .select(col("h")).distinct()
+      .orderBy(md5(col("h").cast("string"))).limit(200)
+    val sampledSh = randomSh.unionByName(anchoredSh).distinct()
     val inSh = capped.join(sampledSh, Seq("h")).select(col("h"), col("doc_id"))
     val expected = inSh.as("l").join(inSh.as("r"),
         col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
