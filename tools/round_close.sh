@@ -30,10 +30,12 @@ case "$1" in
   zipf)
     run_verify /tmp/sf1x10z /tmp/verify_zipf10_r11 24g
     python3 tools/oracle_check.py /tmp/verify_zipf10_r11 /tmp/sf1x10z \
-      --ulp1 ts_anomaly,ts_moving_avg --timeout 600 --memlimit 48GB | tail -5 ;;
+      --ulp1 ts_anomaly,ts_moving_avg --timeout 600 --memlimit 48GB \
+      | tee /tmp/oracle_zipf_full.log | grep -E "^FAIL|^TIMEOUT|RESULT" ;;
   docs100x)
     run_verify /tmp/sfdocs100x /tmp/verify_100x_r11 24g
     python3 tools/oracle_check.py /tmp/verify_100x_r11 /tmp/sfdocs100x \
-      --ulp1 ts_anomaly,ts_moving_avg --timeout 600 --memlimit 48GB | tail -20 ;;
+      --ulp1 ts_anomaly,ts_moving_avg --timeout 600 --memlimit 48GB \
+      | tee /tmp/oracle_100x_full.log | grep -E "^FAIL|^TIMEOUT|RESULT" ;;
   *) echo "unknown gate $1"; exit 2 ;;
 esac
