@@ -42,16 +42,26 @@ object PlanDump {
             org.apache.spark.sql.execution.FormattedMode)
         } catch { case e: Throwable => s"ERROR: $e" }
       sb.append(s"===== $name =====\n").append(plan).append("\n")
+      // per-query cache isolation: the CacheManager matches canonicalized
+      // plans ACROSS queries, so without this a later query's census would
+      // depend on which earlier query populated a shared banding cache
+      spark.catalog.clearCache()
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
-    println(f"${"query"}%-24s ${"exch"}%5s ${"bcast"}%5s ${"smj"}%5s ${"wscg"}%5s ${"fallback"}%s")
+    // the census TABLE goes to its own file too — the round-11 artifact
+    // captured only the top-14 stdout rows (verdict #2); the committed
+    // artifact must hold all rows
+    val tab = new StringBuilder
+    tab.append(f"${"query"}%-24s ${"exch"}%5s ${"bcast"}%5s ${"smj"}%5s ${"wscg"}%5s ${"fallback"}%s\n")
     census.sortBy(-_._2.shuffles).foreach { case (n, c) =>
       val fb = if (c.fallbacks.isEmpty) "-"
                else c.fallbacks.map(_.split('.').last).groupBy(identity)
                  .map { case (k, v) => s"$k x${v.size}" }.mkString(",")
-      println(f"$n%-24s ${c.shuffles}%5d ${c.broadcastJoins}%5d ${c.sortMergeJoins}%5d ${c.codegenSpans}%5d $fb%s")
+      tab.append(f"$n%-24s ${c.shuffles}%5d ${c.broadcastJoins}%5d ${c.sortMergeJoins}%5d ${c.codegenSpans}%5d $fb%s\n")
     }
-    println(s"plans written to $out")
+    print(tab)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out + ".census"), tab.toString)
+    println(s"plans written to $out, census to $out.census")
     spark.stop()
   }
 }

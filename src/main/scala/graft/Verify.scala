@@ -37,6 +37,10 @@ object Verify {
         errors(name) =
           s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(4000)}"
       }
+      // operators that .cache() internal stages (LSH banding, shingles) own
+      // no unpersist — a 95-query sequential run would otherwise accumulate
+      // every InMemoryRelation for the session's lifetime (round-11 ADVICE)
+      finally spark.catalog.clearCache()
     }
     val json = oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

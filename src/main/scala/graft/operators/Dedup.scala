@@ -109,6 +109,24 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
 
+  /** Partition count for the cached banding repartition. An EXPLICIT count
+    * is required — all four consumers must see the one partitioning, so AQE
+    * must not renumber it — but that explicitness also opts the cached
+    * stage out of AQE coalescing and skew splitting (round-11 ADVICE): a
+    * hot (band, band_key) key lands whole on one partition pre-cap, and a
+    * tiny corpus pays n mostly-empty cached partitions. The skew half is
+    * acceptable (the bucket cap bounds any key's row count); the
+    * empty-partition half is clamped here: inputs whose optimizer-estimated
+    * scan size is under 16 MB get 8 partitions instead of the full
+    * spark.sql.shuffle.partitions. Results are partitioning-independent, so
+    * the clamp is a pure small-input overhead cut.
+    */
+  private def bandingPartitions(docs: DataFrame): Int = {
+    val conf = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val estBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes < BigInt(16L << 20)) math.min(8, conf) else conf
+  }
+
   def minhashLshPairs(docs: DataFrame, w: Int, bands: Int, rowsPerBand: Int,
                       bucketCap: Int = 100): DataFrame = {
     // ONE exchange for the whole banding stage (round 11 — the same
@@ -120,8 +138,11 @@ object Dedup {
     // plain .cache() this replaces kept the banding pipeline from
     // recomputing but still paid a fresh shuffle at each of those four
     // consumers (19 exchanges in the round-10 census — the second-worst
-    // plan in the suite).
-    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // plan in the suite). Cache lifetime is CALLER-owned: the returned
+    // frame keeps the InMemoryRelation alive, and long-lived sessions
+    // should clearCache()/unpersist between corpora (Verify/Bench/TimeOne
+    // all do; round-11 ADVICE).
+    val n = bandingPartitions(docs)
     val banded = bandedSignatures(docs, w, bands, rowsPerBand)
       .repartition(n, col("band"), col("band_key"))
       .cache()
@@ -297,8 +318,10 @@ object Dedup {
     * min local root to its other local roots (roots of one node are
     * provably in one component, and every original edge put its two
     * endpoints under one shared local root, so the quotient preserves
-    * exactly the original components) — goes through the global min-label
-    * rounds. Phase 3: node label = global label of its min local root.
+    * exactly the original components) — is labeled either by exact
+    * driver-side union-find (when it fits under [[DriverFinishMaxEdges]];
+    * round 12) or by the global min-label rounds. Phase 3: node label =
+    * global label of its min local root.
     *
     * Bit-identical to min-label over the raw graph: the component's global
     * min node is always its own local root (union-by-min can only point it
@@ -312,30 +335,141 @@ object Dedup {
     * the identical unrolled-rounds SQL, the one contest the engine was
     * losing at 10x in round 8 (bench/CROSSOVER_r8.md).
     */
+  /** Edge lists with at most this many edges finish on the driver (exact
+    * union-find) instead of going through contraction + distributed
+    * min-label rounds. 20M edges collect to 320 MB of primitive longs (the
+    * collect packs per-partition long arrays — no Row/tuple boxing), the
+    * same order as the broadcast the stitch join pays anyway (the per-round
+    * loop ALSO collects the full label table every round to broadcast it,
+    * so the driver path moves strictly less data). Applied twice, tiered:
+    * first to the RAW pair list (skipping contraction entirely — at the
+    * 100x corpus the contraction stage was ~18-30 s shrinking an 18.6M-edge
+    * graph the driver handles in ~2 s), then — for pair graphs too big to
+    * collect — to the CONTRACTED cross-partition root graph; only a graph
+    * huge after both reductions pays the distributed rounds.
+    */
+  private val DriverFinishMaxEdges = 20000000L
+
   def clusterLabels(pairs: DataFrame, iters: Int,
-                    checkConverged: Boolean = false): DataFrame = {
-    val sym = pairs
-      .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
-      .unionByName(
-        pairs.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
+                    checkConverged: Boolean = false,
+                    driverFinishMaxEdges: Long = DriverFinishMaxEdges): DataFrame = {
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      if (dbg) println(f"CCDEBUG stage=$name ${(System.nanoTime() - t0) / 1e9}%.2f")
+      r
+    }
+    // materialize the pair list ONCE before symmetrizing: the union below
+    // references `pairs` twice, and without a checkpoint BOTH branches
+    // re-run the whole candidate pipeline — at the 100x corpus the
+    // banding self-join + distinct is ~25-35 s, and it was being paid
+    // twice (round-12 profile: the label rounds the round-11 lane blamed
+    // were ~3 s of a ~70 s query; the duplicated pair generation was the
+    // actual cost)
+    val p = timed("pairs")(pairs
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint())
+    // Tier 1 — the whole pair list fits on the driver: exact union-find
+    // directly over it, no contraction, no stitch (round-12 profile: the
+    // contraction stage — symmetrize + repartition + local union-find +
+    // groupBy/collect_set + checkpoint — was ~26 s of the ~59 s query at
+    // the 100x corpus, all spent shrinking a graph that was ALREADY small
+    // enough to collect: near-dup pair graphs are sparse because the
+    // bucket caps bound every key's fan-out). The count is a cheap scan of
+    // the checkpoint blocks.
+    val np = timed("pairs_count")(p.count())
+    if (np <= driverFinishMaxEdges) {
+      if (dbg) println(s"CCDEBUG pairs=$np tier=driver-raw")
+      return timed("driver_uf")(driverUnionFind(p))
+    }
+    val sym = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src"))
     // one (node, min root, all roots) row per node; materialized once —
     // both the contracted edges and the final stitch read it
-    val grouped = localRoots(sym).groupBy(col("node"))
+    val grouped = timed("contract")(localRoots(sym).groupBy(col("node"))
       .agg(min(col("root")).as("rmin"), collect_set(col("root")).as("roots"))
-      .localCheckpoint()
+      .localCheckpoint())
     val cpairs = grouped
       .select(col("rmin"), explode(col("roots")).as("r"))
       .where(col("r") =!= col("rmin"))
       .select(col("rmin").as("a"), col("r").as("b")) // rmin < r by construction
       .distinct()
-    val rootLabels = minLabelLoop(cpairs, iters, checkConverged)
+    // Tier 2 — the pair graph is too big but its contraction fits: the
+    // contracted graph is the cross-partition root adjacency, for LSH
+    // clique graphs typically 100-1000x smaller than the pair graph.
+    // Union-find on the driver replaces the per-round
+    // join/broadcast/checkpoint cycle (round-11 verdict #1); union-by-min
+    // makes each tree root the component minimum, so the labels are
+    // bit-identical to the min-label fixpoint — and exact for ANY
+    // diameter, so the `iters` budget (and checkConverged) only governs
+    // the distributed fallback (tier 3).
+    val cn = timed("cpairs_count")(cpairs.count())
+    val rootLabels = timed("rounds") {
+      if (cn <= driverFinishMaxEdges) driverUnionFind(cpairs)
+      else minLabelLoop(cpairs, iters, checkConverged)
+    }
+    if (dbg) println(s"CCDEBUG pairs=$np cpairs=$cn tier=${if (cn <= driverFinishMaxEdges) "driver-contracted" else "rounds"}")
     // rootLabels is bounded by the cross-partition roots (tiny next to the
     // node count) — broadcast the stitch join; a root with no contracted
     // edges is its own converged label
     grouped
       .join(broadcast(rootLabels.withColumnRenamed("node", "rmin")), Seq("rmin"), "left")
       .select(col("node"), coalesce(col("label"), col("rmin")).as("label"))
+  }
+
+  /** Exact driver-side union-find over a collected edge list: returns one
+    * (node, label = component min) row per node appearing in `pairs`.
+    * Union-by-min + full path compression — the root of every tree is the
+    * smallest member, i.e. exactly the min-label fixpoint, with no round
+    * budget to converge within.
+    */
+  private[graft] def driverUnionFind(pairs: DataFrame): DataFrame = {
+    val ss = pairs.sparkSession
+    import ss.implicits._
+    // collect as per-partition PRIMITIVE long arrays (a,b interleaved):
+    // 20M edges land as 320 MB of longs instead of ~1 GB of boxed tuples
+    val chunks: Array[Array[Long]] = pairs.select(col("a"), col("b"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        while (it.hasNext) { val r = it.next(); buf += r.getLong(0); buf += r.getLong(1) }
+        Iterator.single(buf.result())
+      }.collect()
+    // the map holds NODES (bounded by 2x edges, typically far fewer), not
+    // edges — edge scans stay on the primitive arrays; LongLongMap because
+    // java.util.HashMap boxing dominated this stage (12.7 s -> primitive)
+    val parent = new graft.core.LongLongMap()
+    // find/union use `update` (repoint-existing, never grows), so the final
+    // label sweep can compress paths while foreachEntry iterates the slots
+    def find(x0: Long): Long = {
+      var x = x0
+      var pp = parent(x)
+      while (pp != x) { x = pp; pp = parent(x) }
+      var y = x0
+      while (y != x) { val n = parent(y); parent(y) = x; y = n }
+      x
+    }
+    for (chunk <- chunks) {
+      var i = 0
+      while (i < chunk.length) {
+        val a = chunk(i); val b = chunk(i + 1)
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        i += 2
+      }
+    }
+    val out = new Array[(Long, Long)](parent.size)
+    var oi = 0
+    parent.foreachEntry { (k, _) => out(oi) = (k, find(k)); oi += 1 }
+    // parallelize (vs a driver-LocalRelation): every downstream scan — the
+    // caller's orderBy does TWO (range-bound sampling + the sort itself) —
+    // would otherwise re-serialize all rows single-threaded on the driver
+    val slices = math.max(1, math.min(ss.sparkContext.defaultParallelism, out.length / 65536))
+    ss.createDataset(ss.sparkContext.parallelize(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out), slices))
+      .toDF("node", "label")
   }
 
   /** The global min-label rounds (adaptive, diameter-budgeted) — phase 2 of
@@ -461,8 +595,10 @@ object Dedup {
     // aggregate, the cap join, and both self-join sides — same
     // exchange-reuse shape as minhashLshPairs (round 11); the banding
     // itself derives from the simhash aggregate in the same job, so no
-    // separate signature cache is needed
-    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // separate signature cache is needed. Cache lifetime is caller-owned
+    // (see minhashLshPairs); partition count clamped for tiny inputs
+    // (see bandingPartitions — explicit n opts out of AQE coalescing)
+    val n = bandingPartitions(docs)
     val banded0 = simhash(docs).select(col("doc_id"), col("simhash"),
         posexplode(array((0 until SimhashBands).map(b =>
           shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(SimhashBandMask)): _*)))

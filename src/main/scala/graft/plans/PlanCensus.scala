@@ -53,6 +53,64 @@ object PlanCensus {
     censusOf(df.queryExecution.executedPlan)
   }
 
+  /** Count hash-partitioning shuffle exchanges that execute OUTSIDE any
+    * cached build lineage — the exchanges a consumer of the cached stage
+    * pays per run. Unlike [[censusOf]], the walk STOPS at
+    * InMemoryTableScanExec: the one-time repartition that established the
+    * cached partitioning lives in `relation.cachedPlan` and is exactly what
+    * the single-exchange plan pins mean to exclude. A tree walk (vs
+    * splitting the explain string at the first "InMemoryRelation") sees
+    * every consumer branch — tree printing is depth-first, so branches that
+    * PRINT after the first cached scan (e.g. the right side of a self-join)
+    * still execute outside it and must be counted (round-11 ADVICE).
+    */
+  def consumerHashShuffles(root: SparkPlan): Int = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    var n = 0
+    def walk(p: SparkPlan): Unit = {
+      if (p == null || !seen.add(p)) return
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan); return
+        case q: QueryStageExec => walk(q.plan); return
+        case _: ReusedExchangeExec => return
+        case _: InMemoryTableScanExec => return
+        case s: ShuffleExchangeLike =>
+          s.outputPartitioning match {
+            case _: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning => n += 1
+            case _ => // range (orderBy) / single-partition exchanges are not the audited class
+          }
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(root)
+    n
+  }
+
+  /** True when the executed tree contains a cached scan — the audits above
+    * use it to prove they are not vacuous (nothing cached = nothing pruned).
+    */
+  def hasInMemoryScan(root: SparkPlan): Boolean = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    var found = false
+    def walk(p: SparkPlan): Unit = {
+      if (p == null || found || !seen.add(p)) return
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _: InMemoryTableScanExec => found = true
+        case _ =>
+          p.children.foreach(walk)
+          p.subqueries.foreach(walk)
+      }
+    }
+    walk(root)
+    found
+  }
+
   def censusOf(root: SparkPlan): Census = {
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())

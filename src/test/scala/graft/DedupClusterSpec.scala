@@ -37,28 +37,37 @@ class DedupClusterSpec extends AnyFunSuite {
     } yield (a, math.min(60L, a + d)))
   } yield es
 
-  test("label propagation matches union-find on random graphs (5 seeds, 12 rounds)") {
+  test("label propagation matches union-find on random graphs (5 seeds, both paths)") {
     (1L to 5L).foreach { seed =>
       val edges = graphGen.apply(Gen.Parameters.default, Seed(seed)).get.distinct
       val pairs = edges.toDF("a", "b")
-      // path-shaped random graphs can have diameter ~#nodes; 12 rounds of
-      // min propagation cover diameter 12, enough for these sizes' cores —
-      // use enough rounds to guarantee convergence: diameter <= 61 worst
-      // case, so iterate 61
-      val got = Dedup.clusterLabels(pairs, 61)
+      val want = unionFind(edges)
+      // driver-finish path (default threshold: these graphs always fit)
+      val viaDriver = Dedup.clusterLabels(pairs, 61)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == unionFind(edges), s"seed=$seed")
+      assert(viaDriver == want, s"seed=$seed (driver union-find path)")
+      // distributed fallback, forced (threshold 0): path-shaped random
+      // graphs can have diameter ~#nodes, so give the min-label rounds a
+      // 61-round budget to guarantee convergence
+      val viaRounds = Dedup.clusterLabels(pairs, 61, driverFinishMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaRounds == want, s"seed=$seed (distributed min-label path)")
     }
   }
 
-  test("the checked query's 6 rounds reach the fixpoint on sf0.01") {
+  test("the checked query's 6 rounds reach the fixpoint on sf0.01 (fallback path)") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val pairs = Dedup.minhashLshPairs(docs, 3, PipelineQueries.MinhashBands,
       PipelineQueries.MinhashRows, PipelineQueries.MinhashBucketCap).cache()
-    val at6 = Dedup.clusterLabels(pairs, PipelineQueries.ClusterIters)
+    // force the distributed rounds (the production query takes the exact
+    // driver-finish path at every measured corpus; this pins that the
+    // ClusterIters budget is still sound if the fallback ever fires)
+    val at6 = Dedup.clusterLabels(pairs, PipelineQueries.ClusterIters,
+        driverFinishMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
-    val at12 = Dedup.clusterLabels(pairs, PipelineQueries.ClusterIters * 2)
+    val exact = Dedup.clusterLabels(pairs, PipelineQueries.ClusterIters)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
-    assert(at6 == at12, "6 rounds did not converge on the test corpus")
+    assert(at6 == exact,
+      "6 distributed rounds disagree with exact union-find on the test corpus")
   }
 }

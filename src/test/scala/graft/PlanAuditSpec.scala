@@ -144,16 +144,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("label", col("node")).localCheckpoint()
     val round = graft.operators.Dedup.ccRound(edges, labels)
     round.collect() // executedPlan under AQE is only final after execution
-    val plan = round.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"label join must broadcast:\n$plan")
-    // audit only the round's own operators: the InMemoryRelation subtree
-    // prints the cached edge table's BUILD lineage (which legitimately
-    // contains the one-time repartition exchange)
-    val roundOnly = plan.split("InMemoryRelation")(0)
-    val shuffles = roundOnly.linesIterator
-      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
+    val executed = round.queryExecution.executedPlan
+    assert(executed.toString.contains("BroadcastHashJoin"),
+      s"label join must broadcast:\n$executed")
+    // tree walk, stopping at the cached scan: the one-time repartition in
+    // the edge table's BUILD lineage is legitimate; anything the round
+    // itself shuffles is not (round-11 ADVICE: string-prefix splitting at
+    // the first InMemoryRelation missed branches printed after it)
+    val shuffles = graft.plans.PlanCensus.consumerHashShuffles(executed)
     assert(shuffles == 0,
-      s"a propagation round must not re-shuffle the pre-partitioned edges:\n$plan")
+      s"a propagation round must not re-shuffle the pre-partitioned edges:\n$executed")
   }
 
   test("LSH banding stages reuse ONE exchange: cap agg, cap join and self-join shuffle-free") {
@@ -164,13 +164,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // reuse that partitioning. In the executed plan the cached repartition
     // lives inside the InMemoryRelation build lineage, so OUTSIDE it the
     // only hash exchange allowed is the final pair distinct's.
+    // tree walk over the executed plan (round-11 ADVICE): count hash
+    // exchanges OUTSIDE the cached scan's build lineage. The old
+    // string-prefix split at the first "InMemoryRelation" only audited the
+    // branches that PRINT before the cached scan — depth-first printing put
+    // the cap-count aggregate and the whole right self-join side after it,
+    // so a leak in exactly the consumers this test pins would have passed.
     def bandingShuffles(df: org.apache.spark.sql.DataFrame): Int = {
       df.collect() // AQE: executedPlan final only after execution
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("InMemoryRelation"),
-        s"banded rows are not cached — audit is vacuous:\n${plan.take(2000)}")
-      plan.split("InMemoryRelation")(0).linesIterator
-        .count(l => l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
+      val executed = df.queryExecution.executedPlan
+      assert(graft.plans.PlanCensus.hasInMemoryScan(executed),
+        s"banded rows are not cached — audit is vacuous:\n${executed.toString.take(2000)}")
+      graft.plans.PlanCensus.consumerHashShuffles(executed)
     }
     val docs = Queries.spread(Queries.table(spark, sfDir, "documents"))
     val mh = bandingShuffles(graft.operators.Dedup.minhashLshPairs(
@@ -180,16 +185,25 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sh = bandingShuffles(graft.operators.Dedup.simhashNearDupPairs(
       docs, 3, PipelineQueries.SimhashBucketCap))
     assert(sh <= 1, s"simhash banding leaked exchanges past the repartition: $sh")
-    // vacuity: the same walker DOES see the exchanges of an un-reused shape
-    val naive = docs.select(col("doc_id"), (col("doc_id") % 5).as("k"))
-    val cnt = naive.groupBy("k").count().where(col("count") > 0).drop("count")
-    val leaky = naive.join(cnt, "k").as("l")
-      .join(naive.join(cnt, "k").as("r"), Seq("k")).distinct()
-    leaky.collect()
-    val leakyN = leaky.queryExecution.executedPlan.toString
-      .split("InMemoryRelation")(0).linesIterator
-      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("Broadcast"))
-    assert(leakyN > 1, s"walker failed to count exchanges in a leaky plan: $leakyN")
+    // vacuity: a CACHED leaky shape (cache without the pre-partitioning),
+    // so the guard exercises the same InMemoryTableScan pruning the real
+    // audits rely on — the walker must still count the consumers' own
+    // exchanges downstream of the cached scan
+    val naive = docs
+      .select(col("doc_id"), (col("doc_id") % 5).as("k"), (col("doc_id") % 7).as("j"))
+      .cache()
+    try {
+      val g1 = naive.groupBy("k").agg(org.apache.spark.sql.functions.count("*").as("ck"))
+      val g2 = naive.groupBy("j").agg(org.apache.spark.sql.functions.count("*").as("cj"))
+      val leaky = g1.join(g2, g1("ck") === g2("cj"))
+      leaky.collect()
+      val executed = leaky.queryExecution.executedPlan
+      assert(graft.plans.PlanCensus.hasInMemoryScan(executed),
+        s"vacuity guard lost its cached scan:\n${executed.toString.take(2000)}")
+      val leakyN = graft.plans.PlanCensus.consumerHashShuffles(executed)
+      assert(leakyN > 1,
+        s"walker failed to count exchanges downstream of a cached scan: $leakyN")
+    } finally naive.unpersist()
   }
 
   test("shingle generation runs the codegen'd kernel, not interpreted HOF lambdas") {

@@ -150,6 +150,32 @@ class SecondShapeSpec extends AnyFunSuite {
     pairs.unpersist(); labels.unpersist()
   }
 
+  test("dedup_clusters: driver-finish tier == distributed min-label shape, full graph") {
+    // round 12: production takes the exact driver union-find tier, so the
+    // union-find replay above now shares its ALGORITHM with production
+    // (inputs and implementation still differ). This keeps a structurally
+    // different second shape at full-graph scope: the forced distributed
+    // path (contraction + min-label rounds, driverFinishMaxEdges = 0) must
+    // produce identical labels for every node.
+    val docs = Queries.spread(Queries.table(spark, dir, "documents"))
+    val pairs = Dedup.minhashLshPairs(docs, 3, PipelineQueries.MinhashBands,
+        PipelineQueries.MinhashRows, PipelineQueries.MinhashBucketCap)
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .cache()
+    val viaDriver = Dedup.clusterLabels(pairs, PipelineQueries.ClusterIters)
+    val viaRounds = Dedup.clusterLabels(pairs, PipelineQueries.ClusterIters,
+      checkConverged = true, driverFinishMaxEdges = 0L)
+    val n = viaDriver.count()
+    val mismatch = viaDriver.as("d")
+      .join(viaRounds.as("r"), col("d.node") === col("r.node"), "full")
+      .where(col("d.label").isNull || col("r.label").isNull ||
+        col("d.label") =!= col("r.label"))
+      .count()
+    assert(n > 0, "vacuous: no labeled nodes")
+    assert(mismatch == 0, s"$mismatch/$n labels differ between the two CC shapes")
+    pairs.unpersist()
+  }
+
   test("embed_cosine_neardup: seeded witness pairs — exact-cosine sound and cell-complete") {
     val res = PipelineQueries.embedCosineNearDup(spark, dir).cache()
     val emb = Queries.table(spark, dir, "embeddings")
