@@ -49,10 +49,30 @@ object PipelineQueries {
   val MinhashRows = 2
   val MinhashBucketCap = 100
 
+  /** Session-scoped memo of the CHECKPOINTED minhash candidate-pair frame —
+    * dedup_minhash_lsh and dedup_clusters run the identical
+    * shingle→minhash→band→bucket pipeline (~16 s of each query at the 100x
+    * corpus), so within one Verify/Bench session the family pays pair
+    * generation ONCE and whichever query runs first carries the build cost
+    * (round-12 verdict Next #2). Explicit seam with caller-owned lifetime:
+    * the value is a localCheckpoint (RDD blocks), deliberately NOT part of
+    * the SQL cache, so Verify's between-query clearCache() does not defeat
+    * it; clearPairsMemo() drops the references (TimeOne calls it between
+    * timed runs so dev A/Bs still measure the cold build). Keyed by
+    * (session, dir) — a frame must never outlive its session.
+    */
+  private val pairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def clearPairsMemo(): Unit = pairsMemo.clear()
+
+  private def minhashPairsShared(s: SparkSession, dir: String): DataFrame =
+    pairsMemo.computeIfAbsent((s, dir), _ =>
+      Dedup.minhashLshPairs(Queries.spread(Queries.table(s, dir, "documents")),
+        3, MinhashBands, MinhashRows, MinhashBucketCap).localCheckpoint())
+
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(Queries.spread(Queries.table(s, dir, "documents")), 3, MinhashBands, MinhashRows,
-        MinhashBucketCap)
-      .orderBy("a", "b")
+    minhashPairsShared(s, dir).orderBy("a", "b")
 
   /** Minhash pair generation as a reusable SQL body (no ORDER BY) — shared
     * by the pairs query and the cluster oracle.
@@ -80,18 +100,36 @@ object PipelineQueries {
   val dedupMinhashLshSql: String = s"$minhashPairsBodySql ORDER BY a, b"
 
   // ---- dedup clusters (connected components) ---------------------------
-  val ClusterIters = 6
+  /** Round budget for the fixed-round min-label formulations (the DuckDB
+    * oracle's unrolled CTE and the engine's distributed tier-3 cap; the
+    * driver tiers are exact for any diameter). Raised 6 -> 16 in round 13:
+    * the convergence audit (Dedup.syncConvergenceRounds) measured the 100x
+    * corpus needing 15 rounds — its truncation-chain near-dup families
+    * build components of diameter ~15, which the old budget would leave
+    * unconverged in the oracle (never caught before because the 100x
+    * oracle always verified via second shape, not DuckDB). sf0.01 / sf0.1
+    * / zipf-10x converge in 1-2 rounds; extra MATERIALIZED rounds over
+    * their few-hundred-row pair sets cost the oracle microseconds, and the
+    * engine's adaptive loop stops at the first unchanged round regardless.
+    */
+  val ClusterIters = 16
 
   /** Minhash pairs -> connected components: (doc_id, cluster_id = component
     * min doc_id). Fixed `ClusterIters` min-label rounds on both engines —
     * near-dup components are band-clique-shaped (diameter ~2), and
     * DedupClusterSpec pins that 6 rounds reach the fixpoint on real data.
+    *
+    * Failure mode when a component's diameter exceeds ClusterIters: the
+    * engine's driver tiers are EXACT for any diameter while the oracle
+    * below unrolls exactly ClusterIters rounds, so without a guard the
+    * mismatch would surface as a confusing hash diff (engine right, oracle
+    * unconverged). checkConverged=true makes every tier fail loudly
+    * instead: the driver tiers simulate the synchronous rounds over the
+    * collected graph (Dedup.requireSyncConvergence), the distributed tier
+    * probes one extra round.
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.clusterLabels(
-        Dedup.minhashLshPairs(Queries.spread(Queries.table(s, dir, "documents")),
-          3, MinhashBands, MinhashRows, MinhashBucketCap),
-        ClusterIters, checkConverged = true)
+    Dedup.clusterLabels(minhashPairsShared(s, dir), ClusterIters, checkConverged = true)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
 

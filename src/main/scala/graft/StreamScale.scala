@@ -45,6 +45,12 @@ object StreamScale {
     val corpus = args(0)
     val nBatches = args(1).toInt
     val root = if (args.length > 2) args(2) else "/tmp/streamscale"
+    // rmrf is recursive delete of a caller-supplied path — refuse anything
+    // outside /tmp so a mistyped third argument cannot wipe an arbitrary
+    // tree (round-12 ADVICE)
+    val canonical = new java.io.File(root).getCanonicalPath
+    require(canonical.startsWith("/tmp/") && canonical != "/tmp",
+      s"StreamScale: workRoot must be a directory under /tmp (got $canonical)")
     rmrf(root)
 
     implicit val spark: SparkSession = SparkSession.builder().master("local[32]")
@@ -94,6 +100,7 @@ object StreamScale {
       .as[SessionStream.Ev]
       .orderBy("us", "seq") // chronological arrival
       .collect()
+    require(evs.nonEmpty, s"StreamScale: no events in $corpus/events.parquet")
     val gapUs = Queries.SessionGap * 1000000L
     val sentinel = SessionStream.Ev("__sentinel__", evs.last.us + 1000L * gapUs, 0L)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -21,11 +21,13 @@ object TimeOne {
     for (n <- names) {
       try { SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save() } catch { case _: Throwable => () }
       spark.catalog.clearCache()
+      PipelineQueries.clearPairsMemo() // A/B runs must measure the COLD build
       for (i <- 1 to 2) {
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(s"TIMED $n run$i ${(System.nanoTime()-t0)/1e9}")
         spark.catalog.clearCache()
+        PipelineQueries.clearPairsMemo()
       }
     }
     spark.stop()

@@ -23,6 +23,22 @@ object HashKernels {
   def minhashWindows(shingle: Column, numHashes: Int): Column =
     ColumnBridge.column(MinhashWindowsExpr(ColumnBridge.expression(shingle), numHashes))
 
+  /** Whole minhash SIGNATURE in one per-document kernel call: fold the
+    * running min of every hash window over all w-shingles of the token
+    * array, with the digest bytes fed incrementally (prefix, token bytes,
+    * single spaces) so no shingle string, window array, or exploded row is
+    * ever materialized. Replaces explode(shingles) + minhashWindows +
+    * groupBy(doc_id).agg(min...) — at the 100x corpus that shape pushed
+    * 263M shingle rows through the hash aggregate for 5M output rows, and
+    * the explode+agg machinery (not the md5 work) was ~2/3 of the
+    * signature stage. min over all shingles == min over distinct shingles,
+    * so skipping the per-doc dedup set is exact. Empty array out when the
+    * doc has fewer than w tokens (the explode shape emitted no row — the
+    * caller filters).
+    */
+  def minhashSignature(toks: Column, w: Int, numHashes: Int): Column =
+    ColumnBridge.column(MinhashSignatureExpr(ColumnBridge.expression(toks), w, numHashes))
+
   /** SimHash majority-vote recompose from the 15 lane-packed sums + token
     * count (see Dedup.simhash for the lane packing). As composed Catalyst
     * arithmetic the 60 `when(2*S_j > n, 1<<j)` terms generate a 13.8 KB
@@ -84,6 +100,67 @@ object HashKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Running-min minhash signature over the w-shingles of `a` — the static
+    * the codegen'd [[MinhashSignatureExpr]] calls. Bit-identical to
+    * min-per-hash over [[windows]] of each space-joined shingle: the md5
+    * input bytes are fed incrementally in exactly the concat order
+    * ("s<d>:" + tok + " " + tok + ...), and 8 hex chars ARE 4 digest bytes.
+    */
+  def signatureOf(a: ArrayData, w: Int, numHashes: Int): ArrayData = {
+    val n = a.numElements()
+    if (n < w)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val nd = (numHashes + 3) / 4
+    // "s<d>:" prefixes are tiny and per-call; token bytes extracted once
+    // (each token is read by up to w shingles)
+    val prefixes = new Array[Array[Byte]](nd)
+    var d = 0
+    while (d < nd) {
+      val ds = String.valueOf(d)
+      val p = new Array[Byte](ds.length + 2)
+      p(0) = 's'.toByte
+      var i = 0
+      while (i < ds.length) { p(i + 1) = ds.charAt(i).toByte; i += 1 }
+      p(p.length - 1) = ':'.toByte
+      prefixes(d) = p
+      d += 1
+    }
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { toks(i) = a.getUTF8String(i).getBytes; i += 1 }
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val md = md5Local.get()
+    i = 0
+    while (i <= n - w) {
+      d = 0
+      var k = 0
+      while (d < nd) {
+        md.reset()
+        md.update(prefixes(d))
+        var j = 0
+        while (j < w) {
+          if (j > 0) md.update(' '.toByte)
+          md.update(toks(i + j))
+          j += 1
+        }
+        val dg = md.digest()
+        var jj = 0
+        while (jj < 4 && k < numHashes) {
+          val v = ((dg(4 * jj) & 0xffL) << 24) | ((dg(4 * jj + 1) & 0xffL) << 16) |
+            ((dg(4 * jj + 2) & 0xffL) << 8) | (dg(4 * jj + 3) & 0xffL)
+          if (v < mins(k)) mins(k) = v
+          jj += 1
+          k += 1
+        }
+        d += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
 }
 
 case class SimhashRecomposeExpr(left: Expression, right: Expression)
@@ -110,6 +187,33 @@ case class SimhashRecomposeExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "simhash_recompose"
+}
+
+case class MinhashSignatureExpr(child: Expression, w: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(w >= 1 && numHashes >= 1, "w and numHashes must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature requires array<string> input, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    HashKernels.signatureOf(a.asInstanceOf[ArrayData], w, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.HashKernels.signatureOf($a, $w, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_signature"
 }
 
 case class MinhashWindowsExpr(child: Expression, numHashes: Int) extends UnaryExpression {

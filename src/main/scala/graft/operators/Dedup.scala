@@ -76,19 +76,25 @@ object Dedup {
 
   /** MinHash signatures: for each of `numHashes` hash functions, the min
     * hash over the doc's shingle set. Output: (doc_id, sig array<long>).
-    * One groupBy(doc_id) shuffle over the exploded shingles.
+    * ONE codegen'd kernel call per document — no shingle explode, no
+    * groupBy shuffle (round 13: the old explode + minhashWindows +
+    * agg(min...) shape pushed 263M shingle rows through the hash aggregate
+    * at the 100x corpus; the per-row explode/agg machinery, not the md5
+    * work, was most of the stage). Bit-identical to min-per-hash over
+    * [[minhashFamily]], which remains as the composable/oracle-documented
+    * definition; a doc shorter than w tokens yields an empty signature and
+    * is dropped, exactly as the explode shape emitted no row for it.
     */
   def minhashSignatures(docs: DataFrame, w: Int, numHashes: Int): DataFrame = {
-    // the whole hash family comes from ONE codegen'd kernel call per
-    // shingle (raw digest bytes, no hex-string round trips) — bit-identical
-    // to minhashFamily, which remains as the composable/oracle-documented
-    // definition
-    val sh = shingles(docs, w)
+    // the short-doc filter runs on the CHEAP token count BELOW the kernel
+    // projection — a filter above it on size(sig) collapses into the
+    // projection and evaluates the whole md5 signature twice per row
+    // (measured: +60% on the signature stage at the 100x corpus)
+    val toks = TextAnalysis.tokens(col("text"))
+    docs
+      .where(size(toks) >= w)
       .select(col("doc_id"),
-        graft.functions.HashKernels.minhashWindows(col("shingle"), numHashes).as("__mh"))
-    val aggs = (0 until numHashes).map(k => min(element_at(col("__mh"), k + 1)).as(s"h$k"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
+        graft.functions.HashKernels.minhashSignature(toks, w, numHashes).as("sig"))
   }
 
   /** MinHash + LSH candidate pairs: band the signature into `bands` bands of
@@ -127,44 +133,31 @@ object Dedup {
 
   def minhashLshPairs(docs: DataFrame, w: Int, bands: Int, rowsPerBand: Int,
                       bucketCap: Int = 100): DataFrame = {
-    // ONE exchange for the whole banding stage (round 11 — the same
-    // exchange-reuse audit ngramJaccardPairs got): repartitioning the
-    // banded rows on (band, band_key) SATISFIES the bucket-count
-    // aggregate's clustering, the cap join, and both sides of the
-    // candidate self-join, so everything downstream of this cached
-    // repartition is exchange-free until the final pair distinct. The
-    // plain .cache() this replaces kept the banding pipeline from
-    // recomputing but still paid a fresh shuffle at each of those four
-    // consumers (19 exchanges in the round-10 census — the second-worst
-    // plan in the suite). Cache lifetime is CALLER-owned: the returned
-    // frame keeps the InMemoryRelation alive, and long-lived sessions
-    // should clearCache()/unpersist between corpora (Verify/Bench/TimeOne
-    // all do; round-11 ADVICE).
-    val n = bandingPartitions(docs)
-    val banded = bandedSignatures(docs, w, bands, rowsPerBand)
-      .repartition(n, col("band"), col("band_key"))
-      .cache()
+    // ONE aggregation for the whole candidate stage (round 13): collect
+    // each (band, band_key) bucket's member ids with a CAPPED imperative
+    // aggregate, then explode each surviving bucket into its unordered
+    // pairs. Replaces the round-11 cached-repartition shape (bucket-count
+    // aggregate + cap semi-join + sort-merge self-join over a 20M-row
+    // cache): measured at the 100x corpus 16.0-17.5 s vs 24.1-31.5 s
+    // end-to-end, bit-identical pair set (symdiff 0 over 18.59M pairs).
+    // Exactly two exchanges end-to-end — the aggregation's and the final
+    // distinct's — with no cache to own and no SMJ sorts.
+    //
     // bucket-size cap: a band bucket holding k docs emits k^2/2 pairs; on
     // boilerplate-heavy corpora one mega-bucket reintroduces the quadratic
-    // blowup LSH exists to avoid. Buckets above the cap are dropped — their
-    // members are (near-)identical boilerplate better handled by exact
-    // dedup, and any pair inside one still collides in its other bands
-    // unless the docs agree on nothing else.
-    val kept = banded.join(
-        banded.groupBy(col("band"), col("band_key")).count()
-          .where(col("count") <= bucketCap).drop("count"),
-        Seq("band", "band_key"))
-    // sort-merge, deliberately: an interleaved SHUFFLE_HASH A/B at the 100x
-    // corpus measured neutral-to-noise (30.2/30.7 vs 27.2/31.6 s) — these
-    // rows are ~24 B slim, so the SMJ sorts are cheap and the safer
-    // spill path wins; contrast Similarity.cosineNearDupPairs, whose
-    // 560 B vector rows made the same hint a 3.7x win (round 11)
-    val l = kept.as("l")
-    val r = kept.as("r")
-    l.join(r,
-        col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+    // blowup LSH exists to avoid. cappedCollectLong evaluates such buckets
+    // to null with BOUNDED buffer state (a billion-member bucket costs one
+    // overflow flag, never a collected list) — their members are
+    // (near-)identical boilerplate better handled by exact dedup, and any
+    // pair inside one still collides in its other bands unless the docs
+    // agree on nothing else.
+    import graft.functions.BucketAgg
+    bandedSignatures(docs, w, bands, rowsPerBand)
+      .groupBy(col("band"), col("band_key"))
+      .agg(BucketAgg.cappedCollectLong(col("doc_id"), bucketCap).as("members"))
+      .where(col("members").isNotNull)
+      .select(explode(BucketAgg.pairsOf(col("members"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
 
@@ -348,6 +341,21 @@ object Dedup {
     */
   private val DriverFinishMaxEdges = 20000000L
 
+  /** Node cap for the driver union-find — the edge cap alone guards the
+    * wrong quantity (round-12 verdict): the collected chunks are bounded by
+    * edges (320 MB at 20M), but the union-find map holds NODES, up to
+    * 2x the edge count on a pathological matching-shaped graph. At this cap
+    * the open-addressing map (power-of-2 capacity, 0.7 load) tops out at
+    * 32M slots = 512 MB, the interleaved (node,label) output array at
+    * 256 MB, and the edge chunks at 320 MB — a documented <1.2 GB peak
+    * (plus 2x 512 MB transiently when the convergence audit runs). The
+    * guard trips MID-BUILD and spills to the next tier (contraction /
+    * distributed rounds), so a hostile graph can't OOM the driver; near-dup
+    * clique graphs have nodes ≪ edges, so real corpora stay far under it
+    * (the 100x corpus: 18.59M edges).
+    */
+  private val DriverFinishMaxNodes = 16000000L
+
   def clusterLabels(pairs: DataFrame, iters: Int,
                     checkConverged: Boolean = false,
                     driverFinishMaxEdges: Long = DriverFinishMaxEdges): DataFrame = {
@@ -363,10 +371,18 @@ object Dedup {
     // banding self-join + distinct is ~25-35 s, and it was being paid
     // twice (round-12 profile: the label rounds the round-11 lane blamed
     // were ~3 s of a ~70 s query; the duplicated pair generation was the
-    // actual cost)
-    val p = timed("pairs")(pairs
-      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-      .localCheckpoint())
+    // actual cost). A frame that is ALREADY a checkpointed long (a, b)
+    // RDD — the memoized pair seam, round 13 — is used as-is instead of
+    // paying a second materialization scan.
+    val typedOk = pairs.schema.length == 2 &&
+      pairs.schema.head.name == "a" && pairs.schema(1).name == "b" &&
+      pairs.schema.forall(_.dataType == org.apache.spark.sql.types.LongType)
+    val cast =
+      if (typedOk) pairs
+      else pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val p = timed("pairs")(
+      if (typedOk && cast.queryExecution.analyzed.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) cast
+      else cast.localCheckpoint())
     // Tier 1 — the whole pair list fits on the driver: exact union-find
     // directly over it, no contraction, no stitch (round-12 profile: the
     // contraction stage — symmetrize + repartition + local union-find +
@@ -377,8 +393,22 @@ object Dedup {
     // the checkpoint blocks.
     val np = timed("pairs_count")(p.count())
     if (np <= driverFinishMaxEdges) {
-      if (dbg) println(s"CCDEBUG pairs=$np tier=driver-raw")
-      return timed("driver_uf")(driverUnionFind(p))
+      // checkConverged on a driver tier: the union-find is exact for any
+      // diameter, so the loud require() the distributed loop had would
+      // never fire here — but the ORACLE (dedupClustersSql) still unrolls a
+      // fixed `iters` min-label rounds, so a component with diameter >
+      // iters would surface as a confusing oracle mismatch (engine exact,
+      // oracle unconverged). The audit simulates the synchronous rounds on
+      // the collected graph (cheap — one edge scan per round) and fails
+      // loudly instead (round-12 ADVICE).
+      val auditRounds = if (checkConverged) iters else 0
+      timed("driver_uf")(driverUnionFind(p, DriverFinishMaxNodes, auditRounds)) match {
+        case Some(labels) =>
+          if (dbg) println(s"CCDEBUG pairs=$np tier=driver-raw")
+          return labels
+        case None =>
+          if (dbg) println(s"CCDEBUG pairs=$np driver-raw node cap tripped -> contraction")
+      }
     }
     val sym = p.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
@@ -403,11 +433,22 @@ object Dedup {
     // diameter, so the `iters` budget (and checkConverged) only governs
     // the distributed fallback (tier 3).
     val cn = timed("cpairs_count")(cpairs.count())
+    // the tier-2 convergence audit (and tier 3's require) runs over the
+    // CONTRACTED graph — a lower bound on the raw graph's round count, so
+    // the raw-graph oracle can still mismatch when only these tiers run;
+    // the exact raw-graph audit is tier 1's (see dedupClustersSql)
     val rootLabels = timed("rounds") {
-      if (cn <= driverFinishMaxEdges) driverUnionFind(cpairs)
-      else minLabelLoop(cpairs, iters, checkConverged)
+      (if (cn <= driverFinishMaxEdges)
+         driverUnionFind(cpairs, DriverFinishMaxNodes, if (checkConverged) iters else 0)
+       else None) match {
+        case Some(labels) =>
+          if (dbg) println(s"CCDEBUG pairs=$np cpairs=$cn tier=driver-contracted")
+          labels
+        case None =>
+          if (dbg) println(s"CCDEBUG pairs=$np cpairs=$cn tier=rounds")
+          minLabelLoop(cpairs, iters, checkConverged)
+      }
     }
-    if (dbg) println(s"CCDEBUG pairs=$np cpairs=$cn tier=${if (cn <= driverFinishMaxEdges) "driver-contracted" else "rounds"}")
     // rootLabels is bounded by the cross-partition roots (tiny next to the
     // node count) — broadcast the stitch join; a root with no contracted
     // edges is its own converged label
@@ -417,22 +458,43 @@ object Dedup {
   }
 
   /** Exact driver-side union-find over a collected edge list: returns one
-    * (node, label = component min) row per node appearing in `pairs`.
+    * (node, label = component min) row per node appearing in `pairs`, or
+    * None when the graph's NODE count trips `maxNodes` mid-build — the
+    * caller then falls back to the next tier (the edge cap alone bounds the
+    * collected chunks but not the node map; round-12 verdict #3).
     * Union-by-min + full path compression — the root of every tree is the
     * smallest member, i.e. exactly the min-label fixpoint, with no round
     * budget to converge within.
+    *
+    * `auditRounds > 0` additionally simulates SYNCHRONOUS min-label rounds
+    * over the same edges and requires a fixpoint within that many rounds —
+    * the condition under which a fixed-round oracle formulation (the
+    * dedup_clusters DuckDB CTE) matches the exact labels. One edge scan per
+    * round; near-dup graphs converge in 2-3.
+    *
+    * Driver heap, at the caps (20M edges / 16M nodes): edge chunks 320 MB +
+    * node map ≤512 MB + interleaved output array ≤256 MB, with the chunks
+    * RELEASED before the output array is built so the two never coexist at
+    * full size; the audit transiently adds two label maps (≤1 GB total).
     */
-  private[graft] def driverUnionFind(pairs: DataFrame): DataFrame = {
+  private[graft] def driverUnionFind(pairs: DataFrame, maxNodes: Long,
+                                     auditRounds: Int = 0): Option[DataFrame] = {
     val ss = pairs.sparkSession
     import ss.implicits._
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      if (dbg) println(f"CCDEBUG uf_stage=$name ${(System.nanoTime() - t0) / 1e9}%.2f")
+      r
+    }
     // collect as per-partition PRIMITIVE long arrays (a,b interleaved):
     // 20M edges land as 320 MB of longs instead of ~1 GB of boxed tuples
-    val chunks: Array[Array[Long]] = pairs.select(col("a"), col("b"))
+    var chunks: Array[Array[Long]] = timed("collect")(pairs.select(col("a"), col("b"))
       .queryExecution.toRdd.mapPartitions { it =>
         val buf = new scala.collection.mutable.ArrayBuilder.ofLong
         while (it.hasNext) { val r = it.next(); buf += r.getLong(0); buf += r.getLong(1) }
         Iterator.single(buf.result())
-      }.collect()
+      }.collect())
     // the map holds NODES (bounded by 2x edges, typically far fewer), not
     // edges — edge scans stay on the primitive arrays; LongLongMap because
     // java.util.HashMap boxing dominated this stage (12.7 s -> primitive)
@@ -447,27 +509,145 @@ object Dedup {
       while (y != x) { val n = parent(y); parent(y) = x; y = n }
       x
     }
+    val capTripped = timed("union") {
+      var tripped = false
+      var ci = 0
+      while (ci < chunks.length && !tripped) {
+        val chunk = chunks(ci)
+        var i = 0
+        while (i < chunk.length && !tripped) {
+          val a = chunk(i); val b = chunk(i + 1)
+          parent.putIfAbsent(a, a)
+          parent.putIfAbsent(b, b)
+          if (parent.size > maxNodes) tripped = true
+          else {
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          }
+          i += 2
+        }
+        ci += 1
+      }
+      tripped
+    }
+    if (capTripped) return None
+    if (auditRounds > 0) {
+      val r = timed("audit")(syncConvergenceRounds(chunks, parent))
+      if (dbg) println(s"CCDEBUG sync_convergence rounds=$r budget=$auditRounds")
+      require(r <= auditRounds,
+        s"clusterLabels: synchronous min-label needs $r rounds to converge, " +
+          s"budget is $auditRounds — a fixed-round oracle would not match the " +
+          "exact labels; raise iters")
+    }
+    // interleaved primitive (node, label) pairs; the edge chunks are dead
+    // past this point — drop them before allocating the output so peak heap
+    // is map + output, not map + output + edges (round-12 ADVICE)
+    val nNodes = parent.size
+    val out = timed("output") {
+      chunks = null
+      val arr = new Array[Long](2 * nNodes)
+      var oi = 0
+      parent.foreachEntry { (k, _) => arr(oi) = k; arr(oi + 1) = find(k); oi += 2 }
+      arr
+    }
+    // distribute via ONE broadcast of the primitive array + index-range
+    // tasks (vs parallelize of a boxed tuple array, which costs ~40 B/row
+    // on the driver before slicing; vs a closure capture, which would
+    // serialize the full array per task): every downstream scan — the
+    // caller's orderBy does TWO (range-bound sampling + the sort itself) —
+    // reads the compact broadcast; the ContextCleaner reclaims it when the
+    // returned frame is unreferenced
+    val slices = math.max(1, math.min(ss.sparkContext.defaultParallelism, nNodes / 65536))
+    val b = ss.sparkContext.broadcast(out)
+    val rows = ss.sparkContext.parallelize(0 until slices, slices).flatMap { s =>
+      val arr = b.value
+      val n = arr.length / 2
+      Iterator.range((n.toLong * s / slices).toInt, (n.toLong * (s + 1) / slices).toInt)
+        .map(i => (arr(2 * i), arr(2 * i + 1)))
+    }
+    Some(ss.createDataset(rows).toDF("node", "label"))
+  }
+
+  /** Rounds the fixed-round SQL oracle needs before its labels equal the
+    * union-find fixpoint, computed EXACTLY in one O(V+E) pass: node v's
+    * label after k synchronous min-label rounds is the min over v's k-ball,
+    * which last changes at k = dist(v, component min) — so the convergence
+    * round count is the max BFS depth from all component minima at once.
+    * (The direct double-buffered simulation is O(E x rounds): at the 100x
+    * corpus — 18.6M edges, 15 rounds measured — that is ~2 B single-thread
+    * map operations, slower than the union-find it audits.)
+    */
+  private def syncConvergenceRounds(chunks: Array[Array[Long]],
+                                    parent: graft.core.LongLongMap): Int = {
+    // read-only root walk (paths are already partially compressed by the
+    // union phase; no mutation keeps this safe to call anywhere)
+    def rootOf(x0: Long): Long = {
+      var x = x0
+      var p = parent(x)
+      while (p != x) { x = p; p = parent(x) }
+      x
+    }
+    // dense ids in slot order, so arrays replace maps for the BFS
+    val v = parent.size
+    val dense = new graft.core.LongLongMap(v + v / 2)
+    val nodeOf = new Array[Long](v)
+    var nd = 0L
+    parent.foreachEntry { (k, _) => dense.put(k, nd); nodeOf(nd.toInt) = k; nd += 1 }
+    // CSR adjacency over the undirected edges (two directed entries each).
+    // Endpoints are remapped to dense ints ONCE (a transient 4 B/endpoint
+    // array) so the degree and fill passes run on primitive ints — the
+    // hash probes were the audit's dominant cost when both passes looked
+    // every endpoint up again.
+    var e2 = 0L
+    for (chunk <- chunks) e2 += chunk.length
+    require(e2 <= Int.MaxValue, s"convergence audit: $e2 directed edges exceed CSR bounds")
+    val endp = new Array[Int](e2.toInt)
+    val offs = new Array[Int](v + 1)
+    var w = 0
     for (chunk <- chunks) {
       var i = 0
       while (i < chunk.length) {
-        val a = chunk(i); val b = chunk(i + 1)
-        parent.putIfAbsent(a, a)
-        parent.putIfAbsent(b, b)
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        i += 2
+        val d = dense(chunk(i)).toInt
+        endp(w) = d
+        offs(d + 1) += 1
+        w += 1
+        i += 1
       }
     }
-    val out = new Array[(Long, Long)](parent.size)
-    var oi = 0
-    parent.foreachEntry { (k, _) => out(oi) = (k, find(k)); oi += 1 }
-    // parallelize (vs a driver-LocalRelation): every downstream scan — the
-    // caller's orderBy does TWO (range-bound sampling + the sort itself) —
-    // would otherwise re-serialize all rows single-threaded on the driver
-    val slices = math.max(1, math.min(ss.sparkContext.defaultParallelism, out.length / 65536))
-    ss.createDataset(ss.sparkContext.parallelize(
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(out), slices))
-      .toDF("node", "label")
+    var i = 0
+    while (i < v) { offs(i + 1) += offs(i); i += 1 }
+    val targets = new Array[Int](e2.toInt)
+    val cursor = java.util.Arrays.copyOf(offs, v)
+    i = 0
+    while (i < endp.length) {
+      val da = endp(i); val db = endp(i + 1)
+      targets(cursor(da)) = db; cursor(da) += 1
+      targets(cursor(db)) = da; cursor(db) += 1
+      i += 2
+    }
+    // multi-source BFS from every component minimum (= union-find root)
+    val queue = new Array[Int](v)
+    val seen = new Array[Boolean](v)
+    var tail = 0
+    i = 0
+    while (i < v) {
+      if (rootOf(nodeOf(i)) == nodeOf(i)) { queue(tail) = i; tail += 1; seen(i) = true }
+      i += 1
+    }
+    var head = 0
+    var depth = 0
+    var levelEnd = tail
+    while (head < tail) {
+      if (head == levelEnd) { depth += 1; levelEnd = tail }
+      val u = queue(head); head += 1
+      var t = offs(u)
+      while (t < offs(u + 1)) {
+        val w = targets(t)
+        if (!seen(w)) { seen(w) = true; queue(tail) = w; tail += 1 }
+        t += 1
+      }
+    }
+    depth
   }
 
   /** The global min-label rounds (adaptive, diameter-budgeted) — phase 2 of

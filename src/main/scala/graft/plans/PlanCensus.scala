@@ -71,8 +71,13 @@ object PlanCensus {
     def walk(p: SparkPlan): Unit = {
       if (p == null || !seen.add(p)) return
       p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan); return
-        case q: QueryStageExec => walk(q.plan); return
+        // AQE wrappers carry subqueries of their own (a DPP/scalar subquery
+        // planned at the wrapper level holds a nested adaptive plan) — an
+        // early return that only descends the main plan would skip any hash
+        // exchange inside them (round-12 ADVICE)
+        case a: AdaptiveSparkPlanExec =>
+          walk(a.executedPlan); a.subqueries.foreach(walk); return
+        case q: QueryStageExec => walk(q.plan); q.subqueries.foreach(walk); return
         case _: ReusedExchangeExec => return
         case _: InMemoryTableScanExec => return
         case s: ShuffleExchangeLike =>
@@ -99,8 +104,9 @@ object PlanCensus {
     def walk(p: SparkPlan): Unit = {
       if (p == null || found || !seen.add(p)) return
       p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case q: QueryStageExec => walk(q.plan)
+        case a: AdaptiveSparkPlanExec =>
+          walk(a.executedPlan); a.subqueries.foreach(walk)
+        case q: QueryStageExec => walk(q.plan); q.subqueries.foreach(walk)
         case _: InMemoryTableScanExec => found = true
         case _ =>
           p.children.foreach(walk)
@@ -128,8 +134,9 @@ object PlanCensus {
     def walk(p: SparkPlan): Unit = {
       if (p == null || !seen.add(p)) return
       p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan); return
-        case q: QueryStageExec => walk(q.plan); return
+        case a: AdaptiveSparkPlanExec =>
+          walk(a.executedPlan); a.subqueries.foreach(walk); return
+        case q: QueryStageExec => walk(q.plan); q.subqueries.foreach(walk); return
         case _: ReusedExchangeExec => return
         case _: WholeStageCodegenExec => spans += 1
         case _: ShuffleExchangeLike => shuffles += 1

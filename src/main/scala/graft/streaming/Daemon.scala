@@ -145,7 +145,15 @@ final class Daemon(routes: Seq[Daemon.Route], waitTime: Long,
     // transport seam: an explicit bus (e.g. BusSource.Kafka in a broker
     // deployment, where the TCP listener is retired) wins; otherwise the
     // spool journal (durable) or an in-memory stream (non-durable), both
-    // expressed through the same BusSource contract
+    // expressed through the same BusSource contract.
+    //
+    // Memory mode is TEST/DEV-ONLY, not a production transport: every line
+    // funnels through one lock-serialized MemoryStream.addData row-encode
+    // on the driver (the lock is correctness-required — see enqueue), so
+    // it measures ~half the spool path's throughput (28.5k vs 60.4k pts/s
+    // at 400k x 8, 54.1k vs 92.2k at 1M x 32 — bench/STREAMLANE_r12.md)
+    // and loses buffered lines on crash. Spool is the production default;
+    // the gap is the test source's encoder, not a daemon bottleneck.
     val lines = bus.getOrElse {
       spoolDir match {
         case Some(dir) => BusSource.Journal(dir)

@@ -45,6 +45,17 @@ class CodegenAuditSpec extends AnyFunSuite {
     "LambdaFunction", "NamedLambdaVariable",
     "CollectList", "PivotFirst")
 
+  /** graft TypedImperativeAggregates, imperative BY DESIGN: the operator
+    * they run in is ObjectHashAggregate — the same non-codegen aggregate
+    * class the allowlisted CollectList/PivotFirst use — and their per-row
+    * update is plain compiled JVM code, not an interpreted expression tree.
+    * This is NOT the round-9 regression class (a projection kernel losing
+    * doGenCode); any new graft PROJECTION expression falling back still
+    * fails the audit.
+    */
+  private val graftImperativeAllow = Set(
+    "graft.functions.CappedCollectLongAgg", "graft.functions.VecSumAggExpr")
+
   // JVM -XX:DontCompileHugeMethods threshold: a generated method at or
   // past this size never JITs, which is an interpreter regression even
   // though the plan still shows the codegen span
@@ -58,10 +69,13 @@ class CodegenAuditSpec extends AnyFunSuite {
         val c = PlanCensus.executedCensus(df)
         if (c.codegenSpans < 1)
           failures += s"$name: zero whole-stage-codegen spans in the executed plan"
-        val graftFb = c.fallbacks.filter(_.contains("graft."))
+        val graftFb = c.fallbacks
+          .filter(_.contains("graft."))
+          .filterNot(f => graftImperativeAllow.exists(f.contains))
         if (graftFb.nonEmpty)
           failures += s"$name: graft kernel fell back to the interpreter: ${graftFb.mkString(", ")}"
-        val unknown = c.fallbacks.map(_.split('.').last).toSet -- builtinAllow
+        val unknown = c.fallbacks.map(_.split('.').last).toSet -- builtinAllow --
+          graftImperativeAllow.map(_.split('.').last)
         if (unknown.nonEmpty)
           failures += s"$name: NEW CodegenFallback class(es) ${unknown.mkString(",")} — " +
             "either restore codegen or consciously extend the allowlist with a bounded-frame argument"

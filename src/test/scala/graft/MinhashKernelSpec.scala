@@ -30,4 +30,30 @@ class MinhashKernelSpec extends AnyFunSuite {
       .collect().head.getSeq[Long](0)
     assert(viaFamily == viaKernel && viaKernel.length == 6)
   }
+
+  test("fused minhash_signature == explode + minhash_windows + groupBy mins") {
+    // the round-13 per-doc signature kernel vs the composed shape it
+    // replaced, over docs with repeats (min over multiset == min over
+    // set), unicode, the adversarial prefix, and short docs (< w tokens
+    // must yield NO signature row)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a a a a a a"), // heavy repeats
+      (3L, "ünïcode tøkens everywhere ünïcode tøkens again"),
+      (4L, "s0: adversarial s1: prefix tokens here"),
+      (5L, "short doc"), // 2 tokens < w=3: dropped
+      (6L, "exactly three tokens")
+    ).toDF("doc_id", "text")
+    for (h <- Seq(6, 8, 16)) {
+      val fused = Dedup.minhashSignatures(docs, 3, h)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val composed = Dedup.shingles(docs, 3)
+        .select(col("doc_id"), HashKernels.minhashWindows(col("shingle"), h).as("mh"))
+        .groupBy(col("doc_id"))
+        .agg(array((0 until h).map(k => min(element_at(col("mh"), k + 1))): _*).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(fused == composed, s"h=$h")
+      assert(!fused.contains(5L))
+    }
+  }
 }

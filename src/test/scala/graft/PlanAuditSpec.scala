@@ -156,20 +156,32 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a propagation round must not re-shuffle the pre-partitioned edges:\n$executed")
   }
 
-  test("LSH banding stages reuse ONE exchange: cap agg, cap join and self-join shuffle-free") {
+  test("LSH banding stages: minhash is 2 exchanges flat; simhash reuses ONE cached exchange") {
     import org.apache.spark.sql.functions.col
-    // round 11: minhashLshPairs and simhashNearDupPairs repartition the
-    // banded rows on (band, band_key) ONCE (cached); the bucket-count
+    // minhash (round 13): the candidate stage is ONE capped-collect
+    // aggregation + pair explode — the executed plan must carry exactly
+    // two hash exchanges end-to-end (the aggregation's and the final pair
+    // distinct's), no cache, no sort-merge join.
+    val docs = Queries.spread(Queries.table(spark, sfDir, "documents"))
+    val mhDf = graft.operators.Dedup.minhashLshPairs(
+      docs, 3, PipelineQueries.MinhashBands, PipelineQueries.MinhashRows,
+      PipelineQueries.MinhashBucketCap)
+    mhDf.collect() // AQE: executedPlan final only after execution
+    val mhExec = mhDf.queryExecution.executedPlan
+    // hash exchanges only: Queries.spread's round-robin input spread is not
+    // part of the candidate stage under audit
+    val mhShuffles = graft.plans.PlanCensus.consumerHashShuffles(mhExec)
+    assert(mhShuffles <= 2,
+      s"minhash candidate stage grew extra exchanges: $mhShuffles\n${mhExec.toString.take(2000)}")
+    assert(graft.plans.PlanCensus.censusOf(mhExec).sortMergeJoins == 0,
+      s"minhash candidate stage must be join-free:\n${mhExec.toString.take(2000)}")
+    // simhash keeps the round-11 cached-repartition shape: the bucket-count
     // aggregate, the cap join and both candidate self-join sides must all
-    // reuse that partitioning. In the executed plan the cached repartition
-    // lives inside the InMemoryRelation build lineage, so OUTSIDE it the
-    // only hash exchange allowed is the final pair distinct's.
-    // tree walk over the executed plan (round-11 ADVICE): count hash
-    // exchanges OUTSIDE the cached scan's build lineage. The old
-    // string-prefix split at the first "InMemoryRelation" only audited the
-    // branches that PRINT before the cached scan — depth-first printing put
-    // the cap-count aggregate and the whole right self-join side after it,
-    // so a leak in exactly the consumers this test pins would have passed.
+    // reuse the one cached exchange. Tree walk over the executed plan
+    // (round-11 ADVICE): count hash exchanges OUTSIDE the cached scan's
+    // build lineage — the old string-prefix split at the first
+    // "InMemoryRelation" only audited branches that PRINT before the
+    // cached scan.
     def bandingShuffles(df: org.apache.spark.sql.DataFrame): Int = {
       df.collect() // AQE: executedPlan final only after execution
       val executed = df.queryExecution.executedPlan
@@ -177,11 +189,6 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"banded rows are not cached — audit is vacuous:\n${executed.toString.take(2000)}")
       graft.plans.PlanCensus.consumerHashShuffles(executed)
     }
-    val docs = Queries.spread(Queries.table(spark, sfDir, "documents"))
-    val mh = bandingShuffles(graft.operators.Dedup.minhashLshPairs(
-      docs, 3, PipelineQueries.MinhashBands, PipelineQueries.MinhashRows,
-      PipelineQueries.MinhashBucketCap))
-    assert(mh <= 1, s"minhash banding leaked exchanges past the repartition: $mh")
     val sh = bandingShuffles(graft.operators.Dedup.simhashNearDupPairs(
       docs, 3, PipelineQueries.SimhashBucketCap))
     assert(sh <= 1, s"simhash banding leaked exchanges past the repartition: $sh")
@@ -206,11 +213,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally naive.unpersist()
   }
 
-  test("shingle generation runs the codegen'd kernel, not interpreted HOF lambdas") {
+  test("shingle generation runs the codegen'd kernels, not interpreted HOF lambdas") {
     // (the per-doc BAND transform() stays a lambda — 4 elements per doc;
-    // it's the per-shingle path that must be the kernel)
-    val plan = planOf(PipelineQueries.dedupMinhashLsh(spark, sfDir))
-    assert(plan.contains("word_shingles"), s"shingle kernel missing from plan:\n${plan.take(2000)}")
+    // it's the per-shingle path that must be a kernel)
+    // minhash: the whole signature is ONE per-doc kernel (round 13 — no
+    // shingle explode at all); the memoized pair frame hides the build
+    // plan, so pin the builder directly
+    val mhPlan = graft.operators.Dedup.minhashLshPairs(
+      Queries.spread(Queries.table(spark, sfDir, "documents")),
+      3, PipelineQueries.MinhashBands, PipelineQueries.MinhashRows,
+      PipelineQueries.MinhashBucketCap).queryExecution.executedPlan.toString
+    assert(mhPlan.contains("minhash_signature"),
+      s"minhash signature kernel missing from plan:\n${mhPlan.take(2000)}")
+    // jaccard still explodes shingles (the join needs the rows): per-shingle
+    // work must be the word_shingles kernel
+    val jPlan = planOf(PipelineQueries.dedupNgramJaccard(spark, sfDir))
+    assert(jPlan.contains("word_shingles"),
+      s"shingle kernel missing from plan:\n${jPlan.take(2000)}")
   }
 
   test("ann_lsh joins are all broadcast-side bounded (corpus never shuffles for scoring)") {
