@@ -40,6 +40,23 @@ object BucketAgg {
   def pairsOf(members: Column): Column =
     ColumnBridge.column(BucketPairsExpr(ColumnBridge.expression(members)))
 
+  /** Two-long variant for payload-carrying buckets (simhash: doc_id +
+    * signature), stored interleaved; the cap counts MEMBERS, not longs.
+    */
+  def cappedCollectLong2(k1: Column, k2: Column, cap: Int): Column =
+    ColumnBridge.column(
+      CappedCollectLong2Agg(ColumnBridge.expression(k1), ColumnBridge.expression(k2),
+        cap).toAggregateExpression())
+
+  /** Hamming-filtered simhash candidate pairs straight off an interleaved
+    * (doc_id, simhash) bucket: emits (a, b, hamming) for every member pair
+    * with popcount(sa ^ sb) <= maxDist, a < b by doc id. Fusing the filter
+    * into the explode keeps over-distance candidates from ever becoming
+    * rows.
+    */
+  def simhashPairsOf(members: Column, maxDist: Int): Column =
+    ColumnBridge.column(SimhashBucketPairsExpr(ColumnBridge.expression(members), maxDist))
+
   /** All unordered pairs (min, max) of the distinct-per-bucket member ids —
     * static entry point for the codegen'd [[BucketPairsExpr]].
     */
@@ -64,6 +81,34 @@ object BucketAgg {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Static entry point for [[SimhashBucketPairsExpr]]: `a` holds
+    * interleaved (doc_id, simhash) member pairs.
+    */
+  def simhashPairs(a: ArrayData, maxDist: Int): ArrayData = {
+    val n2 = a.numElements()
+    if (n2 < 4) return new GenericArrayData(Array.empty[Any])
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    while (i < n2) {
+      val di = a.getLong(i); val si = a.getLong(i + 1)
+      var j = i + 2
+      while (j < n2) {
+        val dj = a.getLong(j); val sj = a.getLong(j + 1)
+        val ham = java.lang.Long.bitCount(si ^ sj)
+        if (ham <= maxDist) {
+          val row = new GenericInternalRow(3)
+          if (di < dj) { row.setLong(0, di); row.setLong(1, dj) }
+          else { row.setLong(0, dj); row.setLong(1, di) }
+          row.setLong(2, ham.toLong)
+          out += row
+        }
+        j += 2
+      }
+      i += 2
+    }
+    new GenericArrayData(out.toArray)
   }
 }
 
@@ -151,6 +196,117 @@ case class CappedCollectLongAgg(child: Expression, cap: Int,
     copy(child = newChildren.head)
 
   override def prettyName: String = "capped_collect_long"
+}
+
+case class CappedCollectLong2Agg(k1: Expression, k2: Expression, cap: Int,
+                                 mutableAggBufferOffset: Int = 0,
+                                 inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CappedLongsBuffer] {
+
+  require(cap >= 1, "cap must be >= 1")
+
+  override def children: Seq[Expression] = Seq(k1, k2)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (k1.dataType == LongType && k2.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"capped_collect_long2 requires (bigint, bigint), got (${k1.dataType}, ${k2.dataType})")
+
+  override def createAggregationBuffer(): CappedLongsBuffer =
+    new CappedLongsBuffer(Array.emptyLongArray, 0, overflowed = false)
+
+  // n counts LONGS (2 per member); the cap bounds members
+  private def append2(b: CappedLongsBuffer, v1: Long, v2: Long): Unit = {
+    if (b.overflowed) return
+    if (b.n >= 2 * cap) { b.overflowed = true; b.elems = Array.emptyLongArray; b.n = 0; return }
+    if (b.n + 2 > b.elems.length)
+      b.elems = java.util.Arrays.copyOf(b.elems,
+        math.min(2 * cap, math.max(8, b.elems.length * 2)))
+    b.elems(b.n) = v1
+    b.elems(b.n + 1) = v2
+    b.n += 2
+  }
+
+  override def update(buffer: CappedLongsBuffer, input: InternalRow): CappedLongsBuffer = {
+    val v1 = k1.eval(input)
+    val v2 = k2.eval(input)
+    if (v1 != null && v2 != null)
+      append2(buffer, v1.asInstanceOf[Long], v2.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(b1: CappedLongsBuffer, b2: CappedLongsBuffer): CappedLongsBuffer = {
+    if (b2.overflowed) { b1.overflowed = true; b1.elems = Array.emptyLongArray; b1.n = 0 }
+    else {
+      var i = 0
+      while (i < b2.n && !b1.overflowed) { append2(b1, b2.elems(i), b2.elems(i + 1)); i += 2 }
+    }
+    b1
+  }
+
+  override def eval(buffer: CappedLongsBuffer): Any =
+    if (buffer.overflowed) null
+    else new GenericArrayData(java.util.Arrays.copyOf(buffer.elems, buffer.n))
+
+  override def serialize(buffer: CappedLongsBuffer): Array[Byte] = {
+    if (buffer.overflowed) return Array[Byte](1)
+    val bb = ByteBuffer.allocate(1 + 8 * buffer.n)
+    bb.put(0: Byte)
+    var i = 0
+    while (i < buffer.n) { bb.putLong(buffer.elems(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CappedLongsBuffer = {
+    if (bytes(0) == 1)
+      return new CappedLongsBuffer(Array.emptyLongArray, 0, overflowed = true)
+    val n = (bytes.length - 1) / 8
+    val bb = ByteBuffer.wrap(bytes, 1, bytes.length - 1)
+    val elems = new Array[Long](n)
+    var i = 0
+    while (i < n) { elems(i) = bb.getLong(); i += 1 }
+    new CappedLongsBuffer(elems, n, overflowed = false)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CappedCollectLong2Agg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CappedCollectLong2Agg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(k1 = newChildren(0), k2 = newChildren(1))
+
+  override def prettyName: String = "capped_collect_long2"
+}
+
+case class SimhashBucketPairsExpr(child: Expression, maxDist: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("hamming", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_bucket_pairs requires array<bigint> input, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    BucketAgg.simhashPairs(a.asInstanceOf[ArrayData], maxDist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.BucketAgg.simhashPairs($a, $maxDist)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_bucket_pairs"
 }
 
 case class BucketPairsExpr(child: Expression) extends UnaryExpression {

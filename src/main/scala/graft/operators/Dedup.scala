@@ -115,22 +115,6 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
 
-  /** Partition count for the cached banding repartition. An EXPLICIT count
-    * is required — all four consumers must see the one partitioning, so AQE
-    * must not renumber it — and that explicitness opts the cached stage out
-    * of AQE coalescing and skew splitting (round-11 ADVICE, documented
-    * tradeoff): a hot (band, band_key) key lands whole on one partition
-    * pre-cap (acceptable — the bucket cap bounds any key's row count), and
-    * a tiny corpus pays n mostly-empty cached partitions (accepted: a
-    * round-12 clamp to 8 partitions for small optimizer-estimated inputs
-    * fired at the GRADED sf0.1 scale too — documents.parquet is <1 MB on
-    * disk there — and cost dedup_minhash_lsh ~40% of its wall; empty cached
-    * partitions are noise next to lost parallelism, so the full
-    * spark.sql.shuffle.partitions stands at every scale).
-    */
-  private def bandingPartitions(docs: DataFrame): Int =
-    docs.sparkSession.sessionState.conf.numShufflePartitions
-
   def minhashLshPairs(docs: DataFrame, w: Int, bands: Int, rowsPerBand: Int,
                       bucketCap: Int = 100): DataFrame = {
     // ONE aggregation for the whole candidate stage (round 13): collect
@@ -769,39 +753,33 @@ object Dedup {
                           bucketCap: Int = 1000): DataFrame = {
     require(maxDist < SimhashBands,
       s"$SimhashBands-band blocking guarantees recall only for maxDist <= ${SimhashBands - 1}")
-    // one cached repartition on the collision key serves the bucket-count
-    // aggregate, the cap join, and both self-join sides — same
-    // exchange-reuse shape as minhashLshPairs (round 11); the banding
-    // itself derives from the simhash aggregate in the same job, so no
-    // separate signature cache is needed. Cache lifetime is caller-owned
-    // (see minhashLshPairs); partition count clamped for tiny inputs
-    // (see bandingPartitions — explicit n opts out of AQE coalescing)
-    val n = bandingPartitions(docs)
-    val banded0 = simhash(docs).select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until SimhashBands).map(b =>
-          shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(SimhashBandMask)): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-      .repartition(n, col("band"), col("band_key"))
-      .cache()
+    // same one-aggregation candidate shape as minhashLshPairs (round 13):
+    // collect each band bucket's (doc_id, simhash) members with the capped
+    // imperative aggregate, then explode hamming-filtered pairs straight
+    // off the bucket — the filter fused into the explode means
+    // over-distance candidates never become rows. Replaces the
+    // cached-repartition + cap join + self-join shape.
+    //
     // mega-bucket guard (same rationale as minhashLshPairs' bucketCap): a
     // band bucket of k docs emits k^2/2 candidates; boilerplate-heavy
     // corpora concentrate near-identical simhashes into one bucket and
-    // re-quadratize the join. Pairs inside a dropped bucket still collide
+    // re-quadratize the join. Over-cap buckets evaluate to null with
+    // BOUNDED buffer state; pairs inside a dropped bucket still collide
     // in their other 3 bands unless they disagree there too.
-    val banded = banded0.join(
-      banded0.groupBy(col("band"), col("band_key")).count()
-        .where(col("count") <= bucketCap).drop("count"),
-      Seq("band", "band_key"))
-    val pairs = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-        col("l.simhash").as("sa"), col("r.simhash").as("sb"))
+    import graft.functions.BucketAgg
+    simhash(docs).select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until SimhashBands).map(b =>
+          shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(SimhashBandMask)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .groupBy(col("band"), col("band_key"))
+      .agg(BucketAgg.cappedCollectLong2(col("doc_id"), col("simhash"), bucketCap)
+        .as("members"))
+      .where(col("members").isNotNull)
+      .select(explode(BucketAgg.simhashPairsOf(col("members"), maxDist)).as("p"))
+      // int, matching the bit_count() type of the shape this replaced
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        col("p.hamming").cast("int").as("hamming"))
       .distinct()
-    pairs
-      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
-      .where(col("hamming") <= maxDist)
-      .select(col("a"), col("b"), col("hamming"))
   }
 
   /** Chunk-granularity exact substring dedup (the scalable stand-in for

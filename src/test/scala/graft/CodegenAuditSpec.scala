@@ -54,7 +54,8 @@ class CodegenAuditSpec extends AnyFunSuite {
     * fails the audit.
     */
   private val graftImperativeAllow = Set(
-    "graft.functions.CappedCollectLongAgg", "graft.functions.VecSumAggExpr")
+    "graft.functions.CappedCollectLongAgg", "graft.functions.CappedCollectLong2Agg",
+    "graft.functions.VecSumAggExpr")
 
   // JVM -XX:DontCompileHugeMethods threshold: a generated method at or
   // past this size never JITs, which is an interpreter regression even

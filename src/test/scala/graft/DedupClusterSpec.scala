@@ -55,6 +55,35 @@ class DedupClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("driver union-find spills to the next tier when the NODE cap trips") {
+    val edges = (0L until 200L).map(i => (2 * i, 2 * i + 1)) // 400 distinct nodes
+    val pairs = edges.toDF("a", "b")
+    // edge cap would admit the graph; the node cap must refuse it mid-build
+    assert(Dedup.driverUnionFind(pairs, maxNodes = 100).isEmpty,
+      "400-node graph must trip a 100-node cap")
+    assert(Dedup.driverUnionFind(pairs, maxNodes = 400).isDefined,
+      "exact-fit graph must not trip the cap")
+    // e2e: clusterLabels with both driver tiers disabled still labels
+    // correctly (the distributed fallback the cap spills into)
+    val want = unionFind(edges.toList)
+    val got = Dedup.clusterLabels(pairs, 3, driverFinishMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("convergence audit: round budget failures are loud, sufficient budgets pass") {
+    // a path graph 0-1-2-...-9: min-label needs 9 synchronous rounds
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val pairs = chain.toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.clusterLabels(pairs, 3, checkConverged = true)
+    }
+    assert(ex.getMessage.contains("rounds"), ex.getMessage)
+    val ok = Dedup.clusterLabels(pairs, 9, checkConverged = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok == unionFind(chain.toList))
+  }
+
   test("the checked query's 6 rounds reach the fixpoint on sf0.01 (fallback path)") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val pairs = Dedup.minhashLshPairs(docs, 3, PipelineQueries.MinhashBands,

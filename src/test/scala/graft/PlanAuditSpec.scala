@@ -156,42 +156,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a propagation round must not re-shuffle the pre-partitioned edges:\n$executed")
   }
 
-  test("LSH banding stages: minhash is 2 exchanges flat; simhash reuses ONE cached exchange") {
+  test("LSH banding candidate stages are 2 exchanges flat, join-free") {
     import org.apache.spark.sql.functions.col
-    // minhash (round 13): the candidate stage is ONE capped-collect
+    // round 13: both banding candidate stages are ONE capped-collect
     // aggregation + pair explode — the executed plan must carry exactly
     // two hash exchanges end-to-end (the aggregation's and the final pair
-    // distinct's), no cache, no sort-merge join.
-    val docs = Queries.spread(Queries.table(spark, sfDir, "documents"))
-    val mhDf = graft.operators.Dedup.minhashLshPairs(
-      docs, 3, PipelineQueries.MinhashBands, PipelineQueries.MinhashRows,
-      PipelineQueries.MinhashBucketCap)
-    mhDf.collect() // AQE: executedPlan final only after execution
-    val mhExec = mhDf.queryExecution.executedPlan
-    // hash exchanges only: Queries.spread's round-robin input spread is not
-    // part of the candidate stage under audit
-    val mhShuffles = graft.plans.PlanCensus.consumerHashShuffles(mhExec)
-    assert(mhShuffles <= 2,
-      s"minhash candidate stage grew extra exchanges: $mhShuffles\n${mhExec.toString.take(2000)}")
-    assert(graft.plans.PlanCensus.censusOf(mhExec).sortMergeJoins == 0,
-      s"minhash candidate stage must be join-free:\n${mhExec.toString.take(2000)}")
-    // simhash keeps the round-11 cached-repartition shape: the bucket-count
-    // aggregate, the cap join and both candidate self-join sides must all
-    // reuse the one cached exchange. Tree walk over the executed plan
-    // (round-11 ADVICE): count hash exchanges OUTSIDE the cached scan's
-    // build lineage — the old string-prefix split at the first
-    // "InMemoryRelation" only audited branches that PRINT before the
-    // cached scan.
-    def bandingShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    // distinct's), no cache, no sort-merge join. (Queries.spread's
+    // round-robin input spread is not a hash exchange and not under audit.)
+    def candidateShape(df: org.apache.spark.sql.DataFrame, what: String,
+                       maxShuffles: Int): Unit = {
       df.collect() // AQE: executedPlan final only after execution
-      val executed = df.queryExecution.executedPlan
-      assert(graft.plans.PlanCensus.hasInMemoryScan(executed),
-        s"banded rows are not cached — audit is vacuous:\n${executed.toString.take(2000)}")
-      graft.plans.PlanCensus.consumerHashShuffles(executed)
+      val exec = df.queryExecution.executedPlan
+      val shuffles = graft.plans.PlanCensus.consumerHashShuffles(exec)
+      assert(shuffles <= maxShuffles,
+        s"$what candidate stage grew extra exchanges: $shuffles\n${exec.toString.take(2000)}")
+      assert(graft.plans.PlanCensus.censusOf(exec).sortMergeJoins == 0,
+        s"$what candidate stage must be join-free:\n${exec.toString.take(2000)}")
     }
-    val sh = bandingShuffles(graft.operators.Dedup.simhashNearDupPairs(
-      docs, 3, PipelineQueries.SimhashBucketCap))
-    assert(sh <= 1, s"simhash banding leaked exchanges past the repartition: $sh")
+    val docs = Queries.spread(Queries.table(spark, sfDir, "documents"))
+    // minhash signatures are kernel-fused (no per-doc aggregate), so the
+    // whole query is the bucket agg + the pair distinct
+    candidateShape(graft.operators.Dedup.minhashLshPairs(
+      docs, 3, PipelineQueries.MinhashBands, PipelineQueries.MinhashRows,
+      PipelineQueries.MinhashBucketCap), "minhash", maxShuffles = 2)
+    // simhash pays one more: its signature is itself a per-doc aggregation
+    // over exploded tokens (lane-packed bit votes)
+    candidateShape(graft.operators.Dedup.simhashNearDupPairs(
+      docs, 3, PipelineQueries.SimhashBucketCap), "simhash", maxShuffles = 3)
     // vacuity: a CACHED leaky shape (cache without the pre-partitioning),
     // so the guard exercises the same InMemoryTableScan pruning the real
     // audits rely on — the walker must still count the consumers' own
