@@ -37,6 +37,16 @@ object BucketAgg {
     ColumnBridge.column(
       CappedCollectLongAgg(ColumnBridge.expression(c), cap).toAggregateExpression())
 
+  /** Distinct variant: duplicate values are dropped (linear scan against
+    * the ≤cap members already held — buckets are small by construction).
+    * Lets a caller whose input has (key, value) duplicates skip a whole
+    * pre-aggregation dedup pass; the cap bounds DISTINCT members.
+    */
+  def cappedCollectLongDistinct(c: Column, cap: Int): Column =
+    ColumnBridge.column(
+      CappedCollectLongAgg(ColumnBridge.expression(c), cap, distinct = true)
+        .toAggregateExpression())
+
   def pairsOf(members: Column): Column =
     ColumnBridge.column(BucketPairsExpr(ColumnBridge.expression(members)))
 
@@ -120,6 +130,7 @@ final class CappedLongsBuffer(var elems: Array[Long], var n: Int,
                               var overflowed: Boolean)
 
 case class CappedCollectLongAgg(child: Expression, cap: Int,
+                                distinct: Boolean = false,
                                 mutableAggBufferOffset: Int = 0,
                                 inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[CappedLongsBuffer] {
@@ -142,6 +153,10 @@ case class CappedCollectLongAgg(child: Expression, cap: Int,
 
   private def append(b: CappedLongsBuffer, v: Long): Unit = {
     if (b.overflowed) return
+    if (distinct) {
+      var i = 0
+      while (i < b.n) { if (b.elems(i) == v) return; i += 1 }
+    }
     if (b.n >= cap) { b.overflowed = true; b.elems = Array.emptyLongArray; b.n = 0; return }
     if (b.n == b.elems.length)
       b.elems = java.util.Arrays.copyOf(b.elems, math.min(cap, math.max(4, b.elems.length * 2)))

@@ -152,6 +152,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, w: Int, minJaccard: Double,
                         dfCap: Int = 100): DataFrame = {
+    import graft.functions.BucketAgg
     // canonicalize exact duplicates first: k copies of one text would turn
     // every shared-shingle key into a k-times-hotter join key and emit
     // C(k,2) jaccard=1 pairs per copy group — information exact dedup
@@ -159,44 +160,40 @@ object Dedup {
     // linear and quadratic.
     val canon = canonicalize(docs.select(col("doc_id"), col("text")),
       "doc_id", md5(col("text")), Seq("text"))
-    // join on a 32-bit shingle hash instead of the shingle string: the
-    // equi-join shuffles 8-byte keys, and hash collisions affect both the
-    // intersection and the sizes identically (standard hashed-shingle
-    // Jaccard). Distinct AFTER hashing keeps multiplicities exact.
+    // hash-join key is the 32-bit shingle hash: 8-byte shuffle keys, and
+    // collisions affect intersections and sizes identically (standard
+    // hashed-shingle Jaccard). The per-shingle DISTINCT-member collect
+    // replaces the round-11 cached shape (repartition + dropDuplicates +
+    // df aggregate + cap semi-join + sort-merge self-join): one
+    // aggregation builds each shingle's distinct-doc bucket directly —
+    // the distinct mode absorbs within-doc 32-bit hash collisions, the
+    // cap bounds per-group state (an over-cap boilerplate shingle costs
+    // one overflow flag), and exploding each bucket's pairs then counting
+    // per (a, b) is the same intersection count the self-join computed,
+    // without sorting the 200M-row shingle table twice.
     //
-    // ONE exchange for the whole shingle stage (round-11 verdict #4: the
-    // old shape reshuffled the shingle table for the distinct, the df
-    // aggregate, the cap join, and both self-join sides — the heaviest
-    // plan in the suite). hash(shingle) co-locates equal (shingle, doc_id)
-    // tuples, so it SATISFIES the distinct's clustering requirement, the
-    // per-shingle df aggregate, the cap semi-join, and both sides of the
-    // intersection self-join: everything downstream of the repartition is
-    // exchange-free until the pair groupBy.
-    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val dis = shingles(canon, w)
-      .select(col("doc_id"), h32(col("shingle")).as("shingle"))
-      .repartition(n, col("shingle"))
-      .dropDuplicates("shingle", "doc_id")
-      .cache()
     // document-frequency cap: a shingle present in k docs contributes k^2
-    // candidate rows to the self-join — common phrases ("all rights
-    // reserved") become unbounded-skew mega-keys at corpus scale. Shingles
-    // with df > dfCap are boilerplate, not signal: drop them from the
-    // shingle sets entirely (Jaccard is then over the informative shingles).
-    val sh = dis.join(
-        dis.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .where(col("df") <= dfCap).drop("df"),
-        Seq("shingle"))
-    // per-doc capped-set sizes: small (one row per doc) — cached so the a-
-    // and b-side joins below don't re-derive it from the shingle cache twice
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")).cache()
-    // sort-merge, deliberately: SHUFFLE_HASH measured neutral here in an
-    // interleaved 100x A/B (45.3/39.4 vs 52.5/34.1 s) — 16 B slim rows, so
-    // sorts are not the cost the way they are for the vector-carrying
-    // cosine cell join (see Similarity.cosineNearDupPairs)
-    val inter = sh.as("l").join(sh.as("r"),
-        col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id"))
-      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+    // candidate rows — common phrases ("all rights reserved") become
+    // unbounded-skew mega-keys at corpus scale. Shingles with df > dfCap
+    // are boilerplate, not signal: drop them from the shingle sets
+    // entirely (Jaccard is then over the informative shingles).
+    //
+    // cache lifetime is caller-owned (Verify/Bench/TimeOne clearCache):
+    // buckets feed BOTH the per-doc sizes and the intersection counts.
+    val buckets = shingles(canon, w)
+      .select(col("doc_id"), h32(col("shingle")).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(BucketAgg.cappedCollectLongDistinct(col("doc_id"), dfCap).as("members"))
+      .where(col("members").isNotNull)
+      .cache()
+    // per-doc capped-set sizes: one row per doc — cached so the a- and
+    // b-side joins below don't re-derive it from the bucket cache twice
+    val sizes = buckets.select(explode(col("members")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n")).cache()
+    val inter = buckets
+      .where(size(col("members")) >= 2)
+      .select(explode(BucketAgg.pairsOf(col("members"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")

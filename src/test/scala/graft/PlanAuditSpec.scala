@@ -216,8 +216,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       PipelineQueries.MinhashBucketCap).queryExecution.executedPlan.toString
     assert(mhPlan.contains("minhash_signature"),
       s"minhash signature kernel missing from plan:\n${mhPlan.take(2000)}")
-    // jaccard still explodes shingles (the join needs the rows): per-shingle
-    // work must be the word_shingles kernel
+    // jaccard still explodes shingles (the per-shingle buckets need the
+    // rows): per-shingle work must be the word_shingles kernel
     val jPlan = planOf(PipelineQueries.dedupNgramJaccard(spark, sfDir))
     assert(jPlan.contains("word_shingles"),
       s"shingle kernel missing from plan:\n${jPlan.take(2000)}")
