@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   *    the raw text);
   *  - near-dup methods (minhash-LSH, simhash, n-gram Jaccard) all follow the
   *    candidate-generation pattern: explode to (signature-part, doc) rows,
-  *    self-join only within equal buckets, verify candidates. Pair blowup is
-  *    bounded by bucket sizes, not O(n^2); all hashing is md5-based so the
-  *    DuckDB oracles can reproduce it bit-for-bit.
+  *    collect each equal-signature bucket with a CAPPED imperative aggregate
+  *    ([[graft.functions.BucketAgg]]), explode only the surviving buckets'
+  *    pairs, verify. Pair blowup is bounded by the bucket caps, not O(n^2),
+  *    and the caps bound per-group aggregation state at any corpus size;
+  *    all hashing is md5-based so the DuckDB oracles can reproduce it
+  *    bit-for-bit.
   */
 object Dedup {
 
