@@ -64,7 +64,24 @@ object PipelineQueries {
   private val pairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def clearPairsMemo(): Unit = pairsMemo.clear()
+  /** Drop every memoized frame AND eagerly release its checkpoint blocks
+    * (the frames are unusable afterwards — localCheckpoint truncated their
+    * lineage). Without the unpersist the blocks would only free when the
+    * ContextCleaner notices the garbage frame, which can be arbitrarily
+    * late next to an immediately-following memory-hungry job (the 100x
+    * second-shape cosine witness OOM'd its hash-join build against the
+    * pinned 18.6M-pair blocks).
+    */
+  def clearPairsMemo(): Unit = {
+    pairsMemo.values.forEach { df =>
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          try lr.rdd.unpersist(blocking = true) catch { case _: Throwable => () }
+        case _ =>
+      }
+    }
+    pairsMemo.clear()
+  }
 
   private def minhashPairsShared(s: SparkSession, dir: String): DataFrame =
     pairsMemo.computeIfAbsent((s, dir), _ =>

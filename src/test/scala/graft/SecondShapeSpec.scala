@@ -43,10 +43,21 @@ import graft.functions.VecOps
   * the env set builds its own wider session (local[16]) since these are
   * corpus-scale jobs, not unit tests.
   */
-class SecondShapeSpec extends AnyFunSuite {
+class SecondShapeSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterEach {
 
   private val dir: String =
     sys.env.getOrElse("GRAFT_XSCALE_DIR", "/root/testdata/sf0.1")
+
+  // corpus-scale tests must not inherit a previous test's pinned blocks:
+  // at 100x the memoized pair checkpoint plus leftover caches crowd the
+  // unified memory the cosine witness needs for its hash-join build
+  override def afterEach(): Unit = {
+    try {
+      spark.catalog.clearCache()
+      PipelineQueries.clearPairsMemo()
+    } finally super.afterEach()
+  }
 
   private lazy val spark: SparkSession =
     if (sys.env.contains("GRAFT_XSCALE_DIR") &&
