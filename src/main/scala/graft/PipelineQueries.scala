@@ -304,10 +304,12 @@ object PipelineQueries {
     // duplication silently sharpen the buckets (b 6 -> 10 on the 10x
     // corpus) and cost recall — blocking must be duplication-invariant
     // like every other near-dup kernel (round-8 100x finding)
-    val b = Similarity.adaptivePlanesPerTable(
-      emb.select(col("embedding")).distinct().count())
+    // distinct-vector count = canonical corpus size; reused below to size
+    // the pair join's hash build (one count, two consumers)
+    val n = emb.select(col("embedding")).distinct().count()
+    val b = Similarity.adaptivePlanesPerTable(n)
     val tables = Similarity.multiTablePlanes(LshTables, b, 64)
-    Similarity.cosineNearDupPairs(emb, CosineThreshold, tables)
+    Similarity.cosineNearDupPairs(emb, CosineThreshold, tables, canonicalCount = n)
       .orderBy("a", "b")
   }
 
