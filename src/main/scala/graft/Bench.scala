@@ -49,7 +49,11 @@ object Bench {
           catch { case _: Throwable => () }
         }
     } catch { case _: Throwable => () }
-    spark.catalog.clearCache() // drop warm-up-pass caches before timing
+    // drop warm-up-pass caches AND the warm-dir pair-frame memo entry
+    // before timing (the memo is outside the SQL cache by design; the timed
+    // region must start with zero pinned blocks)
+    spark.catalog.clearCache()
+    PipelineQueries.clearPairsMemo()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output column (a bare count() would let
@@ -86,6 +90,7 @@ object Bench {
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
       line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    PipelineQueries.clearPairsMemo() // release the shared pair frame with the run
     spark.stop()
     if (results.values.exists(_._2.isDefined)) sys.exit(1)
   }

@@ -42,6 +42,10 @@ object Verify {
       // every InMemoryRelation for the session's lifetime (round-11 ADVICE)
       finally spark.catalog.clearCache()
     }
+    // the shared pair frame is deliberately NOT in the SQL cache, so the
+    // per-query clearCache above never frees it — release it with the run
+    // (round-13 ADVICE: the blocks otherwise stay pinned session-lifetime)
+    PipelineQueries.clearPairsMemo()
     val json = oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

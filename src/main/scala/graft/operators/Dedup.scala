@@ -394,6 +394,17 @@ object Dedup {
           if (dbg) println(s"CCDEBUG pairs=$np driver-raw node cap tripped -> contraction")
       }
     }
+    // past tier 1 the inline convergence audit can only see the CONTRACTED
+    // graph — a lower bound on the raw graph's synchronous round count, so
+    // a fixed-round oracle (dedupClustersSql) may be unconverged even when
+    // the audit passes. Say so loudly; the exact raw-graph audit is
+    // graft.CcScale / syncConvergenceRounds run offline.
+    if (checkConverged)
+      System.err.println(
+        s"[dedup] WARN clusterLabels: graph ($np edges) exceeded the tier-1 " +
+          "driver caps — the inline convergence audit now covers only the " +
+          "contracted graph (a LOWER bound); re-validate any fixed-round " +
+          "oracle budget with the exact raw-graph audit (graft.CcScale)")
     val sym = p.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src"))

@@ -37,6 +37,12 @@ ap.add_argument("--memlimit", default=None,
                 help="DuckDB memory_limit (e.g. '48GB') — without it DuckDB "
                      "takes 80%% of RAM and the kernel OOM-kills the run on "
                      "the big corpora instead of spilling/erroring gracefully")
+ap.add_argument("--tempdir", default=None,
+                help="DuckDB temp_directory for spill files — defaults to "
+                     "'.tmp' under the CWD, which on the 100x corpora wrote "
+                     "tens of GB of spill to whatever partition the script "
+                     "ran from and died on 'No space left on device' "
+                     "(round-13 gate #4); point it at the big partition")
 args = ap.parse_args()
 outdir, sfdir = args.outdir, args.sfdir
 
@@ -44,6 +50,9 @@ def fresh_con():
     c = duckdb.connect()
     if args.memlimit:
         c.execute(f"SET memory_limit='{args.memlimit}'")
+    if args.tempdir:
+        os.makedirs(args.tempdir, exist_ok=True)
+        c.execute(f"SET temp_directory='{args.tempdir}'")
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     return c
