@@ -82,10 +82,23 @@ class SecondShapeSpec extends AnyFunSuite
     val s =
       if (sys.env.contains("GRAFT_XSCALE_DIR") &&
           SparkSession.getDefaultSession.isEmpty)
+        // Memory-margin posture (round-13 verdict #5): the 100x witnesses
+        // run in the default 8 GiB test-fork heap BY DESIGN (a passing run
+        // is evidence the engine degrades gracefully under tight memory),
+        // but the r13 session — 16 cores over 16 coarse partitions — ran
+        // the witness derivations' 200M-row window sorts at the edge of
+        // UNTRACKED heap (sorter pages awaiting GC, codegen buffers, task
+        // results), and one run died of a hard JVM OOM outside the unified
+        // pool. Margins, not more heap: 10 concurrent tasks instead of 16
+        // (less simultaneous untracked allocation), 48 shuffle partitions
+        // (4x smaller per-task sorts at 5M docs), and memory.fraction 0.5
+        // so tracked consumers spill earlier and leave heap slack for what
+        // the manager cannot see.
         SparkSession.builder()
-          .master("local[16]")
+          .master("local[10]")
           .appName("graft-secondshape")
-          .config("spark.sql.shuffle.partitions", "16")
+          .config("spark.sql.shuffle.partitions", "48")
+          .config("spark.memory.fraction", "0.5")
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.sql.legacy.parquet.nanosAsLong", "true")
           .config("spark.ui.enabled", "false")
