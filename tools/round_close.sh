@@ -17,7 +17,11 @@ cd "$(dirname "$0")/.."
 # run and was never re-gated — the verdict rule is that a gate section
 # must stamp the commit that contains what it verifies. Refuse to append
 # a gate over a dirty tree unless explicitly running a dev iteration.
-if [ "${GRAFT_ALLOW_DIRTY:-0}" != "1" ] && ! (git diff --quiet && git diff --cached --quiet); then
+dirty() { # the CLOSE record itself is appended by every gate — a pending
+          # append must not block the NEXT gate; everything else counts
+  git status --porcelain | grep -v " bench/CLOSE_" | grep -q .
+}
+if [ "${GRAFT_ALLOW_DIRTY:-0}" != "1" ] && dirty; then
   echo "REFUSED: working tree is dirty — commit first so the gate stamps the" >&2
   echo "commit it verifies (set GRAFT_ALLOW_DIRTY=1 for a throwaway dev run)." >&2
   exit 3
