@@ -232,6 +232,48 @@ object PipelineQueries {
        |WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) >= $JaccardMin
        |ORDER BY a, b""".stripMargin
 
+  // ---- winnowed substring dedup ----------------------------------------
+  val WinnowK = 12      // char-gram length (codepoints)
+  val WinnowW = 16      // winnow window (hash positions); guarantee k+w-1 = 27
+  val WinnowDfCap = 100 // boilerplate fingerprint document-frequency cap
+  val WinnowMinShared = 2
+
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowSubstringPairs(Queries.spread(Queries.table(s, dir, "documents")),
+        WinnowK, WinnowW, WinnowDfCap, WinnowMinShared)
+      .orderBy("a", "b")
+
+  /** DuckDB mirror of the winnow fingerprints: per-position dual-channel
+    * Horner over codepoints (list_reduce — arithmetically identical mod
+    * 2^31-1 to the kernel's rolling update), window MIN over w hash
+    * positions (full windows only), DISTINCT per doc, df cap, pair count.
+    */
+  val dedupSubstringSql: String = {
+    import graft.functions.WinnowKernel.{B1, B2, M}
+    def horner(b: Long) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(0, ${WinnowK - 1}),
+         |        j -> CAST(unicode(substr(text, p + j, 1)) AS BIGINT))),
+         |      (a, b) -> (a * $b + b) % $M)""".stripMargin
+    s"""WITH hpos AS (
+       |  SELECT doc_id, p, LENGTH(text) AS n,
+       |    ${horner(B1)} * $M + ${horner(B2)} AS h
+       |  FROM $canonSql c, unnest(generate_series(1, LENGTH(text) - ${WinnowK - 1})) g(p)
+       |  WHERE LENGTH(text) >= ${WinnowK + WinnowW - 1}),
+       |wmin AS (
+       |  SELECT doc_id, p, n, MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+       |    ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS h
+       |  FROM hpos),
+       |fp AS (SELECT DISTINCT doc_id, h FROM wmin WHERE p <= n - ${WinnowK + WinnowW - 2}),
+       |kept AS (SELECT fp.doc_id, fp.h FROM fp
+       |         JOIN (SELECT h, COUNT(*) AS df FROM fp GROUP BY 1) d ON fp.h = d.h
+       |         WHERE d.df <= $WinnowDfCap)
+       |SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_shared
+       |FROM kept l JOIN kept r ON l.h = r.h AND l.doc_id < r.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared
+       |ORDER BY a, b""".stripMargin
+  }
+
   // ---- token vocabulary -------------------------------------------------
   val VocabK = 200
 

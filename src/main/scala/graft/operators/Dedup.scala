@@ -208,6 +208,42 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Substring-level duplicate pairs via winnowed char-gram fingerprints
+    * (graft.functions.WinnowKernel — the MOSS local-sampling scheme): pairs
+    * (a < b) of canonical documents sharing >= `minShared` winnowed
+    * fingerprints, with the shared count. Finds duplicated SPANS that
+    * whole-document shingle measures dilute away (a long page embedding a
+    * copied block); any span of length >= k + w - 1 codepoints shared by
+    * two documents guarantees a shared fingerprint.
+    *
+    * Same bounded-state candidate shape as [[ngramJaccardPairs]]: one
+    * kernel call per document (no per-position rows), explode the ~2/(w+1)
+    * density fingerprint set, ONE capped distinct-bucket aggregation per
+    * fingerprint (an over-`dfCap` boilerplate fingerprint costs one
+    * overflow flag and is dropped — df-capped like shingles), pair-explode
+    * the surviving buckets and count shared fingerprints per pair. Nothing
+    * is all-pairs; the blowup is bounded by dfCap^2 per fingerprint. The
+    * dual-channel ~62-bit hash makes accidental cross-document fingerprint
+    * collisions negligible at corpus scale, so `n_shared` is signal.
+    */
+  def winnowSubstringPairs(docs: DataFrame, k: Int, w: Int,
+                           dfCap: Int, minShared: Int): DataFrame = {
+    import graft.functions.{BucketAgg, WinnowKernel}
+    // exact-duplicate canonicalization first, as in every near-dup kernel:
+    // verbatim copies would only re-derive what exact dedup carries
+    val canon = canonicalize(docs.select(col("doc_id"), col("text")),
+      "doc_id", md5(col("text")), Seq("text"))
+    val fps = canon.select(col("doc_id"),
+      explode(WinnowKernel.winnowFingerprints(col("text"), k, w)).as("fp"))
+    val buckets = fps.groupBy(col("fp"))
+      .agg(BucketAgg.cappedCollectLongDistinct(col("doc_id"), dfCap).as("members"))
+      .where(col("members").isNotNull && size(col("members")) >= 2)
+    buckets.select(explode(BucketAgg.pairsOf(col("members"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Connected components over an undirected near-dup pair graph — the step
     * that turns pairwise matches into dedup CLUSTERS (one canonical doc per
     * component). Min-label propagation: every node starts as its own label;

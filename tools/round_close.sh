@@ -31,7 +31,9 @@ if [ ! -f "$CLOSE" ]; then
   printf '# Round close gates — %s\n\nAppended by tools/round_close.sh, one section per gate run.\n' "$R" > "$CLOSE"
 fi
 stamp() { # gate name -> section header with time + HEAD the gate ran on
-  printf '\n## %s — %s @ %s\n\n```\n' "$1" "$(date -u +%FT%TZ)" "$(git rev-parse --short HEAD)$(git diff --quiet && git diff --cached --quiet || echo '+dirty')" >> "$CLOSE"
+  # dirty marker uses the same CLOSE-file exclusion as the guard: a pending
+  # gate-record append must not mislabel a clean-source run as +dirty
+  printf '\n## %s — %s @ %s\n\n```\n' "$1" "$(date -u +%FT%TZ)" "$(git rev-parse --short HEAD)$(dirty && echo '+dirty')" >> "$CLOSE"
 }
 ADDOPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
