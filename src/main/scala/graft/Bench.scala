@@ -10,6 +10,23 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing floor: the 1m default collapses sub-scale shuffles
+      // to 1-2 partitions, serializing CPU-dense post-shuffle stages
+      // (windows, hash kernels) while the other cores idle. 64k only binds
+      // when partitions are toy-sized — at production sizes every partition
+      // clears it and coalescing behaves exactly as before. Parameterized
+      // so a cluster profile can restore the default.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+      // let AQE re-optimize CACHE materialization too (off by default for
+      // partitioning stability): the engine's iterative operators hang
+      // bounded caches (edges, centroids, buckets) whose consumers
+      // otherwise inherit the full static partition count however small
+      // the cached data is — dozens of near-empty tasks per consumer
+      // stage locally, and at scale caches coalesce to advisory-sized
+      // partitions like any other exchange.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

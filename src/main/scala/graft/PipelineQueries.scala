@@ -833,14 +833,27 @@ object PipelineQueries {
   /** [[corpusOverlap]] over any `(text, source)` frame (spec entry point). */
   def corpusOverlapFrame(docs: DataFrame): DataFrame = {
     import graft.operators.Sketches
-    val srcs = docs.select(col("source")).distinct()
+    // ONE corpus pass (r14): the exact lane's distinct (source, md5) frame
+    // is also a sufficient statistic for the sketch lane — HLL registers
+    // keep max(rank), so duplicates of a text change nothing, and the
+    // sketch hash h32(text) is by construction the leading 8 hex chars of
+    // the same md5 the exact lane groups on. Previously the text column was
+    // scanned and hashed THREE times (registers, exact lane, source
+    // distinct); now one scan + one distinct feeds every lane, the cached
+    // frame is ≤ 48 bytes per distinct doc, and the corpus is never re-read.
+    val st = docs.select(col("source"), md5(col("text")).as("d")).distinct().cache()
+    // register table: ≤ sources × 256 rows shared by the single-estimate
+    // joins AND the pair-union; sources enumerate from it for free (every
+    // source with a document owns at least one register row)
+    val regs = Sketches.hllRegistersFromHash(st, Seq("source"),
+      conv(substring(col("d"), 1, 8), 16, 10).cast("long")).cache()
+    val srcs = regs.select(col("source")).distinct()
+    // pairs is referenced three times (both union legs of the register
+    // membership frame + the final assembly) — cache the ≤ sources² rows so
+    // the distinct + theta-join don't re-execute per reference
     val pairs = srcs.as("x").join(srcs.as("y"), col("x.source") < col("y.source"))
       .select(col("x.source").as("a"), col("y.source").as("b"))
-    // cache the register table: ≤ sources × 256 rows, but its lineage is a
-    // full corpus scan + md5 per text — without the cache that scan runs
-    // once per consumer (both single-estimate joins AND the pair-union),
-    // 3× the corpus reads for a frame that fits in one block
-    val regs = Sketches.hllRegisters(docs, Seq("source"), col("text")).cache()
+      .cache()
     val single = Sketches.hllEstimate(regs, Seq("source"), "est")
     val mem = pairs.select(col("a"), col("b"), col("a").as("source"))
       .unionByName(pairs.select(col("a"), col("b"), col("b").as("source")))
@@ -852,7 +865,6 @@ object PipelineQueries {
     // engine's exact-duplicate identity everywhere (see Dedup.canonicalize),
     // and distinct+self-join over 16-byte keys shuffles KB-scale rows
     // instead of full document bodies at corpus scale
-    val st = docs.select(col("source"), md5(col("text")).as("d")).distinct()
     val inter = st.as("l").join(st.as("r"),
         col("l.d") === col("r.d") && col("l.source") < col("r.source"))
       .groupBy(col("l.source").as("a"), col("r.source").as("b"))

@@ -184,16 +184,19 @@ object ScaleQueries {
   def dataValidate(s: SparkSession, dir: String): DataFrame = {
     val orders = Queries.table(s, dir, "orders")
     val li = Queries.table(s, dir, "lineitem")
+    // r14: rules grouped by the table they scan — orders' three rules are
+    // ONE aggregate pass, lineitem's fk probe and range rule share ONE
+    // join+aggregate pass. Same five report rows; 7 table scans → 3.
     operators.Validate.report(Seq(
-      operators.Validate.pkUnique(orders, "orders_pk_unique", Seq("o_orderkey")),
-      operators.Validate.fkCovered(li, orders, "lineitem_fk_orders",
-        "l_orderkey", "o_orderkey"),
-      operators.Validate.predicate(orders, "orders_status_domain",
-        col("o_orderstatus").isin("F", "O", "P")),
-      operators.Validate.predicate(li, "lineitem_qty_range",
-        col("l_quantity").isNotNull && col("l_quantity") >= 1 && col("l_quantity") <= 50),
-      operators.Validate.predicate(orders, "orders_price_cap",
-        col("o_totalprice") < 300000.0)))
+      operators.Validate.fused(orders,
+        pks = Seq("orders_pk_unique" -> Seq("o_orderkey")),
+        preds = Seq(
+          "orders_status_domain" -> col("o_orderstatus").isin("F", "O", "P"),
+          "orders_price_cap" -> (col("o_totalprice") < 300000.0))),
+      operators.Validate.fkCoveredFused(li, orders, "lineitem_fk_orders",
+        "l_orderkey", "o_orderkey",
+        preds = Seq("lineitem_qty_range" ->
+          (col("l_quantity").isNotNull && col("l_quantity") >= 1 && col("l_quantity") <= 50)))))
       .orderBy("rule")
   }
 

@@ -48,9 +48,23 @@ object TargetQueries {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  private def globLeaves(e: graft.serving.TExpr): Int = e match {
+    case graft.serving.TPath(_)     => 1
+    case graft.serving.TCall(_, as) => as.map(globLeaves).sum
+    case _                          => 0
+  }
+
   private def evalOver(s: SparkSession, dir: String, target: String): DataFrame = {
-    val base = targetBase(s, dir)
-    TargetEval.eval(TargetLang.parse(target), glob => TargetEval.globFilter(base, glob))
+    val ast = TargetLang.parse(target)
+    val base0 = targetBase(s, dir)
+    // r14: a multi-glob target (divideSeries ratio) evaluates the shared
+    // rollup once PER GLOB LEAF — two full events scans + rollups for one
+    // query. Cache it so the scan+rollup run once; single-leaf targets keep
+    // the lazy frame so their glob filter can keep sinking below the
+    // rollup's partial aggregation (cache would block that pushdown).
+    // Bench/Verify clearCache() releases it per query.
+    val base = if (globLeaves(ast) >= 2) base0.cache() else base0
+    TargetEval.eval(ast, glob => TargetEval.globFilter(base, glob))
   }
 
   /** Combine + transform: glob-pruned cross-series sum, scaled — the

@@ -33,8 +33,15 @@ object Sketches {
     * This is the mergeable sketch state — union register tables and
     * groupBy(max) to merge.
     */
-  def hllRegisters(df: DataFrame, groups: Seq[String], value: Column): DataFrame = {
-    val h = Dedup.h32(value)
+  def hllRegisters(df: DataFrame, groups: Seq[String], value: Column): DataFrame =
+    hllRegistersFromHash(df, groups, Dedup.h32(value))
+
+  /** Register table from a PRECOMPUTED h32 hash column — for callers that
+    * already carry the value's md5 digest in a shared narrow scan
+    * (corpus_overlap derives the sketch hash from the same digest its exact
+    * lane groups on, so the document text is scanned and hashed once).
+    */
+  def hllRegistersFromHash(df: DataFrame, groups: Seq[String], h: Column): DataFrame =
     df.select(groups.map(col) :+ h.as("__h"): _*)
       .select(groups.map(col) ++ Seq(
         col("__h").bitwiseAND(lit((M - 1).toLong)).as("reg"),
@@ -44,7 +51,6 @@ object Sketches {
           .otherwise(lit(MaxRank) - length(bin(col("__w")))))
       .groupBy(groups.map(col) :+ col("reg"): _*)
       .agg(max(col("rank")).as("m_rank"))
-  }
 
   /** 2^(MaxRank - rank) as exact integer via a rank CASE — the scaled
     * harmonic-sum term (scaling by 2^MaxRank keeps the register sum in
@@ -107,6 +113,22 @@ object Sketches {
           .as(Seq("row", "bucket")): _*)
       .groupBy(groups.map(col) ++ Seq(col("row"), col("bucket")): _*)
       .agg(count(lit(1)).as("c"))
+
+  /** Weighted sketch state: each input row carries `weight` occurrences of
+    * `value` — the pre-aggregated form. Bit-identical to [[cmsSketch]] over
+    * the expanded rows (the bucket count is a sum either way), but a caller
+    * that already holds per-value counts hashes each DISTINCT value d times
+    * instead of every occurrence d times — at corpus scale that turns the
+    * sketch's md5 work from O(events) into O(distinct values).
+    */
+  def cmsSketchWeighted(df: DataFrame, groups: Seq[String], value: Column,
+                        weight: Column): DataFrame =
+    df.select(groups.map(col) ++ Seq(value.as("__x"), weight.as("__wt")): _*)
+      .select(groups.map(col) ++ Seq(col("__wt")) :+
+        posexplode(array((0 until CmsDepth).map(r => cmsBucket(r, col("__x"))): _*))
+          .as(Seq("row", "bucket")): _*)
+      .groupBy(groups.map(col) ++ Seq(col("row"), col("bucket")): _*)
+      .agg(sum(col("__wt")).as("c"))
 
   /** Point estimates for `items` (a frame of groups + `item`): the CMS
     * upper bound min over rows of the item's bucket count. The probe is an

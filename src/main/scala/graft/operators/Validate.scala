@@ -55,4 +55,61 @@ object Validate {
   def report(rules: Seq[DataFrame]): DataFrame =
     rules.reduce(_.unionByName(_))
       .withColumn("pass", (col("n_violations") === 0L).cast("int"))
+
+  /** Every same-table rule in ONE scan + ONE aggregate (r14): pk-uniqueness
+    * counts and predicate violation sums are all aggregates over the same
+    * rows, so composing them as separate [[pkUnique]]/[[predicate]] frames
+    * pays one full table scan PER RULE — the union is five independent
+    * aggregate plans, not a shared pass. This emits one row per rule from a
+    * single aggregate via a literal-struct explode; results are identical
+    * to the per-rule frames (exact integer counts either way).
+    */
+  def fused(df: DataFrame, pks: Seq[(String, Seq[String])],
+            preds: Seq[(String, Column)]): DataFrame = {
+    val pkAggs = pks.map { case (rule, keys) =>
+      val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)
+      (rule, (count(lit(1)) - count_distinct(when(nonNull,
+        struct(keys.map(col): _*)))).as(s"__v_$rule"))
+    }
+    val predAggs = preds.map { case (rule, ok) =>
+      (rule, coalesce(sum(when(ok, 0L).otherwise(1L)), lit(0L)).as(s"__v_$rule"))
+    }
+    val all = pkAggs ++ predAggs
+    df.agg(count(lit(1)).as("__n"), all.map(_._2): _*)
+      .select(explode(array(all.map { case (rule, _) =>
+        struct(lit(rule).as("rule"), col("__n").as("n_checked"),
+          col(s"__v_$rule").as("n_violations"))
+      }: _*)).as("__r"))
+      .select(col("__r.rule"), col("__r.n_checked"), col("__r.n_violations"))
+  }
+
+  /** Referential coverage FUSED with same-scan predicate rules over the
+    * child (r14): one pass over the child computes the fk orphan count, the
+    * child total, and every predicate's violations. The anti-join becomes a
+    * left join against the DISTINCT parent keys (distinct-ing first keeps
+    * the row count stable where a duplicated parent key would multiply;
+    * its aggregate rides the same exchange the join needs anyway) plus a
+    * conditional count — the same orphan set [[fkCovered]] counts, without
+    * re-scanning the child once per extra rule.
+    */
+  def fkCoveredFused(child: DataFrame, parent: DataFrame, fkRule: String,
+                     childKey: String, parentKey: String,
+                     preds: Seq[(String, Column)]): DataFrame = {
+    val pkeys = parent.select(col(parentKey).as(childKey)).distinct()
+      .withColumn("__hit", lit(true))
+    val fkAgg = (fkRule,
+      coalesce(sum(when(col("__hit").isNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"__v_$fkRule"))
+    val predAggs = preds.map { case (rule, ok) =>
+      (rule, coalesce(sum(when(ok, 0L).otherwise(1L)), lit(0L)).as(s"__v_$rule"))
+    }
+    val all = fkAgg +: predAggs
+    child.join(pkeys, Seq(childKey), "left")
+      .agg(count(lit(1)).as("__n"), all.map(_._2): _*)
+      .select(explode(array(all.map { case (rule, _) =>
+        struct(lit(rule).as("rule"), col("__n").as("n_checked"),
+          col(s"__v_$rule").as("n_violations"))
+      }: _*)).as("__r"))
+      .select(col("__r.rule"), col("__r.n_checked"), col("__r.n_violations"))
+  }
 }

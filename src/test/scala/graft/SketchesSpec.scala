@@ -59,6 +59,23 @@ class SketchesSpec extends AnyFunSuite {
     assert(est("a") >= 1L)
   }
 
+  test("cmsSketchWeighted over per-value counts == cmsSketch over every occurrence") {
+    val rows = (1 to 500).map(_ => ("g", "heavy")) ++ (1 to 200).map(i => ("g", s"u${i % 37}"))
+    val df = rows.toDF("g", "x")
+    val perOcc = Sketches.cmsSketch(df, Seq("g"), col("x"))
+    val counts = df.groupBy(col("g"), col("x")).agg(count(lit(1)).as("n"))
+    val weighted = Sketches.cmsSketchWeighted(counts, Seq("g"), col("x"), col("n"))
+    assert(weighted.exceptAll(perOcc).isEmpty && perOcc.exceptAll(weighted).isEmpty)
+  }
+
+  test("hllRegistersFromHash with h32 of the value == hllRegisters") {
+    val df = (1 to 300).map(i => ("g", s"doc$i")).toDF("g", "x")
+    val direct = Sketches.hllRegisters(df, Seq("g"), col("x"))
+    val fromHash = Sketches.hllRegistersFromHash(df, Seq("g"),
+      graft.operators.Dedup.h32(col("x")))
+    assert(fromHash.exceptAll(direct).isEmpty && direct.exceptAll(fromHash).isEmpty)
+  }
+
   test("CMS sketch state merges by SUM: union of shards == whole") {
     val a = (1 to 300).map(i => ("g", s"v${i % 40}")).toDF("g", "x")
     val b = (1 to 300).map(i => ("g", s"v${i % 55}")).toDF("g", "x")

@@ -43,4 +43,42 @@ class ValidateSpec extends AnyFunSuite {
       Validate.predicate(df, "empty_ok", col("v") < 100.0))).collect().head
     assert(rep.getLong(1) === 0L && rep.getLong(2) === 0L && rep.getInt(3) === 1)
   }
+
+  test("fused == the per-rule pkUnique/predicate frames, row for row") {
+    val df = Seq((Some(1L), Some(5.0)), (Some(1L), Some(500.0)),
+      (Some(2L), None), (None, Some(7.0))).toDF("k", "v")
+    val sep = Validate.report(Seq(
+      Validate.pkUnique(df, "pk", Seq("k")),
+      Validate.predicate(df, "in_range", col("v").isNotNull && col("v") < 100.0)))
+      .orderBy("rule").collect().toSeq
+    val fus = Validate.report(Seq(Validate.fused(df,
+      pks = Seq("pk" -> Seq("k")),
+      preds = Seq("in_range" -> (col("v").isNotNull && col("v") < 100.0)))))
+      .orderBy("rule").collect().toSeq
+    assert(fus === sep)
+  }
+
+  test("fused on an empty table still reports every rule with pass=1") {
+    val df = Seq.empty[(Long, Double)].toDF("k", "v")
+    val rep = Validate.report(Seq(Validate.fused(df,
+      pks = Seq("pk" -> Seq("k")), preds = Seq("ok" -> (col("v") < 1.0)))))
+      .orderBy("rule").collect()
+    assert(rep.length === 2)
+    assert(rep.forall(r => r.getLong(1) === 0L && r.getLong(2) === 0L && r.getInt(3) === 1))
+  }
+
+  test("fkCoveredFused == fkCovered + predicate, including a DUPLICATED parent key") {
+    val child = Seq((1L, 5.0), (1L, 500.0), (2L, 7.0), (9L, 1.0)).toDF("fk", "v")
+    // duplicate parent key 1 would double child rows under a naive left join
+    val parent = Seq(1L, 1L, 2L, 3L).toDF("pk")
+    val sep = Validate.report(Seq(
+      Validate.fkCovered(child, parent, "fk_rule", "fk", "pk"),
+      Validate.predicate(child, "v_range", col("v") < 100.0)))
+      .orderBy("rule").collect().toSeq
+    val fus = Validate.report(Seq(
+      Validate.fkCoveredFused(child, parent, "fk_rule", "fk", "pk",
+        preds = Seq("v_range" -> (col("v") < 100.0)))))
+      .orderBy("rule").collect().toSeq
+    assert(fus === sep)
+  }
 }
