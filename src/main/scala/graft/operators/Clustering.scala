@@ -41,12 +41,19 @@ object Clustering {
     math.max(minK, math.ceil(math.sqrt(nDistinctVectors.toDouble)).toInt)
 
   /** Above this k, assignment switches from k·dim centroid literals (one
-    * codegen'd projection — unbeatable for small k, but the plan text and
-    * the per-iteration driver collect both grow with k) to a broadcast
-    * centroid FRAME: k rows shipped once per iteration, argmin via
-    * map-side-combined min(struct(dist, cl)), centroids never collected.
+    * codegen'd projection) to the broadcast centroid FRAME
+    * ([[frameAssign]]: k rows shipped per iteration, argmin as one
+    * primitive loop, centroids never collected). The literal path wins
+    * only while its generated code stays small: every iteration embeds
+    * FRESH centroid literals, so each iteration's plan is a new Janino
+    * compilation whose size grows with k·dim — at the sf0.1 adaptive
+    * k = 71 that recompile cost made the literal path ~0.5-0.7 s SLOWER
+    * per query than the frame loop (r14 interleaved A/B: embed_kmeans
+    * 2.33 → 1.65 s, dedup_semantic 2.59 → 2.11 s). 16 keeps genuinely
+    * small-k callers on the fused-codegen path; both paths are pinned
+    * bit-identical by spec.
     */
-  val LiteralAssignMax = 100
+  val LiteralAssignMax = 16
 
   /** One k-means distance: squared L2 via dot products, computed as
     * v.v - 2 v.c + c.c with the centroid dot precomputed on the driver.

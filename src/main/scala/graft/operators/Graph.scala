@@ -69,9 +69,23 @@ object Graph {
     * broadcast barrier. Integer sums are order-independent, so ranks stay
     * bit-identical (oracle hash-exact at sf0.01/sf0.1).
     */
+  /** Below this node count the per-round share table is explicitly
+    * broadcast (~24 B/node ⇒ ≤ ~100 MB hashed at the cap). The hint exists
+    * because each round's ranks derive from a localCheckpoint whose stats
+    * are UNKNOWN (planned as huge), which otherwise INVERTS the build side:
+    * the planner broadcasts the known-small cached EDGE table instead —
+    * a fresh hash-relation build of every edge, every round (measured
+    * r14: the dominant per-round cost at sf0.1). Past the cap nothing is
+    * hinted and the round keeps the zipper shape the scaladoc above
+    * describes — the rank table is graph-sized and must never broadcast
+    * blindly.
+    */
+  val BroadcastShareMaxNodes = 4000000L
+
   def pagerank(edges: DataFrame, iters: Int,
                dedupEdges: Boolean = false,
-               roundProbe: (DataFrame, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+               roundProbe: (DataFrame, DataFrame) => Unit = (_, _) => (),
+               broadcastShareMaxNodes: Long = BroadcastShareMaxNodes): DataFrame = {
     val cast = edges
       .where(col("src").isNotNull && col("dst").isNotNull)
       .select(col("src").cast("long"), col("dst").cast("long"))
@@ -95,8 +109,10 @@ object Graph {
     // here would only add a materialization job
     val init = nodeDeg.select(col("n"), col("deg"), lit(Scale / nn).as("rank"))
     val out = (1 to iters).foldLeft(init) { (ranks, _) =>
-      val shares = ranks.where(col("deg").isNotNull)
+      val sharesBase = ranks.where(col("deg").isNotNull)
         .select(col("n").as("src"), expr("rank DIV deg").as("share"))
+      val shares =
+        if (nn <= broadcastShareMaxNodes) broadcast(sharesBase) else sharesBase
       val contribPlan = e.join(shares, "src")
         .select(col("dst").as("n"), col("share").as("x"))
         .unionByName(ranks.where(col("deg").isNull)

@@ -326,9 +326,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       import org.apache.spark.sql.execution.joins.CartesianProductExec
       val plans = scala.collection.mutable.ArrayBuffer
         .empty[(SparkPlan, SparkPlan, String, String)]
+      // broadcastShareMaxNodes = 0: pin the AT-SCALE shape (past the gate
+      // nothing is hinted — the rank table is graph-sized there)
       graft.operators.Graph.pagerank(edges, 2, roundProbe = (contrib, next) =>
         plans += ((contrib.queryExecution.executedPlan,
-          next.queryExecution.executedPlan, planOf(contrib), planOf(next))))
+          next.queryExecution.executedPlan, planOf(contrib), planOf(next))),
+        broadcastShareMaxNodes = 0L)
       assert(plans.size == 2)
       def shuffles(p: SparkPlan): Int = p.collect { case e: ShuffleExchangeExec => e }.size
       def bcasts(p: SparkPlan): Int = p.collect { case e: BroadcastExchangeExec => e }.size
@@ -342,6 +345,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(shuffles(next) == 0,
           s"round ${k + 1}: next-ranks must zipper, got ${shuffles(next)}:\n$ns")
       }
+      // default gate (r14): BELOW the node cap the round hints the SHARES
+      // side into the join build — never the graph-sized edge table, whose
+      // per-round broadcast rebuild is exactly what the checkpoint's
+      // unknown stats otherwise produce. The broadcast subtree must read
+      // the share projection (rank DIV deg), not the edge cache.
+      val hinted = scala.collection.mutable.ArrayBuffer.empty[(SparkPlan, String)]
+      graft.operators.Graph.pagerank(edges, 1, roundProbe = (contrib, _) =>
+        hinted += ((contrib.queryExecution.executedPlan, planOf(contrib))))
+      val (hp, hs) = hinted.head
+      val bsubs = hp.collect { case e: BroadcastExchangeExec => e }
+      assert(bsubs.size == 1,
+        s"gated round: expected exactly the shares broadcast, got ${bsubs.size}:\n$hs")
+      assert(bsubs.head.toString.contains("div"),
+        s"the broadcast build must be the share projection (rank DIV deg), " +
+          s"not the edge cache:\n$hs")
+      assert(shuffles(hp) == 1, s"gated round must stay ONE exchange:\n$hs")
     } finally saved.foreach { case (k, v) =>
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
