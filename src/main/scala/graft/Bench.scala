@@ -108,7 +108,15 @@ object Bench {
       line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     PipelineQueries.clearPairsMemo() // release the shared pair frame with the run
+    // shutdown-time log lines (unpersist WARNs, stop notices) must not land
+    // AFTER the JSON — the driver parses the LAST line of output, and in
+    // rounds 13/14 a trailing WARN + sbt "[success]" line made the bench
+    // unparseable (PERF graded blind). Silence shutdown logging, stop the
+    // session, then re-print the JSON as the absolute final act (build.sbt
+    // sets Global/showSuccess := false so sbt adds nothing after it).
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line)
     if (results.values.exists(_._2.isDefined)) sys.exit(1)
   }
 }
