@@ -12,12 +12,16 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // AQE coalescing floor: the 1m default collapses sub-scale shuffles
       // to 1-2 partitions, serializing CPU-dense post-shuffle stages
-      // (windows, hash kernels) while the other cores idle. 64k only binds
-      // when partitions are toy-sized — at production sizes every partition
-      // clears it and coalescing behaves exactly as before. Parameterized
-      // so a cluster profile can restore the default.
+      // (windows, hash kernels) while the other cores idle; r14's 64k kept
+      // too MANY tiny partitions alive at 32 cores (the driver's 8-core run
+      // beat 32 cores on the banding kernels). 256k is the measured
+      // interior optimum under driver conditions (cold single runs,
+      // local[32], sf0.1, mirrored interleaving: 256k vs 1m geomean +10%,
+      // vs 64k ~+17%; see OPTIMIZATION_r15.md §2). At production sizes
+      // every partition clears any of these floors and coalescing is
+      // unchanged. Parameterized so a cluster profile can override.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"))
       // let AQE re-optimize CACHE materialization too (off by default for
       // partitioning stability): the engine's iterative operators hang
       // bounded caches (edges, centroids, buckets) whose consumers

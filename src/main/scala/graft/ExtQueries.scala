@@ -92,15 +92,34 @@ object ExtQueries {
     * to the exact counts — the error is part of the checked output.
     */
   def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
     val ev = Queries.events(s, dir)
     val g = Seq("event_type")
+    // ONE events scan (r15; was 3 — one per register lane + the exact
+    // lane). The distinct (event_type, lane, value) frame is a sufficient
+    // statistic for everything downstream: HLL registers keep max(rank),
+    // so registers over DISTINCT values are identical to registers over
+    // all occurrences, and a row count over the distinct frame IS the
+    // countDistinct (h is null iff the value was null, and countDistinct
+    // skips nulls). md5 runs once per DISTINCT value instead of once per
+    // occurrence. Cache lifetime is caller-owned (Bench/Verify/TimeOne
+    // clearCache); size is one slim (type, lane, hash) row per distinct
+    // value.
+    val base = ev.select(col("event_type"),
+        posexplode(array(col("user_id").cast("string"),
+          col("event_id").cast("string"))).as(Seq("lane", "v")))
+      .distinct()
+      .select(col("event_type"), col("lane"), Dedup.h32(col("v")).as("h"))
+      .cache()
     val users = Sketches.hllEstimate(
-      Sketches.hllRegisters(ev, g, col("user_id").cast("string")), g, "hll_users")
+      Sketches.hllRegistersFromHash(base.where(col("lane") === 0), g, col("h")),
+      g, "hll_users")
     val ids = Sketches.hllEstimate(
-      Sketches.hllRegisters(ev, g, col("event_id").cast("string")), g, "hll_events")
-    val exact = ev.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("n_users"),
-        countDistinct(col("event_id")).as("n_events"))
+      Sketches.hllRegistersFromHash(base.where(col("lane") === 1), g, col("h")),
+      g, "hll_events")
+    val exact = base.groupBy(col("event_type"))
+      .agg(sum(when(col("lane") === 0 && col("h").isNotNull, 1L).otherwise(0L)).as("n_users"),
+        sum(when(col("lane") === 1 && col("h").isNotNull, 1L).otherwise(0L)).as("n_events"))
     exact.join(users, g).join(ids, g)
       .select(col("event_type"), col("n_users"), col("hll_users"),
         col("n_events"), col("hll_events"))

@@ -715,36 +715,63 @@ object PipelineQueries {
     }
     val withLang = withScores.withColumn("lang_pred", TextAnalysis.langIdFromScores(
       TextAnalysis.langMarkers.map { case (l, _) => l -> col(s"__s_$l") }))
-    val base = TextAnalysis.qualityFeaturesFromTokens(withLang, col("text"), col("__toks"))
-      .withColumn("quality", TextAnalysis.qualityScore)
-      .select("doc_id", "source", "text", "lang_pred", "quality")
-    // ONE pass: every stage is a boolean flag on the same row, so the six
-    // counts are one conditional aggregate over one scan — not six scalar
-    // aggregates each re-deriving langid/quality (the first PlanDump
-    // census put the naive form at 44 exchanges; this shape is ~8). The
-    // canonical flag is the digest-window minimum over stage-4 survivors;
-    // per-doc hit_frac does not depend on which other docs survive, so
-    // probing all non-bench docs is equivalent to probing survivors.
     val f2 = col("source") =!= BenchSource
     val f3 = f2 && col("lang_pred") === "en"
     val f4 = f3 && col("quality") >= QualityMin
-    val flagged = base
-      .withColumn("__f4", f4)
+    // ONE corpus pass (r15; previously TWO — the flags lane tokenized every
+    // doc, then Contamination.ngramHits re-scanned and re-tokenized the
+    // non-bench side for the shingle probe, and a doc-grain join glued the
+    // lanes back together). The same projection that computes the flags
+    // now emits the contamination shingles; the shingle lane explodes
+    // THROUGH the (narrow) flag columns, probes the broadcast bench set,
+    // and regroups at doc grain — so the flags ride along instead of
+    // re-deriving, no corpus-sized frame is cached, and the exact-dup
+    // window runs over slim (doc_id, md5, flags) rows instead of shuffling
+    // full text. Every stage count stays one conditional aggregate. Bench
+    // docs carry a null shingle array (explode_outer keeps the row) — their
+    // hit_frac is never consulted (__f6 requires __f5 ⊆ non-bench), which is
+    // why probing only non-bench docs was already equivalent.
+    val base = TextAnalysis.qualityFeaturesFromTokens(withLang, col("text"), col("__toks"))
+      .withColumn("quality", TextAnalysis.qualityScore)
+      .select(col("doc_id"), md5(col("text")).as("__md5"),
+        f2.as("__f2"), f3.as("__f3"), f4.as("__f4"),
+        when(f2, graft.functions.TextKernels.wordShingles(col("__toks"), ContamW))
+          .as("__shArr"))
+    val benchSh = Dedup.shingles(
+        docs.where(col("source") === BenchSource).select(col("doc_id"), col("text")),
+        ContamW)
+      .select(Dedup.h32(col("shingle")).as("__sh")).distinct()
+      .withColumn("__hit", lit(1))
+    val perDoc = base
+      .select(col("doc_id"), col("__md5"), col("__f2"), col("__f3"), col("__f4"),
+        explode_outer(col("__shArr")).as("__shs"))
+      .withColumn("__sh", when(col("__shs").isNotNull, Dedup.h32(col("__shs"))))
+      .drop("__shs")
+      .join(broadcast(benchSh), Seq("__sh"), "left")
+      // distinct shingles per doc (ngramHits semantics), then doc grain
+      .groupBy(col("doc_id"), col("__sh"))
+      .agg(first(col("__md5")).as("__md5"), first(col("__f2")).as("__f2"),
+        first(col("__f3")).as("__f3"), first(col("__f4")).as("__f4"),
+        max(col("__hit")).as("__hit"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("__md5")).as("__md5"), first(col("__f2")).as("__f2"),
+        first(col("__f3")).as("__f3"), first(col("__f4")).as("__f4"),
+        count(col("__sh")).as("__n_sh"),
+        sum(coalesce(col("__hit"), lit(0))).as("__n_hits"))
+      // guard: docs with no shingles must fall to the old left-join NULL
+      // (0.0/0.0 would be NaN, and NaN <= ContamMax is false, not true)
+      .withColumn("__hit_frac", when(col("__n_sh") > 0,
+        round(col("__n_hits").cast("double") / col("__n_sh").cast("double"), 6)))
+    val counted = perDoc
       .withColumn("__cmin",
-        min(when(col("__f4"), col("doc_id"))).over(Window.partitionBy(md5(col("text")))))
+        min(when(col("__f4"), col("doc_id"))).over(Window.partitionBy(col("__md5"))))
       .withColumn("__f5", col("__f4") && col("doc_id") === col("__cmin"))
-    val hits = Contamination.ngramHits(
-      docs.where(col("source") =!= BenchSource).select(col("doc_id"), col("text")),
-      docs.where(col("source") === BenchSource).select(col("doc_id"), col("text")),
-      ContamW)
-    val counted = flagged
-      .join(hits.select(col("doc_id"), col("hit_frac")), Seq("doc_id"), "left")
       .withColumn("__f6",
-        col("__f5") && coalesce(col("hit_frac"), lit(0.0)) <= ContamMax)
+        col("__f5") && coalesce(col("__hit_frac"), lit(0.0)) <= ContamMax)
       .agg(
         count(lit(1)).as("n1"),
-        sum(f2.cast("long")).as("n2"),
-        sum(f3.cast("long")).as("n3"),
+        sum(col("__f2").cast("long")).as("n2"),
+        sum(col("__f3").cast("long")).as("n3"),
         sum(col("__f4").cast("long")).as("n4"),
         sum(col("__f5").cast("long")).as("n5"),
         sum(col("__f6").cast("long")).as("n6"))
